@@ -1,0 +1,177 @@
+"""Element protocol — the GstElement/GstVideoFilter analog.
+
+The reference's universal element pattern (SURVEY.md section 1; canonical
+example gst/gaudieffects/gstgaussblur.c) maps onto this protocol:
+
+  GObject properties with ranges/defaults  -> Property descriptors
+  static pad templates / caps negotiation  -> accepted-format sets + set_info
+  set_info (cache strides, alloc scratch)  -> set_info (precompute host tables)
+  transform_frame (per-buffer hot loop)    -> process(params, state, batch),
+                                              a pure JAX function traced once
+  GST_PARAM_CONTROLLABLE + sync_values     -> dynamic params passed as traced
+                                              arrays (optionally per-frame)
+  element messages on the bus              -> `messages` dict returned from
+                                              process, drained by the runner
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from gstbad_tpu.core.frame import FrameBatch
+from gstbad_tpu.core.spec import MediaSpec, SpecError
+
+
+@dataclasses.dataclass
+class Property:
+    """A GObject-property analog.
+
+    static=True properties participate in table/shape precomputation and
+    changing them retriggers set_info (like a caps renegotiation); dynamic
+    ones are fed into the jitted program as arrays, so changing them does not
+    recompile (the GST_PARAM_CONTROLLABLE analog).
+    """
+
+    name: str
+    type: type
+    default: Any
+    min: Any = None
+    max: Any = None
+    controllable: bool = False
+    static: bool = False
+    doc: str = ""
+
+    def coerce(self, value):
+        if self.type is bool and isinstance(value, str):
+            value = value.lower() in ("1", "true", "yes", "on")
+        elif self.type in (int, float):
+            value = self.type(float(value)) if isinstance(value, str) else self.type(value)
+        elif self.type is str:
+            value = str(value)
+        if self.min is not None and value < self.min:
+            raise ValueError(f"{self.name}={value} below minimum {self.min}")
+        if self.max is not None and value > self.max:
+            raise ValueError(f"{self.name}={value} above maximum {self.max}")
+        return value
+
+
+class Element:
+    """Base element. Subclasses define NAME, PROPERTIES, and the hooks below."""
+
+    NAME: str = ""
+    KIND: str = "filter"  # 'filter' | 'source' | 'sink' | 'analysis'
+    PROPERTIES: Sequence[Property] = ()
+
+    def __init__(self, **props):
+        self._propspecs = {p.name: p for p in self.PROPERTIES}
+        self.props: Dict[str, Any] = {p.name: p.default for p in self.PROPERTIES}
+        for k, v in props.items():
+            self.set_property(k, v)
+        self.in_spec: Optional[MediaSpec] = None
+        self.out_spec: Optional[MediaSpec] = None
+
+    # -- properties -------------------------------------------------------
+    def set_property(self, name: str, value) -> None:
+        key = name.replace("_", "-")
+        if key not in self._propspecs:
+            raise KeyError(f"{self.NAME}: no property {name!r} "
+                           f"(has {sorted(self._propspecs)})")
+        self.props[key] = self._propspecs[key].coerce(value)
+        if self.in_spec is not None and self._propspecs[key].static:
+            self.set_info(self.in_spec)  # re-prepare, like needs_remap
+
+    def get_property(self, name: str):
+        return self.props[name.replace("_", "-")]
+
+    # -- negotiation -------------------------------------------------------
+    def set_info(self, in_spec: MediaSpec) -> MediaSpec:
+        """Fixate the output spec for `in_spec` and precompute host tables.
+
+        Default: in-place element (out spec == in spec).
+        """
+        self.in_spec = in_spec
+        self.out_spec = self.negotiate(in_spec)
+        self.prepare()
+        return self.out_spec
+
+    def negotiate(self, in_spec: MediaSpec) -> MediaSpec:
+        return in_spec
+
+    def prepare(self) -> None:
+        """Precompute host-side tables (LUTs, warp maps, kernels)."""
+
+    # -- runtime -----------------------------------------------------------
+    def init_state(self, batch: int):
+        """Initial carry pytree (field queues, delay lines, score rings)."""
+        return ()
+
+    def dynamic_params(self) -> Dict[str, Any]:
+        """Current values of the dynamic (non-static) properties as arrays.
+
+        These are the arguments fed to the jitted program each window; the
+        per-frame controllable-curve path expands scalars to [B] arrays.
+        """
+        out = {}
+        for p in self.PROPERTIES:
+            if p.static:
+                continue
+            v = self.props[p.name]
+            if p.type is float:
+                out[p.name] = jnp.float32(v)
+            elif p.type is int:
+                out[p.name] = jnp.int32(v)
+            elif p.type is bool:
+                out[p.name] = jnp.bool_(v)
+            # str dynamic props are not supported; mark them static instead
+        return out
+
+    def process(self, params: Dict[str, Any], state, batch: FrameBatch):
+        """Pure per-window function. Returns (state, batch) or
+        (state, batch, messages) where messages is a dict of per-frame arrays.
+        """
+        raise NotImplementedError
+
+    # convenience for tests / direct use
+    def __call__(self, batch: FrameBatch, state=None):
+        if self.in_spec is None:
+            raise SpecError(f"{self.NAME}: set_info() not called")
+        if state is None:
+            state = self.init_state(batch.batch)
+        out = self.process(self.dynamic_params(), state, batch)
+        if len(out) == 2:
+            state, batch = out
+            return state, batch, {}
+        return out
+
+    def __repr__(self):
+        ps = " ".join(f"{k}={v}" for k, v in self.props.items())
+        return f"<{self.NAME} {ps}>"
+
+
+class VideoFilter(Element):
+    """Element restricted to a set of packed video formats (GstVideoFilter)."""
+
+    FORMATS: Sequence[str] = ()
+
+    def negotiate(self, in_spec: MediaSpec) -> MediaSpec:
+        from gstbad_tpu.core.spec import fixate_format, require
+        require(in_spec.kind == "video", f"{self.NAME}: needs video input")
+        return fixate_format(in_spec, tuple(self.FORMATS), self.NAME)
+
+
+class AudioFilter(Element):
+    FORMATS: Sequence[str] = ()
+    CHANNELS: Optional[Tuple[int, int]] = None  # (min, max) or None
+
+    def negotiate(self, in_spec: MediaSpec) -> MediaSpec:
+        from gstbad_tpu.core.spec import fixate_format, require
+        require(in_spec.kind == "audio", f"{self.NAME}: needs audio input")
+        spec = fixate_format(in_spec, tuple(self.FORMATS), self.NAME)
+        if self.CHANNELS is not None:
+            lo, hi = self.CHANNELS
+            require(lo <= spec.channels <= hi,
+                    f"{self.NAME}: channels {spec.channels} not in [{lo},{hi}]")
+        return spec

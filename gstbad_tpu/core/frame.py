@@ -1,0 +1,80 @@
+"""FrameBatch — the buffer analog: a window of media frames as one pytree.
+
+The reference moves one GstBuffer at a time between streaming threads; here a
+window of W frames moves through one compiled XLA program.  Buffer metadata
+(PTS, video field flags — GST_VIDEO_BUFFER_FLAG_* as used by
+gst/ivtc/gstivtc.c:519-534 and gst/fieldanalysis) rides along as int arrays,
+and a validity mask replaces data-dependent buffer dropping
+(GST_BASE_TRANSFORM_FLOW_DROPPED) so shapes stay static under jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Video buffer flags (values are ours; semantics mirror GST_VIDEO_BUFFER_FLAG_*)
+FLAG_INTERLACED = 1 << 0
+FLAG_TFF = 1 << 1
+FLAG_RFF = 1 << 2
+FLAG_ONEFIELD = 1 << 3
+FLAG_GAP = 1 << 4
+
+Array = Any
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FrameBatch:
+    """A batch/window of frames.
+
+    data: uint8 [B, H, W, C] for packed video; {plane: array} for planar;
+          [B, S, C] for audio (S samples per frame-block, C channels).
+    pts:  int64 [B] nanoseconds.
+    flags: int32 [B] bitmask of FLAG_*.
+    valid: bool [B]; frames with valid=False are dropped by the runner.
+    """
+
+    data: Union[Array, Dict[str, Array]]
+    pts: Array
+    flags: Array
+    valid: Array
+
+    @staticmethod
+    def make(data, pts=None, flags=None, valid=None) -> "FrameBatch":
+        if isinstance(data, dict):
+            b = next(iter(data.values())).shape[0]
+        else:
+            b = data.shape[0]
+        if pts is None:
+            pts = jnp.zeros((b,), jnp.int64)
+        if flags is None:
+            flags = jnp.zeros((b,), jnp.int32)
+        if valid is None:
+            valid = jnp.ones((b,), bool)
+        return FrameBatch(data=data, pts=pts, flags=flags, valid=valid)
+
+    @property
+    def batch(self) -> int:
+        if isinstance(self.data, dict):
+            return next(iter(self.data.values())).shape[0]
+        return self.data.shape[0]
+
+    def with_data(self, data) -> "FrameBatch":
+        return dataclasses.replace(self, data=data)
+
+    def replace(self, **kw) -> "FrameBatch":
+        return dataclasses.replace(self, **kw)
+
+    def to_numpy(self) -> "FrameBatch":
+        return jax.tree_util.tree_map(np.asarray, self)
+
+
+def pts_ramp(batch: int, spec, start_ns: int = 0) -> jnp.ndarray:
+    """PTS values for `batch` consecutive frames of `spec`."""
+    dur = spec.frame_duration_ns
+    return (jnp.arange(batch, dtype=jnp.int64) * dur + start_ns)

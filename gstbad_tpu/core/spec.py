@@ -1,0 +1,173 @@
+"""MediaSpec — the static format contract between elements.
+
+The reference negotiates formats at runtime through GstCaps on pad templates
+(e.g. gst/gaudieffects/gstgaussblur.c:93-108 pins AYUV;
+gst/coloreffects/gstcoloreffects.c:57-58 lists 11 RGB/AYUV formats).  Here the
+same contract is a frozen dataclass unified once at pipeline build time:
+elements declare the format sets they accept, and `fixate` picks a concrete
+MediaSpec before anything is traced, so every XLA program sees static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from fractions import Fraction
+from typing import Optional, Tuple
+
+
+class VideoFormat:
+    """8-bit video formats, named as the reference names them.
+
+    Packed 4-byte RGB formats store channels in memory byte order, so a
+    [B, H, W, 4] uint8 tensor with channel k = memory byte k matches the C
+    view of the frame exactly.  On little-endian, a guint32 load of a BGRx
+    pixel yields red = (word >> 16) & 0xff = byte 2 (gstburn.c CAPS_STR).
+    """
+
+    # packed RGB, 4 bytes/pixel (byte order = channel order)
+    RGBA = "RGBA"
+    BGRA = "BGRA"
+    ARGB = "ARGB"
+    ABGR = "ABGR"
+    RGBx = "RGBx"
+    BGRx = "BGRx"
+    xRGB = "xRGB"
+    xBGR = "xBGR"
+    # packed RGB, 3 bytes/pixel
+    RGB = "RGB"
+    BGR = "BGR"
+    # packed YUV, 4 bytes/pixel: A, Y, U(Cb), V(Cr)
+    AYUV = "AYUV"
+    # planar YUV 4:2:0 (represented as a dict of planes)
+    I420 = "I420"
+    # grayscale single plane
+    GRAY8 = "GRAY8"
+
+    PACKED_RGB4 = (RGBA, BGRA, ARGB, ABGR, RGBx, BGRx, xRGB, xBGR)
+    PACKED_RGB3 = (RGB, BGR)
+    PACKED_4 = PACKED_RGB4 + (AYUV,)
+    PLANAR_YUV = (I420,)
+
+    # Channel positions of R, G, B (or Y, U, V for AYUV) and the fill byte.
+    _RGB_OFFSETS = {
+        RGBA: (0, 1, 2, 3), BGRA: (2, 1, 0, 3),
+        ARGB: (1, 2, 3, 0), ABGR: (3, 2, 1, 0),
+        RGBx: (0, 1, 2, 3), BGRx: (2, 1, 0, 3),
+        xRGB: (1, 2, 3, 0), xBGR: (3, 2, 1, 0),
+        RGB: (0, 1, 2, None), BGR: (2, 1, 0, None),
+    }
+    AYUV_OFFSETS = (1, 2, 3, 0)  # Y, U, V, A
+
+    @staticmethod
+    def rgb_offsets(fmt: str) -> Tuple[int, int, int, Optional[int]]:
+        """(r, g, b, alpha_or_fill) channel indices for an RGB format."""
+        return VideoFormat._RGB_OFFSETS[fmt]
+
+    @staticmethod
+    def is_rgb(fmt: str) -> bool:
+        return fmt in VideoFormat._RGB_OFFSETS
+
+    @staticmethod
+    def has_alpha(fmt: str) -> bool:
+        return fmt in (VideoFormat.RGBA, VideoFormat.BGRA, VideoFormat.ARGB,
+                       VideoFormat.ABGR, VideoFormat.AYUV)
+
+    @staticmethod
+    def n_channels(fmt: str) -> int:
+        if fmt in VideoFormat.PACKED_4:
+            return 4
+        if fmt in VideoFormat.PACKED_RGB3:
+            return 3
+        if fmt == VideoFormat.GRAY8:
+            return 1
+        raise ValueError(f"n_channels undefined for planar format {fmt}")
+
+
+class AudioFormat:
+    S16 = "S16"
+    S32 = "S32"
+    F32 = "F32"
+    F64 = "F64"
+    ALL = (S16, S32, F32, F64)
+
+    _DTYPES = {S16: "int16", S32: "int32", F32: "float32", F64: "float64"}
+
+    @staticmethod
+    def dtype(fmt: str) -> str:
+        return AudioFormat._DTYPES[fmt]
+
+
+class BayerFormat:
+    BGGR = "bggr"
+    GBRG = "gbrg"
+    GRBG = "grbg"
+    RGGB = "rggb"
+    ALL = (BGGR, GBRG, GRBG, RGGB)
+
+
+class InterlaceMode:
+    PROGRESSIVE = "progressive"
+    INTERLEAVED = "interleaved"
+    MIXED = "mixed"
+
+
+@dataclasses.dataclass(frozen=True)
+class MediaSpec:
+    """Concrete media format; the fixated-caps analog.
+
+    kind: 'video' | 'audio' | 'bayer'
+    """
+
+    kind: str = "video"
+    # video / bayer
+    format: Optional[str] = None
+    width: int = 0
+    height: int = 0
+    framerate: Fraction = Fraction(30, 1)
+    interlace_mode: str = InterlaceMode.PROGRESSIVE
+    # audio
+    rate: int = 48000
+    channels: int = 0
+    layout: str = "interleaved"
+
+    def with_(self, **kw) -> "MediaSpec":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def frame_duration_ns(self) -> int:
+        fr = self.framerate
+        return int(round(1e9 * fr.denominator / fr.numerator))
+
+    def __str__(self) -> str:  # caps-style rendering for logs
+        if self.kind == "video":
+            return (f"video/x-raw,format={self.format},width={self.width},"
+                    f"height={self.height},framerate={self.framerate},"
+                    f"interlace-mode={self.interlace_mode}")
+        if self.kind == "bayer":
+            return (f"video/x-bayer,format={self.format},width={self.width},"
+                    f"height={self.height},framerate={self.framerate}")
+        return (f"audio/x-raw,format={self.format},rate={self.rate},"
+                f"channels={self.channels},layout={self.layout}")
+
+
+class SpecError(Exception):
+    """Negotiation failure (the GST_FLOW_NOT_NEGOTIATED analog)."""
+
+
+def require(cond: bool, msg: str) -> None:
+    if not cond:
+        raise SpecError(msg)
+
+
+def fixate_format(spec: MediaSpec, allowed, element: str) -> MediaSpec:
+    """Check/select the format of `spec` against an element's allowed set.
+
+    Mirrors caps intersection + fixation: if the incoming spec already names a
+    format it must be in `allowed`; if it doesn't (None), the first entry of
+    `allowed` is picked (gst fixation picks the first structure).
+    """
+    if spec.format is None:
+        return spec.with_(format=allowed[0])
+    require(spec.format in allowed,
+            f"{element}: format {spec.format} not in {allowed}")
+    return spec

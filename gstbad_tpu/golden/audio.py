@@ -1,0 +1,263 @@
+"""Golden transcriptions of the audio DSP chain: audiomixmatrix, freeverb,
+audiochannelmix, and the removesilence VAD."""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# audiomixmatrix (gst/audiomixmatrix/gstaudiomixmatrix.c)
+# ---------------------------------------------------------------------------
+
+
+def mixmatrix_first_channels(in_ch: int, out_ch: int) -> np.ndarray:
+    """First-channels mode: truncated identity (gstaudiomixmatrix.c:91-110)."""
+    m = np.zeros((out_ch, in_ch))
+    for i in range(min(in_ch, out_ch)):
+        m[i, i] = 1.0
+    return m
+
+
+def mixmatrix_f32(x: np.ndarray, matrix: np.ndarray) -> np.ndarray:
+    """F32 path (gstaudiomixmatrix.c:436-457): float32 accumulation of
+    in * double-matrix per output channel.  x: [S, in_ch] float32."""
+    acc = np.zeros((x.shape[0], matrix.shape[0]), np.float32)
+    for i in range(matrix.shape[1]):
+        acc += (x[:, i:i + 1] * matrix[:, i][None, :].astype(np.float32)
+                ).astype(np.float32)
+    return acc
+
+
+def mixmatrix_f64(x: np.ndarray, matrix: np.ndarray) -> np.ndarray:
+    return (x.astype(np.float64) @ matrix.T).astype(np.float64)
+
+
+def _shift_bytes_s16(in_ch: int) -> int:
+    """gstaudiomixmatrix.c:256: 32 - 16 - 1 - ceil(log2(in_channels))."""
+    return 32 - 16 - 1 - int(np.ceil(np.log(in_ch) / np.log(2)))
+
+
+def _shift_bytes_s32(in_ch: int) -> int:
+    """gstaudiomixmatrix.c:274: 64 - 32 - 1 - (gint)(log2(in_channels))
+    (note: truncation, not ceil, in the reference)."""
+    return 64 - 32 - 1 - int(np.log(in_ch) / np.log(2))
+
+
+def mixmatrix_s16(x: np.ndarray, matrix: np.ndarray) -> np.ndarray:
+    """S16 path (gstaudiomixmatrix.c:480-501): fixed-point via
+    conv = (gint32)(m * (1 << shift)), gint32 accumulation with C wraparound,
+    out = (gint16)(sum >> shift) (low 16 bits)."""
+    n = _shift_bytes_s16(matrix.shape[1])
+    conv = (matrix * (1 << n)).astype(np.int32)
+    # gint16 * gint32 product wraps in int32; the sum wraps in int32 too
+    prod = (x.astype(np.int64)[:, None, :]
+            * conv.astype(np.int64)[None, :, :])
+    prod32 = prod.astype(np.int32)  # wrap each term as the C product does
+    acc = prod32.astype(np.int64).sum(axis=-1).astype(np.int32)
+    return (acc >> n).astype(np.int16)  # low 16 bits, like the C cast
+
+
+def mixmatrix_s32(x: np.ndarray, matrix: np.ndarray) -> np.ndarray:
+    """S32 path (gstaudiomixmatrix.c:504-525): gint64 conv coefficients,
+    gint64 wrapping accumulation, out = (gint32)(sum >> shift)."""
+    n = _shift_bytes_s32(matrix.shape[1])
+    conv = (matrix * (1 << n)).astype(np.int64)
+    prod = x.astype(np.int64)[:, None, :] * conv[None, :, :]
+    acc = prod.sum(axis=-1)
+    return (acc >> n).astype(np.int32)
+
+
+def audiochannelmix(x: np.ndarray, ll=1.0, lr=0.0, rl=0.0, rr=1.0) -> np.ndarray:
+    """gst_audio_channel_mix_transform_ip (gstaudiochannelmix.c:222-251):
+    S16 stereo, rint rounding, clamp. x: [S, 2] int16."""
+    l = x[:, 0].astype(np.float64)
+    r = x[:, 1].astype(np.float64)
+    out = np.empty_like(x)
+    out[:, 0] = np.clip(np.rint(ll * l + rl * r), -32768, 32767)
+    out[:, 1] = np.clip(np.rint(lr * l + rr * r), -32768, 32767)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# freeverb (gst/freeverb/gstfreeverb.c)
+# ---------------------------------------------------------------------------
+
+DC_OFFSET = 1e-8
+FIXEDGAIN = np.float32(0.015)
+SCALEROOM = 0.28
+OFFSETROOM = 0.7
+STEREOSPREAD = 23
+COMB_L = [1116, 1188, 1277, 1356, 1422, 1491, 1557, 1617]
+ALLPASS_L = [556, 441, 341, 225]
+
+
+class Freeverb:
+    """Schroeder/Moorer model state (gstfreeverb.c:288-330,483-530).
+
+    8 parallel combs + 4 series allpasses per channel; R-channel delay lines
+    are offset by stereospread samples; buffer lengths scale by rate/44100.
+    All arithmetic is float32 to match the C floats.
+    """
+
+    def __init__(self, rate=44100, room_size=0.5, damping=0.2, width=1.0,
+                 level=0.5):
+        srfactor = rate / 44100.0
+        self.gain = FIXEDGAIN
+        sizes_l = [int(t * srfactor) for t in COMB_L]
+        sizes_r = [int((t + STEREOSPREAD) * srfactor) for t in COMB_L]
+        ap_l = [int(t * srfactor) for t in ALLPASS_L]
+        ap_r = [int((t + STEREOSPREAD) * srfactor) for t in ALLPASS_L]
+        mk = lambda n: np.full(n, np.float32(DC_OFFSET), np.float32)
+        self.combL = [{"buf": mk(n), "idx": 0, "store": np.float32(0)}
+                      for n in sizes_l]
+        self.combR = [{"buf": mk(n), "idx": 0, "store": np.float32(0)}
+                      for n in sizes_r]
+        self.apL = [{"buf": mk(n), "idx": 0} for n in ap_l]
+        self.apR = [{"buf": mk(n), "idx": 0} for n in ap_r]
+        self.set_params(room_size, damping, width, level)
+
+    def set_params(self, room_size, damping, width, level):
+        self.feedback = np.float32(room_size * SCALEROOM + OFFSETROOM)
+        self.damp1 = np.float32(damping * 1.0)
+        self.damp2 = np.float32(1 - self.damp1)
+        self.wet = np.float32(level * 1.0)
+        self.dry = np.float32((1.0 - level) * 1.0)
+        self.width = np.float32(width)
+        self.wet1 = np.float32(self.wet * (self.width / np.float32(2.0)
+                                           + np.float32(0.5)))
+        self.wet2 = np.float32(self.wet * ((np.float32(1.0) - self.width)
+                                           / np.float32(2.0)))
+
+    def _comb(self, c, inp, out):
+        tmp = c["buf"][c["idx"]]
+        c["store"] = np.float32(tmp * self.damp2 + c["store"] * self.damp1)
+        c["buf"][c["idx"]] = np.float32(inp + c["store"] * self.feedback)
+        c["idx"] = (c["idx"] + 1) % len(c["buf"])
+        return np.float32(out + tmp)
+
+    def _allpass(self, a, inp):
+        bufout = a["buf"][a["idx"]]
+        output = np.float32(bufout - inp)
+        a["buf"][a["idx"]] = np.float32(inp + bufout * np.float32(0.5))
+        a["idx"] = (a["idx"] + 1) % len(a["buf"])
+        return output
+
+    def process_stereo_float(self, x: np.ndarray) -> np.ndarray:
+        """gst_freeverb_transform_s2s_float (gstfreeverb.c:845+).
+        x: [S, 2] float32 -> [S, 2] float32."""
+        out = np.empty_like(x, np.float32)
+        for k in range(x.shape[0]):
+            in2l = np.float32(x[k, 0])
+            in2r = np.float32(x[k, 1])
+            in1l = np.float32((in2l + np.float32(DC_OFFSET)) * self.gain)
+            in1r = np.float32((in2r + np.float32(DC_OFFSET)) * self.gain)
+            outl = np.float32(0)
+            outr = np.float32(0)
+            for i in range(8):
+                outl = self._comb(self.combL[i], in1l, outl)
+                outr = self._comb(self.combR[i], in1r, outr)
+            for i in range(4):
+                outl = self._allpass(self.apL[i], outl)
+                outr = self._allpass(self.apR[i], outr)
+            outl = np.float32(outl - np.float32(DC_OFFSET))
+            outr = np.float32(outr - np.float32(DC_OFFSET))
+            out[k, 0] = np.float32(outl * self.wet1 + outr * self.wet2
+                                   + in2l * self.dry)
+            out[k, 1] = np.float32(outr * self.wet1 + outl * self.wet2
+                                   + in2r * self.dry)
+        return out
+
+    def process_mono_float(self, x: np.ndarray) -> np.ndarray:
+        """gst_freeverb_transform_m2s_float (gstfreeverb.c:790-840):
+        mono in, stereo out; input doubled."""
+        out = np.empty((x.shape[0], 2), np.float32)
+        for k in range(x.shape[0]):
+            in2 = np.float32(x[k])
+            in1 = np.float32((np.float32(2.0) * in2 + np.float32(DC_OFFSET))
+                             * self.gain)
+            outl = np.float32(0)
+            outr = np.float32(0)
+            for i in range(8):
+                outl = self._comb(self.combL[i], in1, outl)
+                outr = self._comb(self.combR[i], in1, outr)
+            for i in range(4):
+                outl = self._allpass(self.apL[i], outl)
+                outr = self._allpass(self.apR[i], outr)
+            outl = np.float32(outl - np.float32(DC_OFFSET))
+            outr = np.float32(outr - np.float32(DC_OFFSET))
+            out[k, 0] = np.float32(outl * self.wet1 + outr * self.wet2
+                                   + in2 * self.dry)
+            out[k, 1] = np.float32(outr * self.wet1 + outl * self.wet2
+                                   + in2 * self.dry)
+        return out
+
+    def process_stereo_s16(self, x: np.ndarray) -> np.ndarray:
+        """gst_freeverb_transform_s2s_int (gstfreeverb.c:741-787)."""
+        xf = x.astype(np.float32)
+        y = self.process_stereo_float(xf)
+        return np.clip(np.trunc(y), -32768, 32767).astype(np.int16)
+
+
+# ---------------------------------------------------------------------------
+# removesilence VAD (gst/removesilence/vad_private.c)
+# ---------------------------------------------------------------------------
+
+VAD_POWER_ALPHA = 0x0800
+VAD_BUFFER_SIZE = 256
+VAD_SILENCE = 0
+VAD_VOICE = 1
+
+
+class VAD:
+    """vad_update (vad_private.c:117-160), exact integer transcription."""
+
+    def __init__(self, hysteresis=480, threshold_db=-60):
+        self.ring = np.zeros(VAD_BUFFER_SIZE, np.int16)
+        self.head = 0
+        self.tail = 0
+        self.state = VAD_SILENCE
+        self.hysteresis = hysteresis
+        self.samples = 0
+        self.power = 0
+        self.set_threshold(threshold_db)
+
+    def set_threshold(self, threshold_db):
+        # vad_private.c:105-114: integer dB decade then scale to Q32
+        power = int(threshold_db / 10.0)
+        self.threshold = int((10.0 ** power) * 4294967295)
+
+    def update(self, data: np.ndarray) -> int:
+        data = data.astype(np.int16)
+        for v in data.tolist():
+            sq = (v * v) >> 14
+            self.power = (VAD_POWER_ALPHA * (sq & 0xFFFF)
+                          + (0xFFFF - VAD_POWER_ALPHA) * (self.power >> 16)
+                          + ((0xFFFF - VAD_POWER_ALPHA)
+                             * (self.power & 0xFFFF) >> 16))
+            self.ring[self.head] = v
+            self.head = (self.head + 1) & (VAD_BUFFER_SIZE - 1)
+            if self.head == self.tail:
+                self.tail = (self.tail + 1) & (VAD_BUFFER_SIZE - 1)
+        zcr = 0
+        tail = self.tail
+        while True:
+            s = int(self.ring[tail])
+            tail = (tail + 1) & (VAD_BUFFER_SIZE - 1)
+            if tail == self.head:
+                break
+            nxt = int(self.ring[tail])
+            zcr += 1 if ((s & 0x8000 != 0) != (nxt & 0x8000 != 0)) else -1
+        frame_type = (VAD_VOICE if (self.power > self.threshold and zcr < 0)
+                      else VAD_SILENCE)
+        if self.state != frame_type:
+            if self.state == VAD_VOICE:
+                self.samples += len(data)
+                if self.samples >= self.hysteresis:
+                    self.state = frame_type
+                    self.samples = 0
+            else:
+                self.state = frame_type
+                self.samples = 0
+        else:
+            self.samples = 0
+        return self.state
