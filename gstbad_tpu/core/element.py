@@ -68,10 +68,10 @@ class Element:
     def __init__(self, **props):
         self._propspecs = {p.name: p for p in self.PROPERTIES}
         self.props: Dict[str, Any] = {p.name: p.default for p in self.PROPERTIES}
-        for k, v in props.items():
-            self.set_property(k, v)
         self.in_spec: Optional[MediaSpec] = None
         self.out_spec: Optional[MediaSpec] = None
+        for k, v in props.items():
+            self.set_property(k, v)
 
     # -- properties -------------------------------------------------------
     def set_property(self, name: str, value) -> None:

@@ -133,17 +133,22 @@ class Pipeline:
         else:
             n_windows = -(-n_frames // window)
             windows = [None] * n_windows
+        host_elements = [el for el in self.elements
+                         if getattr(el, "HOST", False)]
         for w in windows:
             states, batch, messages = self._step(params, states, w)
             self._drain_messages(batch, messages)
             np_batch = batch.to_numpy()
             mask = np.asarray(np_batch.valid)
-            if mask.all():
-                outs.append(np_batch)
-            elif mask.any():
-                outs.append(jax.tree_util.tree_map(
+            if not mask.all():
+                if not mask.any():
+                    continue
+                np_batch = jax.tree_util.tree_map(
                     lambda x: x[mask] if x.ndim >= 1 and x.shape[0] == mask.shape[0] else x,
-                    np_batch))
+                    np_batch)
+            for el in host_elements:
+                el.host_process(np_batch, self.bus)
+            outs.append(np_batch)
         self._states = states
         return outs
 

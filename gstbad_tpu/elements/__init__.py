@@ -1,0 +1,5 @@
+"""Element families.  Importing this package registers every element."""
+
+from gstbad_tpu.elements import debugutils  # noqa: F401
+from gstbad_tpu.elements import sources  # noqa: F401
+from gstbad_tpu.elements import video  # noqa: F401

@@ -1,0 +1,126 @@
+"""debugutils — identity/fakesink/errorignore/watchdog analogs plus the
+checksum-style conformance sinks (gst/debugutils/)."""
+
+from __future__ import annotations
+
+import hashlib
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from gstbad_tpu.core.element import Element, Property
+from gstbad_tpu.core.frame import FrameBatch
+from gstbad_tpu.core.registry import register
+from gstbad_tpu.core.spec import MediaSpec
+
+
+@register
+class Identity(Element):
+    NAME = "identity"
+
+    def process(self, params, state, batch: FrameBatch):
+        return state, batch
+
+
+@register
+class FakeSink(Element):
+    NAME = "fakesink"
+    KIND = "sink"
+
+    def process(self, params, state, batch: FrameBatch):
+        return state, batch
+
+
+@register
+class FakeVideoSink(FakeSink):
+    NAME = "fakevideosink"
+
+
+@register
+class FakeAudioSink(FakeSink):
+    NAME = "fakeaudiosink"
+
+
+@register
+class AppSink(FakeSink):
+    """Collects frames for the host (the appsink analog); the Pipeline
+    runner returns every window's valid frames, so this is a marker."""
+    NAME = "appsink"
+
+
+@register
+class ErrorIgnore(Element):
+    """gsterrorignore.c: convert downstream errors into OK.  Errors in this
+    framework are Python exceptions from downstream host hooks; the pipeline
+    wraps downstream processing when an errorignore is present.  In-graph it
+    is a passthrough."""
+    NAME = "errorignore"
+    PROPERTIES = (Property("ignore-error", bool, True),)
+
+    def process(self, params, state, batch: FrameBatch):
+        return state, batch
+
+
+@register
+class Watchdog(Element):
+    """gstwatchdog.c: post an error if no buffers flow within timeout.
+
+    Here process stamps a host-side monotonic time at every window; `check`
+    raises if the gap exceeded the timeout (driven by Pipeline.run)."""
+
+    NAME = "watchdog"
+    PROPERTIES = (Property("timeout", int, 1000),)  # ms
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        self._last = time.monotonic()
+
+    def process(self, params, state, batch: FrameBatch):
+        self._last = time.monotonic()
+        return state, batch
+
+    def check(self):
+        gap_ms = (time.monotonic() - self._last) * 1000.0
+        if gap_ms > self.props["timeout"]:
+            raise TimeoutError(
+                f"watchdog: no data for {gap_ms:.0f} ms "
+                f"(timeout {self.props['timeout']} ms)")
+
+
+@register
+class ChecksumSink(Element):
+    """checksumsink/videocodectestsink analog: per-frame MD5 of the raw
+    frame bytes, posted as messages (gstvideocodectestsink.c:193-230).
+
+    MD5 runs host-side; the element keeps frame bytes on device until the
+    runner drains the window, then hashes.
+    """
+
+    NAME = "checksumsink"
+    KIND = "sink"
+    HOST = True
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        self.checksums = []
+
+    def process(self, params, state, batch: FrameBatch):
+        return state, batch
+
+    def host_process(self, np_batch: FrameBatch, bus) -> None:
+        from gstbad_tpu.core.bus import Message
+        data = np_batch.data
+        b = np_batch.batch
+        for i in range(b):
+            if isinstance(data, dict):
+                blob = b"".join(np.ascontiguousarray(data[k][i]).tobytes()
+                                for k in sorted(data))
+            else:
+                blob = np.ascontiguousarray(data[i]).tobytes()
+            digest = hashlib.md5(blob).hexdigest()
+            self.checksums.append(digest)
+            if bus is not None:
+                bus.post(Message(self.NAME, "checksum",
+                                 int(np_batch.pts[i]),
+                                 {"checksum": digest}))

@@ -1,0 +1,84 @@
+"""coloreffects + chromahold (reference: gst/coloreffects/)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from gstbad_tpu.core.element import Property, VideoFilter
+from gstbad_tpu.core.frame import FrameBatch
+from gstbad_tpu.core.registry import register
+from gstbad_tpu.core.spec import VideoFormat
+from gstbad_tpu.elements.video._coloreffects_tables import TABLES
+from gstbad_tpu.golden.coloreffects import LUMA_PRESETS
+from gstbad_tpu.ops import pointops
+
+
+@register
+class ColorEffects(VideoFilter):
+    """gstcoloreffects.c: preset LUT mapping.
+
+    Presets heat/sepia/xray map BT.709 luma through the LUT; xpro/yellowblue
+    map each channel through its own LUT column (gstcoloreffects.c:509-541).
+    AYUV frames round-trip through the fixed-point SDTV matrices
+    (gstcoloreffects.c:286-301).
+    """
+
+    NAME = "coloreffects"
+    FORMATS = VideoFormat.PACKED_RGB4 + (VideoFormat.AYUV,) \
+        + VideoFormat.PACKED_RGB3
+    PROPERTIES = (Property("preset", str, "none", static=True),)
+
+    def prepare(self):
+        preset = self.props["preset"]
+        if preset == "none":
+            self._table = None
+            return
+        if preset not in TABLES:
+            raise ValueError(f"unknown preset {preset!r}; "
+                             f"known: none,{','.join(TABLES)}")
+        self._table = jnp.asarray(TABLES[preset].astype(np.int32))
+        self._map_luma = LUMA_PRESETS[preset]
+        self._is_ayuv = self.out_spec.format == VideoFormat.AYUV
+        if not self._is_ayuv:
+            self._rgb = VideoFormat.rgb_offsets(self.out_spec.format)[:3]
+
+    def process(self, params, state, batch: FrameBatch):
+        if self._table is None:
+            return state, batch
+        if self._is_ayuv:
+            out = pointops.lut_ayuv(batch.data, self._table, self._map_luma)
+        else:
+            out = pointops.lut_rgb(batch.data, self._table, self._map_luma,
+                                   self._rgb)
+        return state, batch.with_data(out)
+
+
+@register
+class ChromaHold(VideoFilter):
+    """gstchromahold.c: keep pixels near the target hue, grey the rest.
+
+    target-r/g/b default 255/0/0, tolerance 0..180 default 30
+    (gstchromahold.c:52-55).  The target hue is recomputed in-graph so the
+    targets stay controllable without recompiling.
+    """
+
+    NAME = "chromahold"
+    FORMATS = VideoFormat.PACKED_RGB4
+    PROPERTIES = (
+        Property("target-r", int, 255, 0, 255, controllable=True),
+        Property("target-g", int, 0, 0, 255, controllable=True),
+        Property("target-b", int, 0, 0, 255, controllable=True),
+        Property("tolerance", int, 30, 0, 180, controllable=True),
+    )
+
+    def prepare(self):
+        self._rgb = VideoFormat.rgb_offsets(self.out_spec.format)[:3]
+
+    def process(self, params, state, batch: FrameBatch):
+        hue = pointops.rgb_to_hue(params["target-r"].astype(jnp.int32),
+                                  params["target-g"].astype(jnp.int32),
+                                  params["target-b"].astype(jnp.int32))
+        out = pointops.chromahold(batch.data, hue, params["tolerance"],
+                                  self._rgb)
+        return state, batch.with_data(out)

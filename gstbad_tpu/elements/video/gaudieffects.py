@@ -1,0 +1,143 @@
+"""gaudieffects — burn, chromium, dilate, dodge, exclusion, gaussianblur,
+solarize (reference: gst/gaudieffects/).
+
+The word-based effects view each pixel as a little-endian guint32, so their
+"red/green/blue" are memory bytes 2/1/0 and the fill byte is 3 regardless of
+whether the format is BGRx or RGBx — exactly like the C (gstburn.c:80-84).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from gstbad_tpu.core.element import Property, VideoFilter
+from gstbad_tpu.core.frame import FrameBatch
+from gstbad_tpu.core.registry import register
+from gstbad_tpu.core.spec import MediaSpec, VideoFormat
+from gstbad_tpu.golden.gaudieffects import chromium_cos_table
+from gstbad_tpu.ops import blur as blur_ops
+from gstbad_tpu.ops import pointops
+
+_WORD_RGB = (2, 1, 0)
+_WORD_FILL = 3
+
+
+class _GuintWordFilter(VideoFilter):
+    FORMATS = (VideoFormat.BGRx, VideoFormat.RGBx)
+
+
+@register
+class Burn(_GuintWordFilter):
+    """gstburn.c; adjustment 0..256 default 175 (gstburn.c:94-100)."""
+
+    NAME = "burn"
+    PROPERTIES = (
+        Property("adjustment", int, 175, 0, 256, controllable=True),
+    )
+
+    def process(self, params, state, batch: FrameBatch):
+        return state, batch.with_data(
+            pointops.burn(batch.data, params["adjustment"]))
+
+
+@register
+class Chromium(_GuintWordFilter):
+    """gstchromium.c; edge-a/edge-b defaults 200/1 (gstchromium.c:96-100)."""
+
+    NAME = "chromium"
+    PROPERTIES = (
+        Property("edge-a", int, 200, 0, 256, controllable=True),
+        Property("edge-b", int, 1, 0, 256, controllable=True),
+    )
+
+    def prepare(self):
+        self._table = jnp.asarray(chromium_cos_table())
+
+    def process(self, params, state, batch: FrameBatch):
+        out = pointops.chromium(batch.data, params["edge-a"],
+                                params["edge-b"], self._table,
+                                _WORD_RGB, _WORD_FILL)
+        return state, batch.with_data(out)
+
+
+@register
+class Dilate(_GuintWordFilter):
+    """gstdilate.c; erode=false default (gstdilate.c:92-98)."""
+
+    NAME = "dilate"
+    PROPERTIES = (Property("erode", bool, False, controllable=True),)
+
+    def process(self, params, state, batch: FrameBatch):
+        return state, batch.with_data(
+            pointops.dilate(batch.data, params["erode"], _WORD_RGB))
+
+
+@register
+class Dodge(_GuintWordFilter):
+    """gstdodge.c (no properties)."""
+
+    NAME = "dodge"
+
+    def process(self, params, state, batch: FrameBatch):
+        return state, batch.with_data(
+            pointops.dodge(batch.data, _WORD_RGB, _WORD_FILL))
+
+
+@register
+class Exclusion(_GuintWordFilter):
+    """gstexclusion.c; factor 1..175 default 175 (gstexclusion.c:94,154-156)."""
+
+    NAME = "exclusion"
+    PROPERTIES = (Property("factor", int, 175, 1, 175, controllable=True),)
+
+    def process(self, params, state, batch: FrameBatch):
+        out = pointops.exclusion(batch.data, params["factor"],
+                                 _WORD_RGB, _WORD_FILL)
+        return state, batch.with_data(out)
+
+
+@register
+class Solarize(_GuintWordFilter):
+    """gstsolarize.c; threshold/start/end 127/50/185 (gstsolarize.c:92-96)."""
+
+    NAME = "solarize"
+    PROPERTIES = (
+        Property("threshold", int, 127, 0, 256, controllable=True),
+        Property("start", int, 50, 0, 256, controllable=True),
+        Property("end", int, 185, 0, 256, controllable=True),
+    )
+
+    def process(self, params, state, batch: FrameBatch):
+        out = pointops.solarize(batch.data, params["threshold"],
+                                params["start"], params["end"],
+                                _WORD_RGB, _WORD_FILL)
+        return state, batch.with_data(out)
+
+
+@register
+class GaussianBlur(VideoFilter):
+    """gstgaussblur.c: separable float blur on AYUV, sigma in [-20, 20]
+    default 1.2 (negative = sharpen).  sigma is static here because the
+    kernel window size is shape-affecting (gstgaussblur.c:372-373)."""
+
+    NAME = "gaussianblur"
+    FORMATS = (VideoFormat.AYUV,)
+    PROPERTIES = (Property("sigma", float, 1.2, -20.0, 20.0, static=True),)
+
+    def prepare(self):
+        sigma = self.props["sigma"]
+        if sigma == 0.0:
+            self._tables = None
+            return
+        kern, rows, cols = blur_ops.make_blur_tables(
+            sigma, self.in_spec.height, self.in_spec.width)
+        self._tables = (jnp.asarray(kern), jnp.asarray(rows),
+                        jnp.asarray(cols))
+
+    def process(self, params, state, batch: FrameBatch):
+        if self._tables is None:
+            return state, batch
+        kern, rows, cols = self._tables
+        return state, batch.with_data(
+            blur_ops.gaussian_blur(batch.data, kern, rows, cols))

@@ -1,0 +1,199 @@
+"""videofilters — scenechange, zebrastripe, videodiff (gst/videofilters/)
+plus smooth (gst/smooth/)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from gstbad_tpu.core.element import Property, VideoFilter
+from gstbad_tpu.core.frame import FrameBatch
+from gstbad_tpu.core.registry import register
+from gstbad_tpu.core.spec import MediaSpec, VideoFormat, require
+from gstbad_tpu.ops import pointops
+
+_PLANAR = (VideoFormat.I420,)
+
+
+class _LumaFilter(VideoFilter):
+    """Filter that edits the luma plane of I420 (dict) or AYUV (channel 1)."""
+
+    FORMATS = _PLANAR + (VideoFormat.AYUV, VideoFormat.GRAY8)
+
+    def negotiate(self, in_spec: MediaSpec) -> MediaSpec:
+        require(in_spec.kind == "video", f"{self.NAME}: needs video")
+        require(in_spec.format in self.FORMATS,
+                f"{self.NAME}: format {in_spec.format} unsupported")
+        return in_spec
+
+    def _get_luma(self, data):
+        if isinstance(data, dict):
+            return data["y"]
+        if self.out_spec.format == VideoFormat.AYUV:
+            return data[..., 1]
+        return data
+
+    def _set_luma(self, data, y):
+        if isinstance(data, dict):
+            return {**data, "y": y}
+        if self.out_spec.format == VideoFormat.AYUV:
+            return data.at[..., 1].set(y)
+        return y
+
+
+@register
+class ZebraStripe(_LumaFilter):
+    """gstzebrastripe.c: diagonal stripes over lumas above
+    16 + round(2.19 * threshold%); the stripe phase advances per frame
+    (gstzebrastripe.c:145-148,205-253)."""
+
+    NAME = "zebrastripe"
+    FORMATS = _PLANAR + (VideoFormat.AYUV, VideoFormat.GRAY8)
+    PROPERTIES = (Property("threshold", int, 90, 0, 100, controllable=True),)
+
+    def init_state(self, batch: int):
+        return jnp.int32(0)  # t, the per-frame stripe phase
+
+    def process(self, params, state, batch: FrameBatch):
+        y = self._get_luma(batch.data)
+        b = y.shape[0]
+        # y_threshold = 16 + floor(0.5 + 2.19 * threshold)
+        thr = (16 + jnp.floor(0.5 + 2.19 * params["threshold"]
+                              .astype(jnp.float64))).astype(jnp.int32)
+        t = state + jnp.arange(b, dtype=jnp.int32)
+        out = pointops.zebrastripe(y, thr, t[:, None, None])
+        return state + b, batch.with_data(self._set_luma(batch.data, out))
+
+
+@register
+class VideoDiff(_LumaFilter):
+    """gstvideodiff.c: highlight luma deltas above threshold=10 vs the
+    previous frame; first frame passes through (gstvideodiff.c:128-174).
+    The reference never increments its stripe phase t, so t=0."""
+
+    NAME = "videodiff"
+    FORMATS = _PLANAR + (VideoFormat.GRAY8,)
+
+    def init_state(self, batch: int):
+        h, w = self.in_spec.height, self.in_spec.width
+        return {"prev": jnp.zeros((h, w), jnp.uint8),
+                "have_prev": jnp.bool_(False)}
+
+    def process(self, params, state, batch: FrameBatch):
+        y = self._get_luma(batch.data)
+        prevs = jnp.concatenate([state["prev"][None], y[:-1]], axis=0)
+        have = jnp.concatenate(
+            [state["have_prev"][None],
+             jnp.ones((y.shape[0] - 1,), bool)], axis=0)
+        diff = pointops.videodiff(y, prevs, jnp.int32(10), jnp.int32(0))
+        out = jnp.where(have[:, None, None], diff, y)
+        new_state = {"prev": y[-1], "have_prev": jnp.bool_(True)}
+        return new_state, batch.with_data(self._set_luma(batch.data, out))
+
+
+@register
+class SceneChange(_LumaFilter):
+    """gstscenechange.c: SAD of consecutive luma frames, 5-score ring,
+    adaptive threshold 1.8*max - 0.8*min + decision tree; posts a
+    scenechange message where the reference sends force-key-unit events."""
+
+    NAME = "scenechange"
+    FORMATS = _PLANAR + (VideoFormat.GRAY8,)
+
+    def init_state(self, batch: int):
+        h, w = self.in_spec.height, self.in_spec.width
+        return {"prev": jnp.zeros((h, w), jnp.uint8),
+                "have_prev": jnp.bool_(False),
+                "diffs": jnp.zeros((5,), jnp.float64),
+                "n_diffs": jnp.int32(0),
+                "count": jnp.int32(0)}
+
+    def process(self, params, state, batch: FrameBatch):
+        y = self._get_luma(batch.data)
+
+        def step(carry, frame):
+            prev, have_prev, diffs, n_diffs, count = carry
+            score = pointops.sad(frame, prev)
+
+            def with_prev(_):
+                d = jnp.concatenate([diffs[1:], score[None]])
+                n = n_diffs + 1
+                window = d[:4]
+                smin = jnp.min(window)
+                smax = jnp.max(window)
+                threshold = 1.8 * smax - 0.8 * smin
+                change = jnp.where(
+                    n <= 4, False,
+                    jnp.where(score < 5, False,
+                    jnp.where(score / threshold < 1.0, False,
+                    jnp.where((score > 30) & (score / d[3] > 1.4), True,
+                    jnp.where(score / threshold > 2.3, True,
+                              score > 50)))))
+                d = jnp.where(change, jnp.zeros_like(d), d)
+                n = jnp.where(change, 0, n)
+                return d, n, change
+
+            def no_prev(_):
+                return diffs, n_diffs, jnp.bool_(False)
+
+            d, n, change = lax.cond(have_prev, with_prev, no_prev, None)
+            new_count = count + change.astype(jnp.int32)
+            return ((frame, jnp.bool_(True), d, n, new_count),
+                    (change, new_count - 1))
+
+        carry = (state["prev"], state["have_prev"], state["diffs"],
+                 state["n_diffs"], state["count"])
+        carry, (changes, counts) = lax.scan(step, carry, y)
+        new_state = {"prev": carry[0], "have_prev": carry[1],
+                     "diffs": carry[2], "n_diffs": carry[3],
+                     "count": carry[4]}
+        msgs = {"scenechange": {"_emit": changes,
+                                "count": counts.astype(jnp.int32)}}
+        return new_state, batch, msgs
+
+
+@register
+class Smooth(_LumaFilter):
+    """gst/smooth/gstsmooth.c: tolerance-gated window mean on luma.
+
+    Faithful to the reference's pointer arithmetic (see
+    golden.videofilters.smooth_y): output row r takes its window from rows
+    [r-filtersize, r+filtersize+3) and the last row is passed through.
+    """
+
+    NAME = "smooth"
+    FORMATS = _PLANAR + (VideoFormat.GRAY8,)
+    PROPERTIES = (
+        Property("active", bool, True),
+        Property("tolerance", int, 8, static=True),
+        Property("filter-size", int, 3, static=True),
+        Property("luma-only", bool, True, static=True),
+    )
+
+    def process(self, params, state, batch: FrameBatch):
+        y = self._get_luma(batch.data)
+        fs = self.props["filter-size"]
+        tol = self.props["tolerance"]
+        h, w = y.shape[-2], y.shape[-1]
+        src = y.astype(jnp.int32)
+        ref = src
+        ssum = jnp.zeros_like(src)
+        num = jnp.zeros_like(src)
+        for dy in range(-fs, fs + 3):
+            for dx in range(-fs, fs + 1):
+                jr = jnp.arange(h) + dy
+                jc = jnp.arange(w) + dx
+                inb = ((jr >= 0) & (jr < h))[:, None] & \
+                      ((jc >= 0) & (jc < w))[None, :]
+                v = src[..., jnp.clip(jr, 0, h - 1), :][..., jnp.clip(jc, 0, w - 1)]
+                within = (ref - tol - v) * (ref + tol - v) < 0
+                m = (inb & within).astype(jnp.int32)
+                ssum = ssum + v * m
+                num = num + m
+        mean = (ref + ssum) // (1 + num)
+        out = mean.astype(jnp.uint8)
+        out = out.at[..., h - 1, :].set(y[..., h - 1, :])  # last row untouched
+        out = jnp.where(params["active"], out, y)
+        return state, batch.with_data(self._set_luma(batch.data, out))

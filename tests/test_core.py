@@ -1,0 +1,77 @@
+"""Core framework tests: spec negotiation, registry, parse_launch, harness,
+messages — the GstHarness-style smoke layer."""
+
+import numpy as np
+import pytest
+
+import gstbad_tpu as gt
+from gstbad_tpu.core.harness import Harness
+from gstbad_tpu.core.spec import MediaSpec, VideoFormat, SpecError
+
+
+def test_registry_has_priority_elements():
+    names = gt.element_names()
+    for n in ["burn", "chromium", "dilate", "dodge", "exclusion", "solarize",
+              "gaussianblur", "coloreffects", "chromahold", "zebrastripe",
+              "videodiff", "scenechange", "smooth", "videoanalyse",
+              "videotestsrc", "audiotestsrc", "identity", "fakesink"]:
+        assert n in names, n
+
+
+def test_parse_launch_simple():
+    p = gt.parse_launch("videotestsrc pattern=bars width=64 height=32 "
+                        "! burn adjustment=100 ! fakesink")
+    spec = p.negotiate()
+    assert spec.width == 64 and spec.height == 32
+    assert spec.format == VideoFormat.BGRx
+    outs = p.run(n_frames=4, window=4)
+    assert outs[0].data.shape == (4, 32, 64, 4)
+
+
+def test_format_negotiation_error():
+    p = gt.parse_launch("videotestsrc format=AYUV ! burn")
+    with pytest.raises(SpecError):
+        p.negotiate()
+
+
+def test_property_validation():
+    with pytest.raises(ValueError):
+        gt.make("burn", adjustment=300)
+    with pytest.raises(KeyError):
+        gt.make("burn", no_such_prop=1)
+
+
+def test_harness_roundtrip(rng):
+    h = Harness("identity")
+    h.set_src_spec(MediaSpec(kind="video", format="BGRx", width=16, height=8))
+    img = rng.integers(0, 256, (2, 8, 16, 4), dtype=np.uint8)
+    out = h.push_pull(img)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_pipeline_chain_fuses(rng):
+    """A 3-element chain compiles and runs as one window function."""
+    p = gt.parse_launch(
+        "videotestsrc pattern=gradient width=64 height=48 "
+        "! burn ! solarize ! dodge ! fakesink")
+    outs = p.run(n_frames=8, window=4)
+    assert len(outs) == 2
+    assert outs[0].data.shape == (4, 48, 64, 4)
+
+
+def test_videoanalyse_messages():
+    p = gt.parse_launch("videotestsrc pattern=white width=32 height=16 "
+                        "format=I420 ! videoanalyse ! fakesink")
+    p.run(n_frames=3, window=3)
+    msgs = p.bus.pop(element="videoanalyse")
+    assert len(msgs) == 3
+    assert msgs[0]["luma-average"] > 0.9
+
+
+def test_checksumsink():
+    p = gt.parse_launch("videotestsrc pattern=bars width=32 height=16 "
+                        "! checksumsink")
+    p.run(n_frames=2, window=2)
+    sink = p.elements[-1]
+    assert len(sink.checksums) == 2
+    assert sink.checksums[0] == sink.checksums[1]  # static pattern
