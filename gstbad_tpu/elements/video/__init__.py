@@ -2,3 +2,4 @@ from gstbad_tpu.elements.video import gaudieffects  # noqa: F401
 from gstbad_tpu.elements.video import coloreffects  # noqa: F401
 from gstbad_tpu.elements.video import videofilters  # noqa: F401
 from gstbad_tpu.elements.video import videosignal  # noqa: F401
+from gstbad_tpu.elements.video import bayer  # noqa: F401
