@@ -1,0 +1,5 @@
+from gstbad_tpu.elements.audio import mixmatrix  # noqa: F401
+from gstbad_tpu.elements.audio import freeverb  # noqa: F401
+from gstbad_tpu.elements.audio import removesilence  # noqa: F401
+from gstbad_tpu.elements.audio import buffersplit  # noqa: F401
+from gstbad_tpu.elements.audio import meters  # noqa: F401

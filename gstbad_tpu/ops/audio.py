@@ -1,0 +1,236 @@
+"""Audio DSP kernels: audiomixmatrix paths, the freeverb reverb scan, and
+the removesilence VAD — exact rebuilds of the C semantics on device.
+
+freeverb's sample-serial feedback (8 parallel combs + 4 series allpasses,
+gstfreeverb.c:288-330) is the reference's hardest kernel for a batch machine
+(SURVEY.md "hard parts" #1): it runs as a lax.scan over samples with the
+delay lines as carried ring buffers indexed by sample count mod tuning.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# ---------------------------------------------------------------------------
+# audiomixmatrix
+# ---------------------------------------------------------------------------
+
+
+def mix_f32(x: jnp.ndarray, matrix: jnp.ndarray) -> jnp.ndarray:
+    """F32 path (gstaudiomixmatrix.c:436-457): f32 accumulate over inputs in
+    channel order.  x: [..., S, in], matrix f64 [out, in] -> [..., S, out]."""
+    acc = jnp.zeros(x.shape[:-1] + (matrix.shape[0],), jnp.float32)
+    for i in range(matrix.shape[1]):
+        acc = acc + x[..., i:i + 1] * matrix[:, i].astype(jnp.float32)[None, :]
+    return acc
+
+
+def mix_f64(x: jnp.ndarray, matrix: jnp.ndarray) -> jnp.ndarray:
+    return jnp.einsum("...si,oi->...so", x.astype(jnp.float64), matrix,
+                      precision=lax.Precision.HIGHEST).astype(jnp.float64)
+
+
+def mix_s16(x: jnp.ndarray, conv: jnp.ndarray, shift: int) -> jnp.ndarray:
+    """S16 fixed-point path (gstaudiomixmatrix.c:480-501) with C int32
+    wraparound semantics; conv int32 [out, in]."""
+    prod = (x.astype(jnp.int64)[..., None, :]
+            * conv.astype(jnp.int64)[None, :, :]).astype(jnp.int32)
+    acc = jnp.sum(prod.astype(jnp.int64), axis=-1).astype(jnp.int32)
+    return (acc >> shift).astype(jnp.int16)
+
+
+def mix_s32(x: jnp.ndarray, conv: jnp.ndarray, shift: int) -> jnp.ndarray:
+    """S32 path (gstaudiomixmatrix.c:504-525); int64 wrap accumulate."""
+    prod = x.astype(jnp.int64)[..., None, :] * conv[None, :, :]
+    acc = jnp.sum(prod, axis=-1)
+    return (acc >> shift).astype(jnp.int32)
+
+
+def channelmix_s16(x: jnp.ndarray, ll, lr, rl, rr) -> jnp.ndarray:
+    """audiochannelmix (gstaudiochannelmix.c:222-251): rint + clamp."""
+    l = x[..., 0].astype(jnp.float64)
+    r = x[..., 1].astype(jnp.float64)
+    nl = jnp.clip(jnp.round(ll * l + rl * r), -32768, 32767)
+    nr = jnp.clip(jnp.round(lr * l + rr * r), -32768, 32767)
+    return jnp.stack([nl, nr], axis=-1).astype(jnp.int16)
+
+
+# ---------------------------------------------------------------------------
+# freeverb
+# ---------------------------------------------------------------------------
+
+DC_OFFSET = np.float32(1e-8)
+COMB_L = np.array([1116, 1188, 1277, 1356, 1422, 1491, 1557, 1617])
+ALLPASS_L = np.array([556, 441, 341, 225])
+STEREOSPREAD = 23
+
+
+def freeverb_sizes(rate: int) -> Dict[str, np.ndarray]:
+    srf = rate / 44100.0
+    return {
+        "combL": (COMB_L * srf).astype(np.int32),
+        "combR": ((COMB_L + STEREOSPREAD) * srf).astype(np.int32),
+        "apL": (ALLPASS_L * srf).astype(np.int32),
+        "apR": ((ALLPASS_L + STEREOSPREAD) * srf).astype(np.int32),
+    }
+
+
+def freeverb_init_state(rate: int):
+    s = freeverb_sizes(rate)
+    cmax = int(max(s["combL"].max(), s["combR"].max()))
+    amax = int(max(s["apL"].max(), s["apR"].max()))
+    def dc(shape):  # distinct buffers: donated state must not alias
+        return jnp.full(shape, DC_OFFSET, jnp.float32)
+    return {
+        "combL_buf": dc((8, cmax)), "combR_buf": dc((8, cmax)),
+        "apL_buf": dc((4, amax)), "apR_buf": dc((4, amax)),
+        "storeL": jnp.zeros(8, jnp.float32),
+        "storeR": jnp.zeros(8, jnp.float32),
+        "t": jnp.int32(0),
+    }
+
+
+def _comb_bank(buf, store, idx, inp, damp1, damp2, feedback):
+    """One step of 8 parallel combs (freeverb_comb_process macro,
+    gstfreeverb.c:277-287), vectorized across the bank."""
+    rows = jnp.arange(8)
+    tmp = buf[rows, idx]
+    store = tmp * damp2 + store * damp1
+    buf = buf.at[rows, idx].set(inp + store * feedback)
+    return buf, store, tmp
+
+
+def _allpass_chain(buf, idx, x):
+    """4 series allpasses (freeverb_allpass_process, gstfreeverb.c:198-208),
+    feedback fixed at 0.5 (gstfreeverb.c:520-529)."""
+    for i in range(4):
+        bufout = buf[i, idx[i]]
+        out = bufout - x
+        buf = buf.at[i, idx[i]].set(x + bufout * jnp.float32(0.5))
+        x = out
+    return buf, x
+
+
+def freeverb_process(state, x: jnp.ndarray, params, rate: int, mono: bool):
+    """Scan over samples.  x: [N] (mono) or [N, 2] f32.  Returns
+    (state, y [N, 2] f32).
+
+    params: dict with f32 scalars feedback, damp1, damp2, wet1, wet2, dry,
+    gain (see gst_freeverb_set_property, gstfreeverb.c:536-570).
+    """
+    sizes = freeverb_sizes(rate)
+    cL = jnp.asarray(sizes["combL"])
+    cR = jnp.asarray(sizes["combR"])
+    aL = jnp.asarray(sizes["apL"])
+    aR = jnp.asarray(sizes["apR"])
+    damp1 = params["damp1"]
+    damp2 = params["damp2"]
+    feedback = params["feedback"]
+    wet1, wet2, dry = params["wet1"], params["wet2"], params["dry"]
+    gain = params["gain"]
+
+    def step(carry, xin):
+        st = carry
+        t = st["t"]
+        if mono:
+            in2l = in2r = xin
+            in1l = in1r = (jnp.float32(2.0) * xin + DC_OFFSET) * gain
+        else:
+            in2l, in2r = xin[0], xin[1]
+            in1l = (in2l + DC_OFFSET) * gain
+            in1r = (in2r + DC_OFFSET) * gain
+        idx_cl = jnp.remainder(t, cL)
+        idx_cr = jnp.remainder(t, cR)
+        bufL, storeL, tmpL = _comb_bank(st["combL_buf"], st["storeL"],
+                                        idx_cl, in1l, damp1, damp2, feedback)
+        bufR, storeR, tmpR = _comb_bank(st["combR_buf"], st["storeR"],
+                                        idx_cr, in1r, damp1, damp2, feedback)
+        out_l = jnp.sum(tmpL)
+        out_r = jnp.sum(tmpR)
+        idx_al = jnp.remainder(t, aL)
+        idx_ar = jnp.remainder(t, aR)
+        apL, out_l = _allpass_chain(st["apL_buf"], idx_al, out_l)
+        apR, out_r = _allpass_chain(st["apR_buf"], idx_ar, out_r)
+        out_l = out_l - DC_OFFSET
+        out_r = out_r - DC_OFFSET
+        yl = out_l * wet1 + out_r * wet2 + in2l * dry
+        yr = out_r * wet1 + out_l * wet2 + in2r * dry
+        new = {"combL_buf": bufL, "combR_buf": bufR,
+               "apL_buf": apL, "apR_buf": apR,
+               "storeL": storeL, "storeR": storeR, "t": t + 1}
+        return new, jnp.stack([yl, yr])
+
+    state, y = lax.scan(step, state, x)
+    return state, y
+
+
+# ---------------------------------------------------------------------------
+# removesilence VAD
+# ---------------------------------------------------------------------------
+
+VAD_POWER_ALPHA = 0x0800
+VAD_RING = 256
+
+
+def vad_init_state():
+    return {"ring": jnp.zeros(VAD_RING, jnp.int16),
+            "count": jnp.int64(0),
+            "power": jnp.int64(0),
+            "state": jnp.int32(0),       # 0 silence, 1 voice
+            "samples": jnp.int64(0)}
+
+
+def vad_block(state, data: jnp.ndarray, threshold: jnp.ndarray,
+              hysteresis: jnp.ndarray):
+    """One vad_update call (vad_private.c:117-160) over a block of S16
+    samples.  Returns (state, frame_type int32)."""
+    n = data.shape[0]
+
+    def power_step(carry, v):
+        power, head, ring = carry
+        v32 = v.astype(jnp.int64)
+        sq = ((v32 * v32) >> 14) & 0xFFFF
+        power = (VAD_POWER_ALPHA * sq
+                 + (0xFFFF - VAD_POWER_ALPHA) * (power >> 16)
+                 + ((0xFFFF - VAD_POWER_ALPHA) * (power & 0xFFFF) >> 16))
+        ring = ring.at[head & (VAD_RING - 1)].set(v)
+        return (power, head + 1, ring), None
+
+    (power, count, ring), _ = lax.scan(
+        power_step, (state["power"], state["count"], state["ring"]), data)
+
+    # ZCR over the ring contents in queue order
+    entries = jnp.minimum(count, VAD_RING - 1).astype(jnp.int32)
+    head = (count & (VAD_RING - 1)).astype(jnp.int32)
+    tail = (head - entries) & (VAD_RING - 1)
+    idx = (tail + jnp.arange(VAD_RING, dtype=jnp.int32)) & (VAD_RING - 1)
+    vals = ring[idx]
+    neg = vals < 0
+    pair_valid = jnp.arange(VAD_RING) < (entries - 1)
+    contrib = jnp.where(neg[:-1] != neg[1:], 1, -1)
+    zcr = jnp.sum(jnp.where(pair_valid[:-1], contrib, 0))
+
+    frame_type = jnp.where((power > threshold) & (zcr < 0), 1, 0
+                           ).astype(jnp.int32)
+
+    # hysteresis state machine
+    old_state = state["state"]
+    samples = state["samples"]
+    changed = old_state != frame_type
+    v2s = changed & (old_state == 1)
+    samples_v2s = samples + n
+    leave = samples_v2s >= hysteresis
+    new_state = jnp.where(
+        changed, jnp.where(v2s, jnp.where(leave, frame_type, old_state),
+                           frame_type), old_state)
+    new_samples = jnp.where(
+        changed & v2s & ~leave, samples_v2s, jnp.int64(0))
+
+    new = {"ring": ring, "count": count, "power": power,
+           "state": new_state, "samples": new_samples}
+    return new, new_state

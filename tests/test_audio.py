@@ -1,0 +1,190 @@
+"""Fidelity: audio chain vs golden (mixmatrix exact, freeverb float32
+faithful, VAD exact)."""
+
+import numpy as np
+import pytest
+
+import gstbad_tpu as gt
+from gstbad_tpu.core.harness import Harness
+from gstbad_tpu.core.spec import AudioFormat, MediaSpec
+from gstbad_tpu.golden import audio as golden
+
+
+def _spec(fmt, ch, rate=48000):
+    return MediaSpec(kind="audio", format=fmt, rate=rate, channels=ch)
+
+
+MATRIX_4_2 = "<<1.0,0.0,0.5,0.0>,<0.0,1.0,0.0,0.5>>"
+NP_MATRIX_4_2 = np.array([[1.0, 0.0, 0.5, 0.0], [0.0, 1.0, 0.0, 0.5]])
+
+
+def test_mixmatrix_f32(rng):
+    x = (rng.random((2, 64, 4)) - 0.5).astype(np.float32)
+    h = Harness("audiomixmatrix", matrix=MATRIX_4_2)
+    h.set_src_spec(_spec(AudioFormat.F32, 4))
+    got = h.push_pull(x)
+    for b in range(2):
+        np.testing.assert_array_equal(
+            got[b], golden.mixmatrix_f32(x[b], NP_MATRIX_4_2))
+
+
+def test_mixmatrix_f64(rng):
+    x = (rng.random((1, 32, 4)) - 0.5).astype(np.float64)
+    h = Harness("audiomixmatrix", matrix=MATRIX_4_2)
+    h.set_src_spec(_spec(AudioFormat.F64, 4))
+    got = h.push_pull(x)
+    np.testing.assert_allclose(
+        got[0], golden.mixmatrix_f64(x[0], NP_MATRIX_4_2), rtol=0, atol=0)
+
+
+def test_mixmatrix_s16(rng):
+    x = rng.integers(-32768, 32768, (1, 128, 4)).astype(np.int16)
+    h = Harness("audiomixmatrix", matrix=MATRIX_4_2)
+    h.set_src_spec(_spec(AudioFormat.S16, 4))
+    got = h.push_pull(x)
+    np.testing.assert_array_equal(
+        got[0], golden.mixmatrix_s16(x[0], NP_MATRIX_4_2))
+
+
+def test_mixmatrix_s32(rng):
+    x = rng.integers(-2**31, 2**31, (1, 64, 4)).astype(np.int32)
+    h = Harness("audiomixmatrix", matrix=MATRIX_4_2)
+    h.set_src_spec(_spec(AudioFormat.S32, 4))
+    got = h.push_pull(x)
+    np.testing.assert_array_equal(
+        got[0], golden.mixmatrix_s32(x[0], NP_MATRIX_4_2))
+
+
+def test_mixmatrix_first_channels(rng):
+    x = rng.integers(-32768, 32768, (1, 16, 4)).astype(np.int16)
+    h = Harness("audiomixmatrix", mode="first-channels",
+                **{"out-channels": 2})
+    h.set_src_spec(_spec(AudioFormat.S16, 4))
+    got = h.push_pull(x)
+    m = golden.mixmatrix_first_channels(4, 2)
+    np.testing.assert_array_equal(got[0], golden.mixmatrix_s16(x[0], m))
+
+
+def test_audiochannelmix(rng):
+    x = rng.integers(-32768, 32768, (1, 100, 2)).astype(np.int16)
+    props = {"left-to-left": 0.7, "left-to-right": 0.3,
+             "right-to-left": -0.2, "right-to-right": 1.0}
+    h = Harness("audiochannelmix", **props)
+    h.set_src_spec(_spec(AudioFormat.S16, 2))
+    got = h.push_pull(x)
+    want = golden.audiochannelmix(x[0], 0.7, 0.3, -0.2, 1.0)
+    # XLA fuses mul+add into FMA; at exact .5 half-boundaries rint can land
+    # one LSB away from the non-fused C evaluation.  Within the 1e-3 gate.
+    diff = np.abs(got[0].astype(int) - want.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.05
+
+
+@pytest.mark.parametrize("rate", [44100, 48000])
+def test_freeverb_stereo_float(rng, rate):
+    x = ((rng.random((1, 256, 2)) - 0.5) * 0.8).astype(np.float32)
+    h = Harness("freeverb")
+    h.set_src_spec(_spec(AudioFormat.F32, 2, rate))
+    got = h.push_pull(x)[0]
+    fv = golden.Freeverb(rate)
+    want = fv.process_stereo_float(x[0])
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_freeverb_state_spans_windows(rng):
+    x = ((rng.random((4, 128, 2)) - 0.5) * 0.8).astype(np.float32)
+    h = Harness("freeverb")
+    h.set_src_spec(_spec(AudioFormat.F32, 2, 44100))
+    got1 = h.push_pull(x[:2])
+    got2 = h.push_pull(x[2:])
+    fv = golden.Freeverb(44100)
+    want = fv.process_stereo_float(x.reshape(-1, 2))
+    got = np.concatenate([got1.reshape(-1, 2), got2.reshape(-1, 2)])
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_freeverb_mono_s16(rng):
+    x = rng.integers(-20000, 20000, (1, 200, 1)).astype(np.int16)
+    h = Harness("freeverb")
+    h.set_src_spec(_spec(AudioFormat.S16, 1, 44100))
+    got = h.push_pull(x)[0]
+    fv = golden.Freeverb(44100)
+    want_f = fv.process_mono_float(x[0, :, 0].astype(np.float32))
+    want = np.clip(np.trunc(want_f), -32768, 32767).astype(np.int16)
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 1  # float association differences at int boundaries
+
+
+def test_vad_block_matches_golden(rng):
+    from gstbad_tpu.ops import audio as ops
+    import jax.numpy as jnp
+    data = rng.integers(-30000, 30000, (1000,)).astype(np.int16)
+    gold = golden.VAD(hysteresis=480, threshold_db=-60)
+    st = ops.vad_init_state()
+    for blk in np.split(data, 10):
+        want_state = gold.update(blk)
+        st, got_state = ops.vad_block(st, jnp.asarray(blk),
+                                      jnp.int64(gold.threshold),
+                                      jnp.int64(480))
+        assert int(got_state) == want_state
+        assert int(st["power"]) == gold.power
+
+
+def test_removesilence_drops_silence():
+    rate = 48000
+    n_blocks, s = 12, 480
+    loud = (np.sin(np.arange(s) * 0.5) * 20000).astype(np.int16)
+    quiet = np.zeros(s, np.int16)
+    blocks = [loud] * 4 + [quiet] * 4 + [loud] * 4
+    x = np.stack(blocks)[:, :, None]
+    h = Harness("removesilence", remove=True, silent=False)
+    h.set_src_spec(_spec(AudioFormat.S16, 1, rate))
+    outs = h.push(x)
+    kept = sum(o.batch for o in outs)
+    assert kept < n_blocks  # silent region dropped
+    msgs = h.bus.pop(element="removesilence")
+    assert any(m["silence_detected"] for m in msgs)
+    assert any(m["silence_finished"] for m in msgs)
+
+
+def test_audiobuffersplit(rng):
+    x = (rng.random((3, 100, 2)) - 0.5).astype(np.float32)
+    h = Harness("audiobuffersplit", **{"output-buffer-duration": "1/600"})
+    # 48000/600 = 80-sample output blocks from 100-sample inputs
+    h.set_src_spec(_spec(AudioFormat.F32, 2))
+    outs = h.push(x)
+    got = np.concatenate([np.asarray(o.data) for o in outs]).reshape(-1, 2)
+    want = x.reshape(-1, 2)
+    np.testing.assert_array_equal(got[:len(want) // 80 * 80],
+                                  want[:len(want) // 80 * 80])
+    assert all(o.data.shape[1] == 80 for o in outs)
+
+
+def test_audiobuffersplit_pts():
+    h = Harness("audiobuffersplit", **{"output-buffer-duration": "1/100"})
+    h.set_src_spec(_spec(AudioFormat.F32, 1))
+    x = np.zeros((4, 480, 1), np.float32)
+    outs = h.push(x)
+    pts = np.concatenate([np.asarray(o.pts) for o in outs])
+    assert pts[0] == 0
+    assert np.all(np.diff(pts) == int(1e9 / 100))
+
+
+def test_videoframe_audiolevel(rng):
+    x = ((rng.random((2, 1600, 2)) - 0.5)).astype(np.float32)
+    h = Harness("videoframe-audiolevel")
+    h.set_src_spec(_spec(AudioFormat.F32, 2))
+    h.push(x)
+    msgs = h.bus.pop(element="videoframe-audiolevel")
+    assert len(msgs) == 2
+    want = np.sqrt((x[0].astype(np.float64) ** 2).mean(axis=0))
+    np.testing.assert_allclose(msgs[0]["rms"], want, atol=1e-9)
+
+
+def test_audio_pipeline_end_to_end():
+    p = gt.parse_launch(
+        "audiotestsrc wave=sine channels=4 format=F32 samplesperbuffer=256 "
+        f"! audiomixmatrix matrix={MATRIX_4_2!r} "
+        "! freeverb ! fakesink")
+    outs = p.run(n_frames=2, window=2)
+    assert outs[0].data.shape == (2, 256, 2)
