@@ -5,3 +5,4 @@ from gstbad_tpu.elements import sources  # noqa: F401
 from gstbad_tpu.elements import video  # noqa: F401
 from gstbad_tpu.elements import geometry  # noqa: F401
 from gstbad_tpu.elements import audio  # noqa: F401
+from gstbad_tpu.elements import analysis  # noqa: F401

@@ -1,0 +1,144 @@
+"""compare (gst/debugutils/gstcompare.c) + iqa (ext/iqa/iqa.c).
+
+The reference's compare joins two live pads and iqa aggregates N pads.  In
+this linear-pipeline rebuild the reference stream is attached to the element
+(`set_reference`, or upstream via a `tee`-less A/B harness); the scoring math
+is identical: mem/max/ssim methods, luma-weighted SSIM, threshold gating.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from gstbad_tpu.core.element import Element, Property
+from gstbad_tpu.core.frame import FrameBatch
+from gstbad_tpu.core.registry import register
+from gstbad_tpu.core.spec import MediaSpec, VideoFormat, require
+from gstbad_tpu.ops import ssim as ssim_ops
+
+
+def _planes(data, spec):
+    """Split a frame batch into component planes [(B, H, W), ...]."""
+    if isinstance(data, dict):
+        return [data["y"], data["u"], data["v"]], True
+    fmt = spec.format
+    if fmt == VideoFormat.GRAY8:
+        return [data], True
+    if fmt == VideoFormat.AYUV:
+        return [data[..., 1], data[..., 2], data[..., 3], data[..., 0]], True
+    offs = VideoFormat.rgb_offsets(fmt)
+    planes = [data[..., offs[0]], data[..., offs[1]], data[..., offs[2]]]
+    if VideoFormat.has_alpha(fmt):
+        planes.append(data[..., offs[3]])
+    return planes, False
+
+
+class _TwoStreamElement(Element):
+    """Base for elements comparing the stream against a reference stream."""
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        self._reference: Optional[np.ndarray] = None
+
+    def set_reference(self, frames) -> None:
+        """Attach the reference stream (the first-sink-pad analog)."""
+        if isinstance(frames, dict):
+            self._reference = {k: jnp.asarray(v) for k, v in frames.items()}
+        else:
+            self._reference = jnp.asarray(frames)
+
+
+@register
+class Compare(_TwoStreamElement):
+    """Methods mem/max/ssim (gstcompare.c:57-71); posts per-frame delta
+    messages and flags frames under `threshold` (with `upper` semantics:
+    upper=true passes when delta >= threshold, gstcompare.c:165-172)."""
+
+    NAME = "compare"
+    PROPERTIES = (
+        Property("method", str, "mem", static=True),
+        Property("threshold", float, 0.0),
+        Property("upper", bool, True),
+    )
+
+    def process(self, params, state, batch: FrameBatch):
+        require(self._reference is not None,
+                "compare: set_reference() first")
+        ref = self._reference
+        method = self.props["method"]
+        if method == "mem":
+            if isinstance(batch.data, dict):
+                eq = jnp.ones(batch.batch, bool)
+                for k in batch.data:
+                    eq &= jnp.all(batch.data[k] == ref[k],
+                                  axis=tuple(range(1, batch.data[k].ndim)))
+            else:
+                eq = jnp.all(batch.data == ref,
+                             axis=tuple(range(1, batch.data.ndim)))
+            delta = eq.astype(jnp.float64)
+        elif method == "max":
+            if isinstance(batch.data, dict):
+                m = jnp.zeros(batch.batch, jnp.float64)
+                for k in batch.data:
+                    d = jnp.abs(batch.data[k].astype(jnp.int32)
+                                - ref[k].astype(jnp.int32))
+                    m = jnp.maximum(m, jnp.max(
+                        d, axis=tuple(range(1, d.ndim))).astype(jnp.float64))
+                delta = m
+            else:
+                d = jnp.abs(batch.data.astype(jnp.int32)
+                            - ref.astype(jnp.int32))
+                delta = jnp.max(d, axis=tuple(range(1, d.ndim))
+                                ).astype(jnp.float64)
+        elif method == "ssim":
+            planes_a, is_yuv = _planes(batch.data, self.in_spec)
+            planes_b, _ = _planes(ref, self.in_spec)
+            weights = ssim_ops.ssim_weights(len(planes_a), is_yuv)
+            delta = sum(w * ssim_ops.ssim_plane(a, b)
+                        for w, a, b in zip(weights, planes_a, planes_b))
+        else:
+            raise ValueError(f"unknown method {method!r}")
+        passed = jnp.where(params["upper"],
+                           delta >= params["threshold"],
+                           delta <= params["threshold"])
+        msgs = {"delta": {"delta": delta, "passed": passed}}
+        return state, batch, msgs
+
+
+@register
+class Iqa(_TwoStreamElement):
+    """iqa (ext/iqa/iqa.c): DSSIM against the reference pad; optionally
+    writes the SSIM map into the output frame (do_dssim, iqa.c:195-290) and
+    errors when dssim exceeds ssim-error-threshold (iqa.c:265-275)."""
+
+    NAME = "iqa"
+    PROPERTIES = (
+        Property("do-dssim", bool, True),
+        Property("ssim-error-threshold", float, 0.0),
+        Property("mode", str, "dssim", static=True),
+        Property("output-map", bool, False, static=True),
+    )
+
+    def process(self, params, state, batch: FrameBatch):
+        require(self._reference is not None, "iqa: set_reference() first")
+        ref = self._reference
+        planes_a, is_yuv = _planes(batch.data, self.in_spec)
+        planes_b, _ = _planes(ref, self.in_spec)
+        weights = ssim_ops.ssim_weights(len(planes_a), is_yuv)
+        ssim = sum(w * ssim_ops.ssim_plane(a, b)
+                   for w, a, b in zip(weights, planes_a, planes_b))
+        dssim = (1.0 - ssim) / 2.0
+        thr = params["ssim-error-threshold"]
+        exceeded = (thr > 0.0) & (dssim > thr)
+        out = batch
+        if self.props["output-map"] and not isinstance(batch.data, dict):
+            if self.in_spec.format == VideoFormat.AYUV:
+                y_a, y_b = batch.data[..., 1], ref[..., 1]
+                mp = ssim_ops.ssim_map(y_a, y_b)
+                out = batch.with_data(batch.data.at[..., 1].set(mp))
+        msgs = {"IQA": {"dssim": dssim, "ssim": ssim,
+                        "exceeded": exceeded}}
+        return state, out, msgs

@@ -126,6 +126,36 @@ def reconstruct_single_chroma(plane: np.ndarray, parity: int) -> np.ndarray:
     return out
 
 
+def combdetect_y(y: np.ndarray, z: int) -> np.ndarray:
+    """gst_comb_detect_transform_frame luma path (gstcombdetect.c:215-260):
+    zebra-paint cells whose run-length comb metric exceeds 100; border rows
+    halved."""
+    h, w = y.shape
+    out = np.empty_like(y)
+    src = y.astype(np.int32)
+    thisline = np.zeros(w, np.int32)
+    for j in range(h):
+        if j < 2 or j >= h - 2:
+            out[j] = y[j] // 2
+        else:
+            s1, s2, s3 = src[j - 1], src[j], src[j + 1]
+            for i in range(w):
+                if (s2[i] < min(s1[i], s3[i]) - 5
+                        or s2[i] > max(s1[i], s3[i]) + 5):
+                    if i > 0:
+                        thisline[i] += thisline[i - 1]
+                    thisline[i] += 1
+                    if thisline[i] > 1000:
+                        thisline[i] = 1000
+                else:
+                    thisline[i] = 0
+                if thisline[i] > 100:
+                    out[j, i] = 235 if ((i + j + z) & 0x4) else 16
+                else:
+                    out[j, i] = y[j, i]
+    return out
+
+
 class GoldenIvtc:
     """Field-queue inverse telecine (gstivtc.c transform/construct_frame).
 

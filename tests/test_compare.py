@@ -1,0 +1,68 @@
+"""Fidelity: on-device SSIM vs the golden gstcompare transcription."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gstbad_tpu.core.harness import Harness
+from gstbad_tpu.core.spec import MediaSpec, VideoFormat
+from gstbad_tpu.golden import ssim as golden
+from gstbad_tpu.ops import ssim as ops
+
+
+@pytest.mark.parametrize("h,w", [(32, 48), (24, 24), (17, 31), (100, 7)])
+def test_ssim_plane_matches_golden(rng, h, w):
+    a = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    b = np.clip(a.astype(int) + rng.integers(-20, 20, (h, w)), 0,
+                255).astype(np.uint8)
+    got = float(ops.ssim_plane(jnp.asarray(a[None]), jnp.asarray(b[None]))[0])
+    want = golden.ssim_component(a, b)
+    assert got == pytest.approx(want, abs=1e-12)
+
+
+def test_ssim_identical_is_one(rng):
+    a = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    got = float(ops.ssim_plane(jnp.asarray(a[None]), jnp.asarray(a[None]))[0])
+    assert got == pytest.approx(1.0, abs=1e-9)
+
+
+def test_compare_element_ssim(rng):
+    a = rng.integers(0, 256, (2, 32, 48), dtype=np.uint8)
+    b = np.clip(a.astype(int) + rng.integers(-10, 10, a.shape), 0,
+                255).astype(np.uint8)
+    h = Harness("compare", method="ssim", threshold=0.5)
+    h.set_src_spec(MediaSpec(kind="video", format=VideoFormat.GRAY8,
+                             width=48, height=32))
+    h.element.set_reference(b)
+    h.push(a)
+    msgs = h.bus.pop(element="compare")
+    assert len(msgs) == 2
+    want = golden.ssim([a[0]], [b[0]], is_yuv=True)
+    assert msgs[0]["delta"] == pytest.approx(want, abs=1e-12)
+    assert msgs[0]["passed"]
+
+
+def test_compare_element_mem_and_max(rng):
+    a = rng.integers(0, 256, (1, 16, 16), dtype=np.uint8)
+    b = a.copy()
+    b[0, 3, 4] += 7
+    h = Harness("compare", method="max")
+    h.set_src_spec(MediaSpec(kind="video", format=VideoFormat.GRAY8,
+                             width=16, height=16))
+    h.element.set_reference(b)
+    h.push(a)
+    assert h.bus.pop(element="compare")[0]["delta"] == 7.0
+
+
+def test_iqa_element(rng):
+    a = rng.integers(0, 256, (1, 32, 32), dtype=np.uint8)
+    noise = rng.integers(-30, 30, a.shape)
+    b = np.clip(a.astype(int) + noise, 0, 255).astype(np.uint8)
+    h = Harness("iqa", **{"ssim-error-threshold": 0.01})
+    h.set_src_spec(MediaSpec(kind="video", format=VideoFormat.GRAY8,
+                             width=32, height=32))
+    h.element.set_reference(b)
+    h.push(a)
+    msg = h.bus.pop(element="iqa")[0]
+    assert 0.0 < msg["dssim"] < 0.5
+    assert msg["exceeded"] == (msg["dssim"] > 0.01)

@@ -1,0 +1,158 @@
+"""Fidelity: interlace field weaving, ivtc inverse telecine, combdetect."""
+
+import numpy as np
+import pytest
+
+from gstbad_tpu.core.frame import FLAG_INTERLACED, FLAG_RFF, FLAG_TFF
+from gstbad_tpu.core.harness import Harness
+from gstbad_tpu.core.spec import MediaSpec, VideoFormat
+from gstbad_tpu.golden import ivtc as golden
+
+H, W = 24, 32
+
+
+def _gray_spec(fr="30/1"):
+    from fractions import Fraction
+    return MediaSpec(kind="video", format=VideoFormat.GRAY8,
+                     width=W, height=H, framerate=Fraction(fr))
+
+
+def _frames(n, rng):
+    return rng.integers(0, 256, (n, H, W), dtype=np.uint8)
+
+
+class TestInterlace:
+    def test_2_3_pulldown_structure(self, rng):
+        frames = np.stack([np.full((H, W), 10 + i * 20, np.uint8)
+                           for i in range(4)])
+        h = Harness("interlace", pattern="2:3")
+        spec = h.set_src_spec(_gray_spec("24/1"))
+        assert str(spec.framerate) == "30"
+        assert spec.interlace_mode == "mixed"
+        outs = h.push(frames)
+        data = np.concatenate([np.asarray(o.data) for o in outs])
+        flags = np.concatenate([np.asarray(o.flags) for o in outs])
+        assert data.shape[0] == 5  # A, B, B/C, C/D, D
+        A, B, C, D = (frames[i] for i in range(4))
+        np.testing.assert_array_equal(data[0], A)
+        np.testing.assert_array_equal(data[1], B)
+        # B/C weave: field_index=1 (top-field-first default False) ->
+        # odd rows from stored (B), even rows from current (C)
+        np.testing.assert_array_equal(data[2][1::2], B[1::2])
+        np.testing.assert_array_equal(data[2][::2], C[::2])
+        np.testing.assert_array_equal(data[3][1::2], C[1::2])
+        np.testing.assert_array_equal(data[3][::2], D[::2])
+        np.testing.assert_array_equal(data[4], D)
+        # mixed pattern, woven frames flagged interlaced
+        assert flags[2] & FLAG_INTERLACED
+        assert not (flags[0] & FLAG_INTERLACED)
+
+    def test_2_2_passthrough_frames(self, rng):
+        frames = _frames(4, rng)
+        h = Harness("interlace", pattern="2:2")
+        spec = h.set_src_spec(_gray_spec("25/1"))
+        assert str(spec.framerate) == "25"
+        outs = h.push(frames)
+        data = np.concatenate([np.asarray(o.data) for o in outs])
+        np.testing.assert_array_equal(data, frames)
+
+    def test_allow_rff(self, rng):
+        frames = _frames(4, rng)
+        h = Harness("interlace", pattern="2:3", **{"allow-rff": True})
+        h.set_src_spec(_gray_spec("24/1"))
+        outs = h.push(frames)
+        flags = np.concatenate([np.asarray(o.flags) for o in outs])
+        assert any(f & FLAG_RFF for f in flags)
+
+    def test_tff_flags(self, rng):
+        frames = _frames(2, rng)
+        h = Harness("interlace", pattern="2:2",
+                    **{"top-field-first": True})
+        h.set_src_spec(_gray_spec("30/1"))
+        outs = h.push(frames)
+        flags = np.concatenate([np.asarray(o.flags) for o in outs])
+        assert all(f & FLAG_TFF for f in flags)
+
+    def test_pts_field_cadence(self, rng):
+        frames = _frames(4, rng)
+        h = Harness("interlace", pattern="2:3")
+        h.set_src_spec(_gray_spec("24/1"))
+        outs = h.push(frames)
+        pts = np.concatenate([np.asarray(o.pts) for o in outs])
+        # 30 fps output: every 2-field output advances 2 * (1/60 s)
+        field = int(round(1e9 / 60))
+        assert pts[0] == 0
+        assert np.all(np.diff(pts) == 2 * field)
+
+
+class TestCombDetect:
+    def test_matches_golden(self, rng):
+        # interlace two very different fields to force combing
+        a = np.tile((np.arange(H) % 2 * 200).astype(np.uint8)[:, None],
+                    (1, W))
+        noise = _frames(1, rng)[0]
+        y = np.where(np.arange(H)[:, None] % 2 == 0, noise, a)
+        h = Harness("combdetect")
+        h.set_src_spec(_gray_spec())
+        got = h.push_pull(y[None].copy())[0]
+        want = golden.combdetect_y(y, 1)
+        np.testing.assert_array_equal(got, want)
+
+    def test_z_advances(self, rng):
+        y = _frames(2, rng)
+        h = Harness("combdetect")
+        h.set_src_spec(_gray_spec())
+        got = h.push_pull(y.copy())
+        np.testing.assert_array_equal(got[0], golden.combdetect_y(y[0], 1))
+        np.testing.assert_array_equal(got[1], golden.combdetect_y(y[1], 2))
+
+
+class TestIvtc:
+    def _telecine(self, progressive, rng):
+        """2:3 telecine a progressive sequence (golden interlace logic)."""
+        h = Harness("interlace", pattern="2:3")
+        h.set_src_spec(_gray_spec("24/1"))
+        outs = h.push(progressive)
+        data = np.concatenate([np.asarray(o.data) for o in outs])
+        pts = np.concatenate([np.asarray(o.pts) for o in outs])
+        flags = np.concatenate([np.asarray(o.flags) for o in outs])
+        return data, pts, flags
+
+    def test_ivtc_recovers_progressive(self, rng):
+        # smooth-ish progressive content (pure noise defeats comb detection)
+        base = rng.integers(0, 200, (H, W), dtype=np.uint8)
+        prog = []
+        for i in range(8):
+            f = np.roll(base, i * 2, axis=1)
+            prog.append(f)
+        prog = np.stack(prog)
+        tele, pts, flags = self._telecine(prog, rng)
+
+        h = Harness("ivtc")
+        h.set_src_spec(_gray_spec("30/1"))
+        outs = h.push(tele, pts=pts, flags=flags)
+        got = np.concatenate([np.asarray(o.data) for o in outs]) \
+            if outs else np.zeros((0, H, W))
+
+        # golden driver fed identically
+        g = golden.GoldenIvtc(field_duration_ns=int(1e9 / 60),
+                              out_duration_ns=int(round(1e9 / 24)))
+        for t in range(tele.shape[0]):
+            g.add_frame({"y": tele[t]}, tff=bool(flags[t] & FLAG_TFF),
+                        ts=int(pts[t]))
+        want = np.stack([o["y"] for o, _ in g.outputs]) if g.outputs else \
+            np.zeros((0, H, W))
+        assert got.shape == want.shape
+        assert got.shape[0] >= 4
+        np.testing.assert_array_equal(got, want)
+
+    def test_ivtc_pts_cadence(self, rng):
+        base = rng.integers(0, 200, (H, W), dtype=np.uint8)
+        prog = np.stack([np.roll(base, i, axis=0) for i in range(8)])
+        tele, pts, flags = self._telecine(prog, rng)
+        h = Harness("ivtc")
+        h.set_src_spec(_gray_spec("30/1"))
+        outs = h.push(tele, pts=pts, flags=flags)
+        opts = np.concatenate([np.asarray(o.pts) for o in outs])
+        dur = int(round(1e9 / 24))
+        assert np.all(np.diff(opts) == dur)
