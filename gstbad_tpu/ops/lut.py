@@ -1,0 +1,104 @@
+"""Gather-free byte LUTs — the TPU replacement for per-pixel table lookups.
+
+XLA's gather on TPU runs ~0.1 Gelem/s (measured on v5e), three orders below
+HBM speed, so the reference's LUT loops (coloreffects tables, chromium's
+cosine table, solarize's ramp) cannot be ported as gathers.  Instead a
+256-entry u8 table packs into 8 bit-planes x 8 u32 words; `table[idx]`
+becomes 7 nested selects (word pick by idx>>5) + a variable shift
+(idx & 31) per output bit — ~80 VPU ops/pixel, fully fusable, and the
+packing is in-graph so tables built from dynamic properties never
+recompile.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def pack_table(table_u8: jnp.ndarray) -> jnp.ndarray:
+    """[256] uint8-valued table -> packed bit planes [8 bits, 8 words] u32."""
+    t = table_u8.astype(jnp.uint32)
+    bits = (t[None, :] >> jnp.arange(8, dtype=jnp.uint32)[:, None]) & 1
+    shifts = (jnp.arange(256, dtype=jnp.uint32) % 32)
+    words = (bits << shifts[None, :]).reshape(8, 8, 32).sum(
+        axis=-1, dtype=jnp.uint32)
+    return words  # [bit, word]
+
+
+def apply_lut(idx: jnp.ndarray, packed: jnp.ndarray) -> jnp.ndarray:
+    """table[idx] for idx int32 in [0, 256); packed from pack_table.
+
+    Flat mask-multiply word select — measured 305 Gelem/s on v5e vs
+    0.1 Gelem/s for the XLA gather.
+    """
+    hi = (idx >> 5).astype(jnp.int32)
+    lo = (idx & 31).astype(jnp.uint32)
+    masks = [(hi == j).astype(jnp.uint32) for j in range(8)]
+    out = jnp.zeros(idx.shape, jnp.uint32)
+    for b in range(8):
+        word = masks[0] * packed[b, 0]
+        for j in range(1, 8):
+            word = word + masks[j] * packed[b, j]
+        out = out | (((word >> lo) & 1) << b)
+    return out.astype(jnp.uint8)
+
+
+def apply_lut3(idx: jnp.ndarray, packed3: jnp.ndarray):
+    """Three tables on one index (coloreffects RGB columns).
+    packed3: [3, 8, 8] u32 -> tuple of 3 uint8 arrays."""
+    return tuple(apply_lut(idx, packed3[c]) for c in range(3))
+
+
+# ---------------------------------------------------------------------------
+# composed per-byte tables for the gaudieffects/coloreffects math.  Each
+# builds the full 256-entry output table in-graph from the dynamic params
+# (256-element vector math is free), then pack_table makes it gather-free.
+# ---------------------------------------------------------------------------
+
+
+def burn_table(adjustment: jnp.ndarray) -> jnp.ndarray:
+    """gaudi_orc_burn as a byte map (ops/pointops.burn semantics)."""
+    c = jnp.arange(256, dtype=jnp.int32)
+    a = (c + adjustment.astype(jnp.int32)) >> 1
+    t = (255 - c) << 7
+    q = jnp.where(a == 0, 0xFFFF, t // jnp.maximum(a, 1))
+    return ((255 - q) & 0xFF).astype(jnp.uint8)
+
+
+def chromium_table(edge_a: jnp.ndarray, edge_b: jnp.ndarray,
+                   cos_table: jnp.ndarray) -> jnp.ndarray:
+    """chromium composed to a byte map: only 256 of the 1024 cosine entries
+    are reachable for a given (edge-a, edge-b)."""
+    c = jnp.arange(256, dtype=jnp.int32)
+    i = (c + edge_a.astype(jnp.int32)
+         + (c * edge_b.astype(jnp.int32)) // 2) & 1023
+    return jnp.clip(jnp.abs(cos_table[i]), 0, 255).astype(jnp.uint8)
+
+
+def dodge_table() -> jnp.ndarray:
+    c = jnp.arange(256, dtype=jnp.int32)
+    return jnp.clip((256 * c) // (256 - c), 0, 255).astype(jnp.uint8)
+
+
+def solarize_table(threshold: jnp.ndarray, start: jnp.ndarray,
+                   end: jnp.ndarray) -> jnp.ndarray:
+    """solarize's ramp as a byte map with exact C int/uint32 semantics
+    (int64 math runs on 256 entries, never per pixel)."""
+    threshold = threshold.astype(jnp.int32)
+    start = start.astype(jnp.int32)
+    end = end.astype(jnp.int32)
+    period = jnp.where(end != start, end - start, 1).astype(jnp.int64)
+    up_length = jnp.where(threshold != start, threshold - start, 1
+                          ).astype(jnp.int64)
+    down_length = jnp.where(threshold != end, end - threshold, 1
+                            ).astype(jnp.int64)
+    c = jnp.arange(256, dtype=jnp.int64)
+    param = c + 256 - start.astype(jnp.int64)
+    param = param - (param / period).astype(jnp.int64) * period
+    M = jnp.int64(0xFFFFFFFF)
+    up = ((param * 255) & M) // (up_length & M)
+    v = (down_length - (param - up_length)) & M
+    down = ((v * 255) & M) // (down_length & M)
+    col = jnp.where(param < up_length, up, down)
+    return jnp.where(col > 255, 255, col).astype(jnp.uint8)

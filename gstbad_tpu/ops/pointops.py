@@ -30,13 +30,11 @@ def _scatter_rgb(shape_like, values, rgb, fill):
 
 
 def burn(img: jnp.ndarray, adjustment: jnp.ndarray) -> jnp.ndarray:
-    """gaudi_orc_burn (gstgaudieffectsorc.orc:1-26); all 4 bytes processed."""
-    c = _i32(img)
-    adj = adjustment.astype(jnp.int32)
-    a = (c + adj) >> 1
-    t = (255 - c) << 7
-    q = jnp.where(a == 0, 0xFFFF, t // jnp.maximum(a, 1))
-    return ((255 - q) & 0xFF).astype(jnp.uint8)
+    """gaudi_orc_burn (gstgaudieffectsorc.orc:1-26); all 4 bytes processed.
+    Evaluated as a composed byte LUT (ops/lut.py) — gather-free."""
+    from gstbad_tpu.ops import lut
+    packed = lut.pack_table(lut.burn_table(adjustment))
+    return lut.apply_lut(_i32(img), packed)
 
 
 def chromium(img: jnp.ndarray, edge_a: jnp.ndarray, edge_b: jnp.ndarray,
@@ -44,18 +42,18 @@ def chromium(img: jnp.ndarray, edge_a: jnp.ndarray, edge_b: jnp.ndarray,
              ) -> jnp.ndarray:
     """gstchromium.c:315-360 cosine fold; cos_table from
     golden.gaudieffects.chromium_cos_table (int32 [1024])."""
-    c = _i32(img)
-    idx = (c + edge_a.astype(jnp.int32)
-           + (c * edge_b.astype(jnp.int32)) // 2) & 1023
-    v = jnp.clip(jnp.abs(cos_table[idx]), 0, 255).astype(jnp.uint8)
+    from gstbad_tpu.ops import lut
+    packed = lut.pack_table(lut.chromium_table(edge_a, edge_b, cos_table))
+    v = lut.apply_lut(_i32(img), packed)
     return _scatter_rgb(img, v, rgb, fill)
 
 
 def dodge(img: jnp.ndarray, rgb: Sequence[int], fill: Optional[int]
           ) -> jnp.ndarray:
     """gstdodge.c:232-255."""
-    c = _i32(img)
-    v = jnp.clip((256 * c) // (256 - c), 0, 255).astype(jnp.uint8)
+    from gstbad_tpu.ops import lut
+    packed = lut.pack_table(lut.dodge_table())
+    v = lut.apply_lut(_i32(img), packed)
     return _scatter_rgb(img, v, rgb, fill)
 
 
@@ -79,27 +77,11 @@ def exclusion(img: jnp.ndarray, factor: jnp.ndarray, rgb: Sequence[int],
 def solarize(img: jnp.ndarray, threshold: jnp.ndarray, start: jnp.ndarray,
              end: jnp.ndarray, rgb: Sequence[int], fill: Optional[int]
              ) -> jnp.ndarray:
-    """gstsolarize.c:287-339 with C int/uint32 semantics (wraparound kept)."""
-    threshold = threshold.astype(jnp.int32)
-    start = start.astype(jnp.int32)
-    end = end.astype(jnp.int32)
-    period = jnp.where(end != start, end - start, 1)
-    up_length = jnp.where(threshold != start, threshold - start, 1)
-    down_length = jnp.where(threshold != end, end - threshold, 1)
-
-    c = img.astype(jnp.int64)
-    param = c + 256 - start
-    period64 = period.astype(jnp.int64)
-    param = param - (param / period64).astype(jnp.int64) * period64  # C trunc %
-
-    up64 = up_length.astype(jnp.int64)
-    down64 = down_length.astype(jnp.int64)
-    M = jnp.int64(0xFFFFFFFF)
-    up = ((param * 255) & M) // (up64 & M)
-    v = (down64 - (param - up64)) & M
-    down = ((v * 255) & M) // (down64 & M)
-    col = jnp.where(param < up64, up, down)
-    col = jnp.where(col > 255, 255, col).astype(jnp.uint8)
+    """gstsolarize.c:287-339 as a composed byte LUT (the exact C int/uint32
+    wrap semantics run on the 256 table entries, ops/lut.solarize_table)."""
+    from gstbad_tpu.ops import lut
+    packed = lut.pack_table(lut.solarize_table(threshold, start, end))
+    col = lut.apply_lut(_i32(img), packed)
     return _scatter_rgb(img, col, rgb, fill)
 
 
@@ -132,19 +114,21 @@ def lut_rgb(img: jnp.ndarray, table: jnp.ndarray, map_luma: bool,
             rgb: Sequence[int]) -> jnp.ndarray:
     """coloreffects RGB path (gstcoloreffects.c:306-360); table int32
     [256, 3]."""
+    from gstbad_tpu.ops import lut
     r = _i32(img[..., rgb[0]])
     g = _i32(img[..., rgb[1]])
     b = _i32(img[..., rgb[2]])
+    packed = [lut.pack_table(table[:, c]) for c in range(3)]
     out = img
     if map_luma:
         luma = (((r << 8) * 54) + ((g << 8) * 183) + ((b << 8) * 19)) >> 16
-        out = out.at[..., rgb[0]].set(table[luma, 0].astype(jnp.uint8))
-        out = out.at[..., rgb[1]].set(table[luma, 1].astype(jnp.uint8))
-        out = out.at[..., rgb[2]].set(table[luma, 2].astype(jnp.uint8))
+        out = out.at[..., rgb[0]].set(lut.apply_lut(luma, packed[0]))
+        out = out.at[..., rgb[1]].set(lut.apply_lut(luma, packed[1]))
+        out = out.at[..., rgb[2]].set(lut.apply_lut(luma, packed[2]))
     else:
-        out = out.at[..., rgb[0]].set(table[r, 0].astype(jnp.uint8))
-        out = out.at[..., rgb[1]].set(table[g, 1].astype(jnp.uint8))
-        out = out.at[..., rgb[2]].set(table[b, 2].astype(jnp.uint8))
+        out = out.at[..., rgb[0]].set(lut.apply_lut(r, packed[0]))
+        out = out.at[..., rgb[1]].set(lut.apply_lut(g, packed[1]))
+        out = out.at[..., rgb[2]].set(lut.apply_lut(b, packed[2]))
     return out
 
 
@@ -166,17 +150,19 @@ def lut_ayuv(img: jnp.ndarray, table: jnp.ndarray, map_luma: bool
              ) -> jnp.ndarray:
     """coloreffects AYUV path (gstcoloreffects.c:362-430); img byte order
     A,Y,U,V."""
+    from gstbad_tpu.ops import lut
     y = _i32(img[..., 1])
     u = _i32(img[..., 2])
     v = _i32(img[..., 3])
+    packed = [lut.pack_table(table[:, c]) for c in range(3)]
     if map_luma:
-        r, g, b = table[y, 0], table[y, 1], table[y, 2]
+        r, g, b = (lut.apply_lut(y, packed[c]).astype(jnp.int32)
+                   for c in range(3))
     else:
         r, g, b = _apply_matrix(_YCBCR2RGB, y, u, v)
-        r = jnp.clip(r, 0, 255)
-        g = jnp.clip(g, 0, 255)
-        b = jnp.clip(b, 0, 255)
-        r, g, b = table[r, 0], table[g, 1], table[b, 2]
+        r = lut.apply_lut(jnp.clip(r, 0, 255), packed[0]).astype(jnp.int32)
+        g = lut.apply_lut(jnp.clip(g, 0, 255), packed[1]).astype(jnp.int32)
+        b = lut.apply_lut(jnp.clip(b, 0, 255), packed[2]).astype(jnp.int32)
     yy, uu, vv = _apply_matrix(_RGB2YCBCR, r, g, b)
     out = img
     out = out.at[..., 1].set(jnp.clip(yy, 0, 255).astype(jnp.uint8))

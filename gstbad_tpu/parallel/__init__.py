@@ -1,0 +1,2 @@
+from gstbad_tpu.parallel.mesh import (make_mesh, shard_batch, shard_spatial,
+                                      pipeline_shardings)
