@@ -101,7 +101,10 @@ class Pipeline:
             step = jax.jit(step, donate_argnums=donate,
                            out_shardings=out_shardings)
         self._step = step
-        self._states = [el.init_state(window) for el in self.elements]
+        if self._states is None:
+            # element state (field queues, delay lines, score rings) is
+            # window-size independent; keep it across window recompiles
+            self._states = [el.init_state(window) for el in self.elements]
         self._has_source = has_source
         return step
 
