@@ -44,7 +44,7 @@ class Pipeline:
     def negotiate(self, in_spec: Optional[MediaSpec] = None) -> MediaSpec:
         """Run spec fixation through the chain (caps negotiation analog)."""
         first = self.elements[0]
-        if first.KIND == "source":
+        if first.KIND in ("source", "host-source"):
             spec = first.set_info(in_spec or MediaSpec())
         else:
             if in_spec is None:
@@ -52,7 +52,7 @@ class Pipeline:
             spec = in_spec
         self.specs = []
         for el in self.elements:
-            if el.KIND == "source":
+            if el.KIND in ("source", "host-source"):
                 spec = el.out_spec
             else:
                 spec = el.set_info(spec)
@@ -133,6 +133,13 @@ class Pipeline:
             windows = [jax.tree_util.tree_map(
                 lambda x: x[i:i + window], inputs)
                 for i in range(0, inputs.batch, window)]
+        elif self.elements[0].KIND == "host-source":
+            windows = []
+            while True:
+                w = self.elements[0].pull_window(window)
+                if w is None:
+                    break
+                windows.append(w)
         else:
             n_windows = -(-n_frames // window)
             windows = [None] * n_windows

@@ -6,3 +6,6 @@ from gstbad_tpu.elements import video  # noqa: F401
 from gstbad_tpu.elements import geometry  # noqa: F401
 from gstbad_tpu.elements import audio  # noqa: F401
 from gstbad_tpu.elements import analysis  # noqa: F401
+from gstbad_tpu.elements import observability  # noqa: F401
+from gstbad_tpu.elements import bridges  # noqa: F401
+from gstbad_tpu.io import shm as _shm_elements  # noqa: F401

@@ -1,0 +1,194 @@
+"""Pipeline-to-pipeline bridges — appsrc/appsink, inter* and proxy elements
+(gst/inter/, gst/proxy/).
+
+inter{video,audio}sink/src pairs bridge two pipelines in-process through a
+named channel queue; proxysink/proxysrc do the same with backpressure (a
+bounded queue).  An appsrc is a host-fed source the runner pulls outside the
+jitted program.
+"""
+
+from __future__ import annotations
+
+import collections
+import threading
+from typing import Deque, Dict, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from gstbad_tpu.core.element import Element, Property
+from gstbad_tpu.core.frame import FrameBatch
+from gstbad_tpu.core.registry import register
+from gstbad_tpu.core.spec import MediaSpec
+
+
+class Channel:
+    """Named in-process frame queue (the inter/proxy transport)."""
+
+    _registry: Dict[str, "Channel"] = {}
+    _lock = threading.Lock()
+
+    def __init__(self, name: str, maxlen: Optional[int] = None):
+        self.name = name
+        self.queue: Deque[FrameBatch] = collections.deque(
+            maxlen=maxlen) if maxlen else collections.deque()
+        self.spec: Optional[MediaSpec] = None
+        self.cv = threading.Condition()
+
+    @classmethod
+    def get(cls, name: str, maxlen: Optional[int] = None) -> "Channel":
+        with cls._lock:
+            if name not in cls._registry:
+                cls._registry[name] = Channel(name, maxlen)
+            return cls._registry[name]
+
+    def push(self, batch: FrameBatch, spec: MediaSpec) -> None:
+        with self.cv:
+            self.spec = spec
+            self.queue.append(batch)
+            self.cv.notify_all()
+
+    def pull(self, timeout: Optional[float] = None) -> Optional[FrameBatch]:
+        with self.cv:
+            if not self.queue and timeout:
+                self.cv.wait(timeout)
+            return self.queue.popleft() if self.queue else None
+
+
+@register
+class AppSrc(Element):
+    """Host-fed source: push_frames() enqueues numpy frames; the runner
+    pulls one window per step outside the jitted program."""
+
+    NAME = "appsrc"
+    KIND = "host-source"
+    PROPERTIES = (
+        Property("format", str, "BGRx", static=True),
+        Property("width", int, 320, static=True),
+        Property("height", int, 240, static=True),
+        Property("framerate", str, "30/1", static=True),
+        Property("kind", str, "video", static=True),
+        Property("rate", int, 48000, static=True),
+        Property("channels", int, 2, static=True),
+    )
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        self._frames = collections.deque()
+        self._pts = 0
+
+    def negotiate(self, in_spec: MediaSpec) -> MediaSpec:
+        from fractions import Fraction
+        if self.props["kind"] == "audio":
+            return MediaSpec(kind="audio", format=self.props["format"],
+                             rate=self.props["rate"],
+                             channels=self.props["channels"])
+        num, _, den = self.props["framerate"].partition("/")
+        return MediaSpec(kind="video", format=self.props["format"],
+                         width=self.props["width"],
+                         height=self.props["height"],
+                         framerate=Fraction(int(num), int(den or "1")))
+
+    def push_frames(self, data, pts=None, flags=None) -> None:
+        n = (next(iter(data.values())) if isinstance(data, dict)
+             else data).shape[0]
+        if pts is None:
+            dur = self.out_spec.frame_duration_ns if self.out_spec else \
+                int(1e9 / 30)
+            pts = np.arange(self._pts, self._pts + n) * dur
+            self._pts += n
+        if flags is None:
+            flags = np.zeros(n, np.int32)
+        for i in range(n):
+            frame = ({k: v[i] for k, v in data.items()}
+                     if isinstance(data, dict) else data[i])
+            self._frames.append((frame, int(pts[i]), int(flags[i])))
+
+    def pull_window(self, window: int) -> Optional[FrameBatch]:
+        """Called by the runner; pads short windows with invalid frames."""
+        if not self._frames:
+            return None
+        taken = []
+        while self._frames and len(taken) < window:
+            taken.append(self._frames.popleft())
+        n = len(taken)
+        first = taken[0][0]
+
+        def stack(sel):
+            if isinstance(first, dict):
+                return {k: jnp.asarray(np.stack(
+                    [t[0][k] for t in taken]
+                    + [taken[-1][0][k]] * (window - n))) for k in first}
+            return jnp.asarray(np.stack([t[0] for t in taken]
+                                        + [taken[-1][0]] * (window - n)))
+
+        return FrameBatch(
+            data=stack(None),
+            pts=jnp.asarray([t[1] for t in taken]
+                            + [taken[-1][1]] * (window - n), jnp.int64),
+            flags=jnp.asarray([t[2] for t in taken] + [0] * (window - n),
+                              jnp.int32),
+            valid=jnp.asarray([True] * n + [False] * (window - n)))
+
+    def process(self, params, state, batch):
+        return state, batch
+
+
+class _ChannelSink(Element):
+    KIND = "sink"
+    HOST = True
+    PROPERTIES = (Property("channel", str, "default", static=True),)
+
+    def process(self, params, state, batch: FrameBatch):
+        return state, batch
+
+    def host_process(self, np_batch: FrameBatch, bus) -> None:
+        Channel.get(self.props["channel"]).push(np_batch, self.out_spec)
+
+
+class _ChannelSrc(AppSrc):
+    PROPERTIES = AppSrc.PROPERTIES + (
+        Property("channel", str, "default", static=True),)
+
+    def pull_window(self, window: int) -> Optional[FrameBatch]:
+        ch = Channel.get(self.props["channel"])
+        batch = ch.pull()
+        if batch is None:
+            return None
+        np_batch = batch
+        data = np_batch.data
+        self.push_frames(
+            data if isinstance(data, dict) else np.asarray(data),
+            pts=np.asarray(np_batch.pts), flags=np.asarray(np_batch.flags))
+        return super().pull_window(window)
+
+
+@register
+class InterVideoSink(_ChannelSink):
+    NAME = "intervideosink"
+
+
+@register
+class InterVideoSrc(_ChannelSrc):
+    NAME = "intervideosrc"
+
+
+@register
+class InterAudioSink(_ChannelSink):
+    NAME = "interaudiosink"
+
+
+@register
+class InterAudioSrc(_ChannelSrc):
+    NAME = "interaudiosrc"
+    PROPERTIES = _ChannelSrc.PROPERTIES
+
+
+@register
+class ProxySink(_ChannelSink):
+    NAME = "proxysink"
+
+
+@register
+class ProxySrc(_ChannelSrc):
+    NAME = "proxysrc"

@@ -1,0 +1,2 @@
+from gstbad_tpu.io import gdp  # noqa: F401
+from gstbad_tpu.io import y4m  # noqa: F401

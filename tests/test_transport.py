@@ -1,0 +1,172 @@
+"""Transport layer: GDP serialization, inter/proxy bridges, appsrc, the
+native shm ring (cross-process, both ends in one test process like the
+reference's ipcpipeline tests), netsim, observability sinks, y4m."""
+
+import os
+
+import numpy as np
+import pytest
+
+import gstbad_tpu as gt
+from gstbad_tpu.core.frame import FrameBatch
+from gstbad_tpu.core.spec import MediaSpec, VideoFormat
+from gstbad_tpu.io import gdp, y4m
+
+
+def _video_batch(rng, n=3, h=16, w=24):
+    import jax.numpy as jnp
+    data = jnp.asarray(rng.integers(0, 256, (n, h, w, 4), dtype=np.uint8))
+    return FrameBatch.make(data)
+
+
+def test_gdp_roundtrip(rng):
+    spec = MediaSpec(kind="video", format="BGRx", width=24, height=16)
+    batch = _video_batch(rng)
+    blob = gdp.pay(batch, spec)
+    batch2, spec2 = gdp.depay(blob)
+    assert spec2 == spec
+    np.testing.assert_array_equal(np.asarray(batch.data),
+                                  np.asarray(batch2.data))
+    np.testing.assert_array_equal(np.asarray(batch.pts),
+                                  np.asarray(batch2.pts))
+
+
+def test_gdp_planar_roundtrip(rng):
+    import jax.numpy as jnp
+    spec = MediaSpec(kind="video", format="I420", width=24, height=16)
+    data = {"y": jnp.asarray(rng.integers(0, 256, (2, 16, 24), np.uint8)),
+            "u": jnp.asarray(rng.integers(0, 256, (2, 8, 12), np.uint8)),
+            "v": jnp.asarray(rng.integers(0, 256, (2, 8, 12), np.uint8))}
+    batch = FrameBatch.make(data)
+    batch2, spec2 = gdp.depay(gdp.pay(batch, spec))
+    for k in data:
+        np.testing.assert_array_equal(np.asarray(data[k]),
+                                      np.asarray(batch2.data[k]))
+
+
+def test_appsrc_pipeline(rng):
+    frames = rng.integers(0, 256, (5, 16, 24, 4), dtype=np.uint8)
+    p = gt.parse_launch("appsrc width=24 height=16 format=BGRx "
+                        "! burn ! fakesink")
+    src = p.elements[0]
+    p.negotiate()
+    src.push_frames(frames)
+    outs = p.run(window=2)
+    got = np.concatenate([np.asarray(o.data) for o in outs])
+    from gstbad_tpu.golden.gaudieffects import burn
+    assert got.shape[0] == 5  # padding frames masked out
+    for i in range(5):
+        np.testing.assert_array_equal(got[i], burn(frames[i]))
+
+
+def test_intervideo_bridge(rng):
+    frames = rng.integers(0, 256, (4, 16, 24, 4), dtype=np.uint8)
+    p1 = gt.parse_launch("appsrc width=24 height=16 format=BGRx "
+                         "! intervideosink channel=t1")
+    p1.negotiate()
+    p1.elements[0].push_frames(frames)
+    p1.run(window=2)
+    p2 = gt.parse_launch("intervideosrc channel=t1 width=24 height=16 "
+                         "format=BGRx ! dodge ! fakesink")
+    outs = p2.run(window=2)
+    got = np.concatenate([np.asarray(o.data) for o in outs])
+    from gstbad_tpu.golden.gaudieffects import dodge
+    assert got.shape[0] == 4
+    for i in range(4):
+        np.testing.assert_array_equal(got[i], dodge(frames[i]))
+
+
+def test_shmring_roundtrip(rng):
+    from gstbad_tpu.io.shm import ShmRing
+    ring = ShmRing.create("gstbad-test-ring", 1 << 20, 4)
+    try:
+        other = ShmRing.open("gstbad-test-ring")
+        payloads = [rng.integers(0, 256, (n,), dtype=np.uint8).tobytes()
+                    for n in (10, 1000, 100000)]
+        for b in payloads:
+            ring.write(b)
+        for b in payloads:
+            assert other.read(1000) == b
+        ring.eos()
+        assert other.read(1000) is None
+        other.close()
+    finally:
+        ring.close()
+
+
+def test_shm_pipeline_cross_process_style(rng):
+    """Both ends in one process, like tests/check/pipelines/ipcpipeline.c."""
+    frames = rng.integers(0, 256, (4, 16, 24, 4), dtype=np.uint8)
+    p1 = gt.parse_launch(
+        "appsrc width=24 height=16 format=BGRx "
+        "! shmsink socket-path=gstbad-test-pipe shm-size=1048576")
+    p1.negotiate()
+    p1.elements[0].push_frames(frames)
+    p1.run(window=2)
+    p1.elements[-1].eos()
+
+    p2 = gt.parse_launch("shmsrc socket-path=gstbad-test-pipe timeout-ms=2000"
+                         " ! burn ! fakesink")
+    outs = p2.run(window=2)
+    got = np.concatenate([np.asarray(o.data) for o in outs])
+    from gstbad_tpu.golden.gaudieffects import burn
+    assert got.shape[0] == 4
+    for i in range(4):
+        np.testing.assert_array_equal(got[i], burn(frames[i]))
+
+
+def test_netsim_drop_and_duplicate(rng):
+    p = gt.parse_launch("videotestsrc pattern=gradient width=16 height=16 "
+                        "! netsim drop-probability=0.5 seed=3 ! fakesink")
+    outs = p.run(n_frames=32, window=8)
+    n = sum(o.batch for o in outs)
+    assert 4 < n < 30  # ~half dropped
+    p2 = gt.parse_launch("videotestsrc pattern=gradient width=16 height=16 "
+                         "! netsim duplicate-probability=1.0 ! fakesink")
+    outs2 = p2.run(n_frames=8, window=4)
+    assert sum(o.batch for o in outs2) == 16
+
+
+def test_videocodectestsink(rng):
+    p = gt.parse_launch("videotestsrc pattern=bars width=16 height=16 "
+                        "! videocodectestsink")
+    p.run(n_frames=3, window=3)
+    sink = p.elements[-1]
+    assert len(sink.frame_checksums) == 3
+    assert len(set(sink.frame_checksums)) == 1
+    assert len(sink.stream_checksum) == 32
+    msgs = p.bus.pop(element="videocodectestsink")
+    assert len(msgs) == 3
+
+
+def test_fpsdisplaysink():
+    p = gt.parse_launch("videotestsrc pattern=black width=16 height=16 "
+                        "! fpsdisplaysink fps-update-interval=1")
+    p.run(n_frames=8, window=4)
+    sink = p.elements[-1]
+    assert sink.frames_rendered == 8
+    assert sink.average_fps > 0
+
+
+def test_y4m_roundtrip(tmp_path, rng):
+    spec = MediaSpec(kind="video", format="I420", width=24, height=16)
+    planes = {"y": rng.integers(0, 256, (3, 16, 24), dtype=np.uint8),
+              "u": rng.integers(0, 256, (3, 8, 12), dtype=np.uint8),
+              "v": rng.integers(0, 256, (3, 8, 12), dtype=np.uint8)}
+    path = tmp_path / "t.y4m"
+    y4m.write_y4m(path, spec, planes)
+    spec2, planes2 = y4m.read_y4m(str(path))
+    assert spec2.width == 24 and spec2.height == 16
+    for k in planes:
+        np.testing.assert_array_equal(planes[k], planes2[k])
+
+
+def test_watchdog():
+    import time
+    p = gt.parse_launch("videotestsrc width=16 height=16 ! watchdog "
+                        "timeout=1 ! fakesink")
+    p.run(n_frames=2, window=2)
+    wd = p.elements[1]
+    time.sleep(0.01)
+    with pytest.raises(TimeoutError):
+        wd.check()
