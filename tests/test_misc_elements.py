@@ -1,0 +1,111 @@
+"""Breadth elements: visualizers, accurip, segmentclip, speed, timecode,
+autoconvert/switchbin, rawparse."""
+
+import numpy as np
+import pytest
+
+import gstbad_tpu as gt
+from gstbad_tpu.core.harness import Harness
+from gstbad_tpu.core.spec import AudioFormat, MediaSpec
+
+
+def test_spectrascope_pipeline():
+    p = gt.parse_launch("audiotestsrc wave=sine freq=2000 channels=2 "
+                        "samplesperbuffer=2048 ! spectrascope width=64 "
+                        "height=32 ! fakesink")
+    spec = p.negotiate()
+    assert spec.kind == "video" and spec.width == 64
+    outs = p.run(n_frames=2, window=2)
+    img = np.asarray(outs[0].data)
+    assert img.shape == (2, 32, 64, 4)
+    assert img[..., 1].max() == 255  # some bars lit
+
+
+@pytest.mark.parametrize("name", ["wavescope", "spacescope", "synaescope"])
+def test_other_scopes(name):
+    p = gt.parse_launch(f"audiotestsrc wave=sine channels=2 "
+                        f"samplesperbuffer=1024 ! {name} width=64 height=32 "
+                        "! fakesink")
+    outs = p.run(n_frames=2, window=2)
+    img = np.asarray(outs[0].data)
+    assert img.shape == (2, 32, 64, 4)
+    assert img.max() > 0
+
+
+def test_accurip(rng):
+    x = rng.integers(-32768, 32768, (2, 1000, 2)).astype(np.int16)
+    h = Harness("accurip")
+    h.set_src_spec(MediaSpec(kind="audio", format=AudioFormat.S16,
+                             channels=2))
+    h.push(x)
+    el = h.element
+    # independent recomputation of AccurateRip v1
+    vals = x.reshape(-1, 2).astype(np.uint16)
+    v = (vals[:, 1].astype(np.uint64) << 16) | vals[:, 0]
+    idx = np.arange(1, len(v) + 1, dtype=np.uint64)
+    assert el.crc == int((idx * v).sum() & 0xFFFFFFFF)
+
+
+def test_segmentclip():
+    p = gt.parse_launch("videotestsrc width=16 height=16 framerate=10/1 "
+                        "! videosegmentclip start=250000000 stop=550000000 "
+                        "! fakesink")
+    outs = p.run(n_frames=10, window=10)
+    pts = np.concatenate([np.asarray(o.pts) for o in outs])
+    assert pts.min() >= 250000000 and pts.max() <= 550000000
+
+
+def test_speed():
+    p = gt.parse_launch("audiotestsrc wave=sine samplesperbuffer=480 "
+                        "! speed speed=2.0 ! fakesink")
+    outs = p.run(n_frames=2, window=2)
+    assert outs[0].data.shape[1] == 480  # block shape kept, content resampled
+
+
+def test_timecodestamper():
+    p = gt.parse_launch("videotestsrc width=16 height=16 framerate=30/1 "
+                        "! timecodestamper ! fakesink")
+    p.run(n_frames=35, window=35)
+    msgs = p.bus.pop(element="timecodestamper")
+    assert msgs[0]["frames"] == 0 and msgs[0]["seconds"] == 0
+    assert msgs[31]["seconds"] == 1 and msgs[31]["frames"] == 1
+
+
+def test_autoconvert_picks_identity():
+    p = gt.parse_launch("videotestsrc width=16 height=16 "
+                        "! autoconvert ! fakesink")
+    outs = p.run(n_frames=2, window=2)
+    assert outs[0].data.shape[0] == 2
+
+
+def test_switchbin_elements_prop(rng):
+    import shlex
+    el = gt.make("switchbin", elements="burn,identity")
+    spec = MediaSpec(kind="video", format="BGRx", width=16, height=16)
+    el.set_info(spec)
+    assert el.chosen.NAME == "burn"
+    el2 = gt.make("switchbin", elements="burn,identity")
+    el2.set_info(MediaSpec(kind="video", format="GRAY8", width=16, height=16))
+    assert el2.chosen.NAME == "identity"
+
+
+def test_videoparse(rng):
+    raw = rng.integers(0, 256, (3 * 16 * 16,), dtype=np.uint8).tobytes()
+    p = gt.parse_launch("videoparse format=GRAY8 width=16 height=16 "
+                        "! identity ! fakesink")
+    p.negotiate()
+    p.elements[0].push_bytes(raw)
+    outs = p.run(window=2)
+    got = np.concatenate([np.asarray(o.data) for o in outs])
+    np.testing.assert_array_equal(
+        got, np.frombuffer(raw, np.uint8).reshape(3, 16, 16))
+
+
+def test_audioparse(rng):
+    raw = rng.integers(-100, 100, (2048 * 2,)).astype(np.int16).tobytes()
+    p = gt.parse_launch("audioparse format=S16 channels=2 "
+                        "samplesperbuffer=512 ! fakesink")
+    p.negotiate()
+    p.elements[0].push_bytes(raw)
+    outs = p.run(window=2)
+    assert sum(o.batch for o in outs) == 4
