@@ -1,20 +1,24 @@
-"""Pipeline — composition + compilation of element chains.
+"""Pipeline — composition + compilation of element graphs.
 
 The reference schedules one streaming thread per element chain and moves
-buffers through pad push (SURVEY.md section 3.1).  Here a pipeline is a list
+buffers through pad push (SURVEY.md section 3.1).  Here a pipeline is a DAG
 of elements whose `process` functions compose into ONE pure window function,
 compiled by jax.jit into a single fused XLA program — the north-star fusion
 goal: a 10-element 1080p graph is one kernel launch per W-frame window, not
-10 thread hops.
+10 thread hops.  Branching (tee) and N-input aggregation (iqa/compare, the
+reference's GstVideoAggregator pattern) are plain fan-out/fan-in in the DAG;
+the aggregator's clock-synchronization barrier (SURVEY.md section 3.4)
+becomes structural: every branch advances in lockstep inside one program.
 
-`parse_launch` maps gst-launch-1.0 syntax onto this composition:
+`parse_launch` maps gst-launch-1.0 syntax onto this composition, including
+named elements and branch links:
 
-    parse_launch("videotestsrc pattern=ball ! gaussianblur sigma=3 ! appsink")
+    parse_launch("videotestsrc name=src ! burn ! cmp.  "
+                 "src. ! cmp.  compare name=cmp method=ssim ! fakesink")
 """
 
 from __future__ import annotations
 
-import re
 import shlex
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -29,72 +33,143 @@ from gstbad_tpu.core.registry import make
 from gstbad_tpu.core.spec import MediaSpec, SpecError
 
 
+class Node:
+    def __init__(self, element: Element, name: Optional[str] = None):
+        self.element = element
+        self.name = name
+        self.inputs: List["Node"] = []
+        self.spec: Optional[MediaSpec] = None
+
+    def __repr__(self):
+        return f"<node {self.name or self.element.NAME}>"
+
+
 class Pipeline:
-    def __init__(self, elements: Sequence[Element]):
-        if not elements:
-            raise ValueError("empty pipeline")
-        self.elements = list(elements)
+    def __init__(self, elements: Sequence[Element] = (),
+                 nodes: Optional[List[Node]] = None):
+        if nodes is None:
+            if not elements:
+                raise ValueError("empty pipeline")
+            nodes = []
+            prev = None
+            for el in elements:
+                n = Node(el)
+                if prev is not None:
+                    n.inputs.append(prev)
+                nodes.append(n)
+                prev = n
+        self.nodes = nodes
         self.bus = Bus()
-        self.specs: List[MediaSpec] = []
         self._step = None
         self._states = None
         self._window = None
+        self._order: Optional[List[Node]] = None
 
-    # -- negotiation -------------------------------------------------------
+    # -- convenience views --------------------------------------------------
+    @property
+    def elements(self) -> List[Element]:
+        return [n.element for n in self.nodes]
+
+    @property
+    def specs(self) -> List[MediaSpec]:
+        return [n.spec for n in (self._order or self.nodes)]
+
+    def get_by_name(self, name: str) -> Element:
+        for n in self.nodes:
+            if n.name == name:
+                return n.element
+        raise KeyError(name)
+
+    # -- graph structure -----------------------------------------------------
+    def _toposort(self) -> List[Node]:
+        order: List[Node] = []
+        seen: Dict[int, int] = {}
+
+        def visit(n: Node):
+            state = seen.get(id(n), 0)
+            if state == 1:
+                raise SpecError("pipeline graph has a cycle")
+            if state == 2:
+                return
+            seen[id(n)] = 1
+            for i in n.inputs:
+                visit(i)
+            seen[id(n)] = 2
+            order.append(n)
+
+        for n in self.nodes:
+            visit(n)
+        return order
+
+    def _leaves(self) -> List[Node]:
+        consumed = {id(i) for n in self.nodes for i in n.inputs}
+        return [n for n in self.nodes if id(n) not in consumed]
+
+    # -- negotiation ---------------------------------------------------------
     def negotiate(self, in_spec: Optional[MediaSpec] = None) -> MediaSpec:
-        """Run spec fixation through the chain (caps negotiation analog)."""
-        first = self.elements[0]
-        if first.KIND in ("source", "host-source"):
-            spec = first.set_info(in_spec or MediaSpec())
-        else:
-            if in_spec is None:
-                raise SpecError("pipeline without source needs an input spec")
-            spec = in_spec
-        self.specs = []
-        for el in self.elements:
+        """Spec fixation in topological order (caps negotiation analog)."""
+        self._order = self._toposort()
+        for n in self._order:
+            el = n.element
             if el.KIND in ("source", "host-source"):
-                spec = el.out_spec
+                n.spec = el.set_info(in_spec or MediaSpec())
+            elif not n.inputs:
+                if in_spec is None:
+                    raise SpecError(
+                        f"{el.NAME}: no source and no input spec")
+                n.spec = el.set_info(in_spec)
+            elif len(n.inputs) == 1:
+                n.spec = el.set_info(n.inputs[0].spec)
             else:
-                spec = el.set_info(spec)
-            self.specs.append(spec)
-        return spec
+                n.spec = el.set_info([i.spec for i in n.inputs])
+        return self._leaves()[-1].spec
 
     @property
     def out_spec(self) -> MediaSpec:
-        return self.specs[-1]
+        return self._leaves()[-1].spec
 
-    # -- compilation -------------------------------------------------------
+    # -- compilation ---------------------------------------------------------
     def compile(self, window: int, in_spec: Optional[MediaSpec] = None,
                 jit: bool = True, donate_state: bool = True,
                 out_shardings=None):
-        """Build the fused window function.
+        """Build the fused window function over the whole DAG.
 
-        step(params_pytree, states, in_batch_or_None)
-            -> (states, out_batch, messages)
+        step(params, states, in_batch_or_None)
+            -> (states, leaf_batches, messages)
         """
-        if not self.specs:
+        if self._order is None or (in_spec is not None):
             self.negotiate(in_spec)
         self._window = window
-        has_source = self.elements[0].KIND == "source"
+        order = self._order
+        leaves = self._leaves()
 
         def step(params: List[Dict[str, Any]], states: List[Any],
                  in_batch: Optional[FrameBatch]):
-            new_states = []
+            new_states = list(states)
             messages: Dict[str, Dict[str, Any]] = {}
-            batch = in_batch
-            for i, el in enumerate(self.elements):
+            values: Dict[int, FrameBatch] = {}
+            for idx, n in enumerate(order):
+                el = n.element
                 if el.KIND == "source":
-                    out = el.generate(params[i], states[i], window)
+                    out = el.generate(params[idx], states[idx], window)
                 else:
-                    out = el.process(params[i], states[i], batch)
+                    if not n.inputs:
+                        batch = in_batch
+                    elif len(n.inputs) == 1:
+                        batch = values[id(n.inputs[0])]
+                    else:
+                        batch = [values[id(i)] for i in n.inputs]
+                    out = el.process(params[idx], states[idx], batch)
                 if len(out) == 3:
-                    st, batch, msgs = out
+                    st, val, msgs = out
                     for name, fields in msgs.items():
                         messages[f"{el.NAME}:{name}"] = fields
                 else:
-                    st, batch = out
-                new_states.append(st)
-            return new_states, batch, messages
+                    st, val = out
+                new_states[idx] = st
+                values[id(n)] = val
+            leaf_out = [values[id(n)] for n in leaves]
+            return new_states, leaf_out, messages
 
         if jit:
             donate = (1,) if donate_state else ()
@@ -102,22 +177,22 @@ class Pipeline:
                            out_shardings=out_shardings)
         self._step = step
         if self._states is None:
-            # element state (field queues, delay lines, score rings) is
-            # window-size independent; keep it across window recompiles
-            self._states = [el.init_state(window) for el in self.elements]
-        self._has_source = has_source
+            self._states = [n.element.init_state(window) for n in order]
         return step
 
     def init_states(self, window: int):
-        return [el.init_state(window) for el in self.elements]
+        order = self._order or self._toposort()
+        return [n.element.init_state(window) for n in order]
 
     def params(self) -> List[Dict[str, Any]]:
-        return [el.dynamic_params() for el in self.elements]
+        order = self._order or self._toposort()
+        return [n.element.dynamic_params() for n in order]
 
-    # -- host runner -------------------------------------------------------
+    # -- host runner ----------------------------------------------------------
     def run(self, n_frames: int = 0, inputs: Optional[FrameBatch] = None,
-            window: Optional[int] = None) -> List[FrameBatch]:
-        """Drive the pipeline; returns the valid output frames per window.
+            window: Optional[int] = None):
+        """Drive the pipeline; returns the valid output frames per window
+        (single leaf) or {leaf_index: [batches]} for multi-leaf graphs.
 
         Invalid (masked-out) frames are compacted away host-side between
         windows, the analog of GST_BASE_TRANSFORM_FLOW_DROPPED.
@@ -126,40 +201,49 @@ class Pipeline:
             window = window or inputs.batch
         if self._step is None or window != self._window:
             self.compile(window)
+        order = self._order
         states = self._states
         params = self.params()
-        outs: List[FrameBatch] = []
+        leaves = self._leaves()
+        outs: Dict[int, List[FrameBatch]] = {i: [] for i in
+                                             range(len(leaves))}
         if inputs is not None:
             windows = [jax.tree_util.tree_map(
                 lambda x: x[i:i + window], inputs)
                 for i in range(0, inputs.batch, window)]
-        elif self.elements[0].KIND == "host-source":
-            windows = []
-            while True:
-                w = self.elements[0].pull_window(window)
-                if w is None:
-                    break
-                windows.append(w)
         else:
-            n_windows = -(-n_frames // window)
-            windows = [None] * n_windows
-        host_elements = [el for el in self.elements
-                         if getattr(el, "HOST", False)]
+            host_sources = [n.element for n in order
+                            if n.element.KIND == "host-source"]
+            if host_sources:
+                windows = []
+                while True:
+                    w = host_sources[0].pull_window(window)
+                    if w is None:
+                        break
+                    windows.append(w)
+            else:
+                n_windows = -(-n_frames // window)
+                windows = [None] * n_windows
+        host_elements = [n.element for n in order
+                         if getattr(n.element, "HOST", False)]
         for w in windows:
-            states, batch, messages = self._step(params, states, w)
-            self._drain_messages(batch, messages)
-            np_batch = batch.to_numpy()
-            mask = np.asarray(np_batch.valid)
-            if not mask.all():
-                if not mask.any():
-                    continue
-                np_batch = jax.tree_util.tree_map(
-                    lambda x: x[mask] if x.ndim >= 1 and x.shape[0] == mask.shape[0] else x,
-                    np_batch)
-            for el in host_elements:
-                el.host_process(np_batch, self.bus)
-            outs.append(np_batch)
+            states, leaf_batches, messages = self._step(params, states, w)
+            self._drain_messages(leaf_batches[-1], messages)
+            for li, batch in enumerate(leaf_batches):
+                np_batch = batch.to_numpy()
+                mask = np.asarray(np_batch.valid)
+                if not mask.all():
+                    if not mask.any():
+                        continue
+                    np_batch = jax.tree_util.tree_map(
+                        lambda x: x[mask] if getattr(x, "ndim", 0) >= 1
+                        and x.shape[0] == mask.shape[0] else x, np_batch)
+                for el in host_elements:
+                    el.host_process(np_batch, self.bus)
+                outs[li].append(np_batch)
         self._states = states
+        if len(leaves) == 1:
+            return outs[0]
         return outs
 
     def _drain_messages(self, batch: FrameBatch, messages) -> None:
@@ -178,55 +262,110 @@ class Pipeline:
                 p = int(msg_pts[b]) if msg_pts is not None else (
                     int(pts[b]) if b < pts.shape[0] else 0)
                 self.bus.post(Message(el_name, struct, p,
-                                      {k: v[b].item() if v[b].ndim == 0 else v[b]
-                                       for k, v in np_fields.items()}))
+                                      {k: v[b].item() if v[b].ndim == 0
+                                       else v[b] for k, v in
+                                       np_fields.items()}))
 
     def __repr__(self):
         return " ! ".join(e.NAME for e in self.elements)
 
 
-_LAUNCH_SPLIT = re.compile(r"\s!\s*|!\s+|\s+!|^!|!$")
-
-
 def parse_launch(description: str) -> Pipeline:
-    """Parse a gst-launch-1.0 style description into a Pipeline.
+    """Parse a gst-launch-1.0 style description into a Pipeline DAG.
 
-    Supports `element prop=value ...` segments joined by `!`.  Values may be
-    shell-quoted; caps-filter segments (`video/x-raw,format=...`) set the
-    negotiation spec for the upstream source element.
+    Grammar subset: `element prop=value ... ! next ...`; whitespace between
+    chains starts a new chain; `element name=foo` names a node; `foo.` at a
+    chain start continues from node foo (tee-style fan-out), and `! foo.`
+    links the current chain INTO node foo as an additional input (aggregator
+    fan-in).  `video/x-raw,...` caps segments constrain the upstream element.
     """
-    segments = [s.strip() for s in description.split("!")]
-    elements: List[Element] = []
-    for seg in segments:
-        if not seg:
-            raise ValueError(f"empty segment in {description!r}")
-        if seg.startswith(("video/", "audio/")):
-            _apply_capsfilter(elements, seg)
+    tokens = shlex.split(description)
+
+    # tokenize into (segment_tokens, linked_from_prev)
+    segments: List[Tuple[List[str], bool]] = []
+    cur: List[str] = []
+    pending_linked = False
+    for tok in tokens:
+        if tok == "!":
+            if cur:
+                segments.append((cur, pending_linked))
+                cur = []
+            pending_linked = True
             continue
-        toks = shlex.split(seg)
-        name, props = toks[0], {}
-        for t in toks[1:]:
-            if "=" not in t:
-                raise ValueError(f"bad property token {t!r} in {seg!r}")
+        if cur:
+            if "=" in tok and not tok.startswith(("video/", "audio/")):
+                cur.append(tok)  # a property of the current element
+                continue
+            segments.append((cur, pending_linked))  # new chain starts
+            cur = []
+            pending_linked = False
+        cur.append(tok)
+    if cur:
+        segments.append((cur, pending_linked))
+
+    nodes: List[Node] = []
+    named: Dict[str, Node] = {}
+    pending_links: List[Tuple[Node, str]] = []  # forward fan-in refs
+    prev: Optional[Node] = None
+
+    for seg_tokens, linked in segments:
+        head = seg_tokens[0]
+        if head.endswith(".") and len(head) > 1:
+            name = head[:-1]
+            if linked:
+                # `! foo.` — fan the current chain INTO node foo
+                if prev is None:
+                    raise ValueError(f"dangling link into {head!r}")
+                if name in named:
+                    named[name].inputs.append(prev)
+                else:
+                    pending_links.append((prev, name))
+                prev = None
+            else:
+                # `foo. ! ...` — continue a new chain from node foo
+                if name not in named:
+                    raise ValueError(f"unknown element ref {head!r}")
+                prev = named[name]
+            continue
+        if head.startswith(("video/", "audio/")):
+            if prev is None:
+                raise ValueError("capsfilter with no upstream element")
+            _apply_capsfilter(prev.element, head)
+            continue
+        props = {}
+        name = None
+        for t in seg_tokens[1:]:
             k, v = t.split("=", 1)
-            props[k] = v
-        elements.append(make(name, **props))
-    return Pipeline(elements)
+            if k == "name":
+                name = v
+            else:
+                props[k] = v
+        node = Node(make(head, **props), name)
+        if linked:
+            if prev is None:
+                raise ValueError(f"dangling link into {head!r}")
+            node.inputs.append(prev)
+        nodes.append(node)
+        if name:
+            named[name] = node
+        prev = node
+
+    for src, name in pending_links:
+        if name not in named:
+            raise ValueError(f"unresolved element ref {name!r}.")
+        named[name].inputs.insert(0, src)
+    return Pipeline(nodes=nodes)
 
 
-def _apply_capsfilter(elements: List[Element], seg: str) -> None:
-    """Apply `video/x-raw,key=value,...` constraints to the upstream element."""
-    if not elements:
-        raise ValueError("capsfilter with no upstream element")
-    el = elements[-1]
+def _apply_capsfilter(el: Element, seg: str) -> None:
+    """Apply `video/x-raw,key=value,...` constraints to an element."""
     media, _, rest = seg.partition(",")
     for part in rest.split(",") if rest else []:
         k, _, v = part.partition("=")
         k, v = k.strip(), v.strip()
-        if k in ("format",):
-            el.set_property("format", v) if "format" in el.props else None
-        if k in ("width", "height", "rate", "channels"):
-            if k in el.props:
-                el.set_property(k, int(v))
+        if k in ("format",) and "format" in el.props:
+            el.set_property("format", v)
+        if k in ("width", "height", "rate", "channels") and k in el.props:
+            el.set_property(k, int(v))
         if k == "framerate" and "framerate" in el.props:
             el.set_property("framerate", v)

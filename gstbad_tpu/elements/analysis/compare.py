@@ -37,7 +37,15 @@ def _planes(data, spec):
 
 
 class _TwoStreamElement(Element):
-    """Base for elements comparing the stream against a reference stream."""
+    """Base for elements comparing a stream against a reference.
+
+    Two ways to feed the reference, matching the reference's 2-pad model:
+    - graph fan-in: `videotestsrc ! cmp.  src2. ! cmp.  compare name=cmp ...`
+      (first-connected input = reference pad, like iqa's first sink pad)
+    - `set_reference(frames)` for harness-style use.
+    """
+
+    N_INPUTS = 2
 
     def __init__(self, **props):
         super().__init__(**props)
@@ -49,6 +57,24 @@ class _TwoStreamElement(Element):
             self._reference = {k: jnp.asarray(v) for k, v in frames.items()}
         else:
             self._reference = jnp.asarray(frames)
+
+    def negotiate(self, in_spec):
+        if isinstance(in_spec, list):
+            ref_spec, spec = in_spec[0], in_spec[-1]
+            require(ref_spec.format == spec.format
+                    and ref_spec.width == spec.width
+                    and ref_spec.height == spec.height,
+                    f"{self.NAME}: branch specs differ: {ref_spec} vs {spec}")
+            return spec
+        return in_spec
+
+    def _split_inputs(self, batch):
+        """Returns (reference_data, stream_batch)."""
+        if isinstance(batch, list):
+            return batch[0].data, batch[-1]
+        require(self._reference is not None,
+                f"{self.NAME}: set_reference() first or connect two inputs")
+        return self._reference, batch
 
 
 @register
@@ -64,10 +90,8 @@ class Compare(_TwoStreamElement):
         Property("upper", bool, True),
     )
 
-    def process(self, params, state, batch: FrameBatch):
-        require(self._reference is not None,
-                "compare: set_reference() first")
-        ref = self._reference
+    def process(self, params, state, batch):
+        ref, batch = self._split_inputs(batch)
         method = self.props["method"]
         if method == "mem":
             if isinstance(batch.data, dict):
@@ -94,8 +118,8 @@ class Compare(_TwoStreamElement):
                 delta = jnp.max(d, axis=tuple(range(1, d.ndim))
                                 ).astype(jnp.float64)
         elif method == "ssim":
-            planes_a, is_yuv = _planes(batch.data, self.in_spec)
-            planes_b, _ = _planes(ref, self.in_spec)
+            planes_a, is_yuv = _planes(batch.data, self.out_spec)
+            planes_b, _ = _planes(ref, self.out_spec)
             weights = ssim_ops.ssim_weights(len(planes_a), is_yuv)
             delta = sum(w * ssim_ops.ssim_plane(a, b)
                         for w, a, b in zip(weights, planes_a, planes_b))
@@ -122,11 +146,10 @@ class Iqa(_TwoStreamElement):
         Property("output-map", bool, False, static=True),
     )
 
-    def process(self, params, state, batch: FrameBatch):
-        require(self._reference is not None, "iqa: set_reference() first")
-        ref = self._reference
-        planes_a, is_yuv = _planes(batch.data, self.in_spec)
-        planes_b, _ = _planes(ref, self.in_spec)
+    def process(self, params, state, batch):
+        ref, batch = self._split_inputs(batch)
+        planes_a, is_yuv = _planes(batch.data, self.out_spec)
+        planes_b, _ = _planes(ref, self.out_spec)
         weights = ssim_ops.ssim_weights(len(planes_a), is_yuv)
         ssim = sum(w * ssim_ops.ssim_plane(a, b)
                    for w, a, b in zip(weights, planes_a, planes_b))
@@ -135,7 +158,7 @@ class Iqa(_TwoStreamElement):
         exceeded = (thr > 0.0) & (dssim > thr)
         out = batch
         if self.props["output-map"] and not isinstance(batch.data, dict):
-            if self.in_spec.format == VideoFormat.AYUV:
+            if self.out_spec.format == VideoFormat.AYUV:
                 y_a, y_b = batch.data[..., 1], ref[..., 1]
                 mp = ssim_ops.ssim_map(y_a, y_b)
                 out = batch.with_data(batch.data.at[..., 1].set(mp))

@@ -124,3 +124,17 @@ class ChecksumSink(Element):
                 bus.post(Message(self.NAME, "checksum",
                                  int(np_batch.pts[i]),
                                  {"checksum": digest}))
+
+
+@register
+class Tee(Identity):
+    """tee: fan-out marker.  In the DAG any node may feed several consumers;
+    a named tee makes the launch syntax read like gst-launch."""
+    NAME = "tee"
+
+
+@register
+class Queue(Identity):
+    """queue: a scheduling decoupler in the reference; a no-op in the fused
+    window program (the whole graph is one schedule)."""
+    NAME = "queue"

@@ -75,3 +75,40 @@ def test_checksumsink():
     sink = p.elements[-1]
     assert len(sink.checksums) == 2
     assert sink.checksums[0] == sink.checksums[1]  # static pattern
+
+
+def test_dag_tee_and_fanin(rng):
+    """Branch a source through two filters and join at a 2-input compare."""
+    p = gt.parse_launch(
+        "videotestsrc pattern=gradient width=32 height=16 format=BGRx "
+        "name=src ! tee name=t "
+        "t. ! queue ! identity ! cmp. "
+        "t. ! queue ! burn ! cmp. "
+        "compare name=cmp method=max ! fakesink")
+    outs = p.run(n_frames=2, window=2)
+    assert outs[0].data.shape == (2, 16, 32, 4)
+    msgs = p.bus.pop(element="compare")
+    assert len(msgs) == 2
+    assert msgs[0]["delta"] > 0  # burn changed the pixels
+
+
+def test_dag_iqa_two_branches(rng):
+    p = gt.parse_launch(
+        "videotestsrc pattern=gradient width=32 height=32 format=GRAY8 "
+        "! tee name=t "
+        "t. ! iqa_el. "
+        "t. ! smooth ! iqa_el. "
+        "iqa name=iqa_el ! fakesink")
+    p.run(n_frames=2, window=2)
+    msgs = p.bus.pop(element="iqa")
+    assert len(msgs) == 2
+    assert 0 <= msgs[0]["dssim"] < 0.5
+
+
+def test_dag_multi_leaf(rng):
+    p = gt.parse_launch(
+        "videotestsrc pattern=bars width=16 height=16 format=BGRx name=s "
+        "! burn ! fakesink "
+        "s. ! dodge ! fakesink")
+    outs = p.run(n_frames=2, window=2)
+    assert isinstance(outs, dict) and len(outs) == 2
