@@ -70,6 +70,7 @@ class Element:
         self.props: Dict[str, Any] = {p.name: p.default for p in self.PROPERTIES}
         self.in_spec: Optional[MediaSpec] = None
         self.out_spec: Optional[MediaSpec] = None
+        self._controls: Dict[str, Any] = {}
         for k, v in props.items():
             self.set_property(k, v)
 
@@ -85,6 +86,35 @@ class Element:
 
     def get_property(self, name: str):
         return self.props[name.replace("_", "-")]
+
+    # -- property automation (GST_PARAM_CONTROLLABLE analog) ---------------
+    def set_control(self, name: str, fn) -> None:
+        """Bind a keyframed curve fn(pts_ns: np.ndarray[B]) -> values to a
+        controllable property; evaluated per window against stream time
+        (the gst_object_sync_values analog, gstgaussblur.c:217-226)."""
+        key = name.replace("_", "-")
+        spec = self._propspecs.get(key)
+        if spec is None:
+            raise KeyError(f"{self.NAME}: no property {name!r}")
+        if not spec.controllable:
+            raise ValueError(f"{self.NAME}: {key} is not controllable")
+        self._controls[key] = fn
+
+    def params_for_pts(self, pts) -> Dict[str, Any]:
+        """dynamic_params with controlled props expanded to [B] arrays."""
+        import numpy as np
+        out = self.dynamic_params()
+        for key, fn in self._controls.items():
+            spec = self._propspecs[key]
+            vals = np.asarray(fn(np.asarray(pts)))
+            vals = np.asarray([spec.coerce(v) for v in vals.tolist()])
+            if spec.type is float:
+                out[key] = jnp.asarray(vals, jnp.float32)
+            elif spec.type is int:
+                out[key] = jnp.asarray(vals, jnp.int32)
+            elif spec.type is bool:
+                out[key] = jnp.asarray(vals, bool)
+        return out
 
     # -- negotiation -------------------------------------------------------
     def set_info(self, in_spec: MediaSpec) -> MediaSpec:

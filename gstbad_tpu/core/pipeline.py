@@ -226,7 +226,23 @@ class Pipeline:
                 windows = [None] * n_windows
         host_elements = [n.element for n in order
                          if getattr(n.element, "HOST", False)]
+        has_controls = any(n.element._controls for n in order)
+        src_spec = order[0].spec
+        dur = (src_spec.frame_duration_ns if src_spec
+               and src_spec.kind == "video" else int(1e9 / 30))
+        frame_counter = 0
         for w in windows:
+            if has_controls:
+                # stream-time sync (gst_object_sync_values analog)
+                if w is not None:
+                    pts = np.asarray(w.pts)
+                else:
+                    pts = (frame_counter
+                           + np.arange(window, dtype=np.int64)) * dur
+                params = [n.element.params_for_pts(pts)
+                          if n.element._controls
+                          else n.element.dynamic_params() for n in order]
+                frame_counter += window
             states, leaf_batches, messages = self._step(params, states, w)
             self._drain_messages(leaf_batches[-1], messages)
             for li, batch in enumerate(leaf_batches):
@@ -245,6 +261,31 @@ class Pipeline:
         if len(leaves) == 1:
             return outs[0]
         return outs
+
+    # -- checkpoint/resume ----------------------------------------------------
+    # SURVEY.md section 5.4: element state is an explicit pytree carry, so
+    # checkpointing is serializing the carry + stream position — something
+    # the reference cannot do at all.
+    def save_checkpoint(self, path: str) -> None:
+        import pickle
+        if self._states is None:
+            raise SpecError("nothing to checkpoint; run a window first")
+        states_np = jax.tree_util.tree_map(np.asarray, self._states)
+        host_counters = {i: n.element._pts for i, n in enumerate(self.nodes)
+                         if hasattr(n.element, "_pts")}
+        with open(path, "wb") as f:
+            pickle.dump({"states": states_np, "window": self._window,
+                         "host_counters": host_counters}, f)
+
+    def load_checkpoint(self, path: str) -> None:
+        import pickle
+        with open(path, "rb") as f:
+            ck = pickle.load(f)
+        if self._order is None:
+            self.negotiate()
+        self._states = jax.tree_util.tree_map(jnp.asarray, ck["states"])
+        for i, v in ck["host_counters"].items():
+            self.nodes[i].element._pts = v
 
     def _drain_messages(self, batch: FrameBatch, messages) -> None:
         if not messages:

@@ -17,13 +17,17 @@ import numpy as np
 
 
 def pack_table(table_u8: jnp.ndarray) -> jnp.ndarray:
-    """[256] uint8-valued table -> packed bit planes [8 bits, 8 words] u32."""
+    """[..., 256] uint8-valued table -> packed bit planes
+    [..., 8 bits, 8 words] u32.  Leading dims support per-frame tables
+    (the controllable-property-curve path)."""
     t = table_u8.astype(jnp.uint32)
-    bits = (t[None, :] >> jnp.arange(8, dtype=jnp.uint32)[:, None]) & 1
+    lead = t.shape[:-1]
+    bits = (t[..., None, :]
+            >> jnp.arange(8, dtype=jnp.uint32)[:, None]) & 1
     shifts = (jnp.arange(256, dtype=jnp.uint32) % 32)
-    words = (bits << shifts[None, :]).reshape(8, 8, 32).sum(
+    words = (bits << shifts).reshape(lead + (8, 8, 32)).sum(
         axis=-1, dtype=jnp.uint32)
-    return words  # [bit, word]
+    return words  # [..., bit, word]
 
 
 def apply_lut(idx: jnp.ndarray, packed: jnp.ndarray) -> jnp.ndarray:
@@ -35,11 +39,19 @@ def apply_lut(idx: jnp.ndarray, packed: jnp.ndarray) -> jnp.ndarray:
     hi = (idx >> 5).astype(jnp.int32)
     lo = (idx & 31).astype(jnp.uint32)
     masks = [(hi == j).astype(jnp.uint32) for j in range(8)]
+    lead = packed.shape[:-2]  # () or (B,) for per-frame tables
+
+    def word_of(b, j):
+        w = packed[..., b, j]
+        if lead:
+            w = w.reshape(lead + (1,) * (idx.ndim - len(lead)))
+        return w
+
     out = jnp.zeros(idx.shape, jnp.uint32)
     for b in range(8):
-        word = masks[0] * packed[b, 0]
+        word = masks[0] * word_of(b, 0)
         for j in range(1, 8):
-            word = word + masks[j] * packed[b, j]
+            word = word + masks[j] * word_of(b, j)
         out = out | (((word >> lo) & 1) << b)
     return out.astype(jnp.uint8)
 
@@ -60,7 +72,10 @@ def apply_lut3(idx: jnp.ndarray, packed3: jnp.ndarray):
 def burn_table(adjustment: jnp.ndarray) -> jnp.ndarray:
     """gaudi_orc_burn as a byte map (ops/pointops.burn semantics)."""
     c = jnp.arange(256, dtype=jnp.int32)
-    a = (c + adjustment.astype(jnp.int32)) >> 1
+    adj = adjustment.astype(jnp.int32)
+    if adj.ndim:
+        adj = adj[..., None]  # per-frame curve -> [B, 256] table
+    a = (c + adj) >> 1
     t = (255 - c) << 7
     q = jnp.where(a == 0, 0xFFFF, t // jnp.maximum(a, 1))
     return ((255 - q) & 0xFF).astype(jnp.uint8)
@@ -71,8 +86,13 @@ def chromium_table(edge_a: jnp.ndarray, edge_b: jnp.ndarray,
     """chromium composed to a byte map: only 256 of the 1024 cosine entries
     are reachable for a given (edge-a, edge-b)."""
     c = jnp.arange(256, dtype=jnp.int32)
-    i = (c + edge_a.astype(jnp.int32)
-         + (c * edge_b.astype(jnp.int32)) // 2) & 1023
+    ea = edge_a.astype(jnp.int32)
+    eb = edge_b.astype(jnp.int32)
+    if ea.ndim:
+        ea = ea[..., None]
+    if eb.ndim:
+        eb = eb[..., None]
+    i = (c + ea + (c * eb) // 2) & 1023
     return jnp.clip(jnp.abs(cos_table[i]), 0, 255).astype(jnp.uint8)
 
 
@@ -88,6 +108,9 @@ def solarize_table(threshold: jnp.ndarray, start: jnp.ndarray,
     threshold = threshold.astype(jnp.int32)
     start = start.astype(jnp.int32)
     end = end.astype(jnp.int32)
+    if threshold.ndim or start.ndim or end.ndim:
+        threshold, start, end = (v[..., None] for v in jnp.broadcast_arrays(
+            threshold, start, end))
     period = jnp.where(end != start, end - start, 1).astype(jnp.int64)
     up_length = jnp.where(threshold != start, threshold - start, 1
                           ).astype(jnp.int64)

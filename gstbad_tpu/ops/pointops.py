@@ -20,6 +20,11 @@ def _i32(x):
     return x.astype(jnp.int32)
 
 
+def _per_frame(p, ndim):
+    """Broadcast a per-frame [B] param against [B, ...spatial] data."""
+    return p.reshape(p.shape + (1,) * (ndim - p.ndim)) if p.ndim else p
+
+
 def _scatter_rgb(shape_like, values, rgb, fill):
     """Rebuild a packed pixel from per-channel planes, zeroing `fill`
     (the C codes rebuild the guint32 word without the fill byte)."""
@@ -60,7 +65,7 @@ def dodge(img: jnp.ndarray, rgb: Sequence[int], fill: Optional[int]
 def exclusion(img: jnp.ndarray, factor: jnp.ndarray, rgb: Sequence[int],
               fill: Optional[int]) -> jnp.ndarray:
     """gstexclusion.c:257-290 (the green-in-red-term quirk preserved)."""
-    f = factor.astype(jnp.int32)
+    f = _per_frame(factor.astype(jnp.int32), img.ndim - 1)
     r = _i32(img[..., rgb[0]])
     g = _i32(img[..., rgb[1]])
     b = _i32(img[..., rgb[2]])
@@ -104,7 +109,8 @@ def dilate(img: jnp.ndarray, erode: jnp.ndarray, rgb: Sequence[int]
     out_lum = lum(img)
     for n in (down, right, left):
         n_lum = lum(n)
-        take = jnp.where(erode, n_lum < out_lum, n_lum > out_lum)
+        take = jnp.where(_per_frame(erode, n_lum.ndim),
+                         n_lum < out_lum, n_lum > out_lum)
         out = jnp.where(take[..., None], n, out)
         out_lum = jnp.where(take, n_lum, out_lum)
     return out
@@ -198,7 +204,8 @@ def chromahold(img: jnp.ndarray, target_hue: jnp.ndarray,
     r = _i32(img[..., rgb[0]])
     g = _i32(img[..., rgb[1]])
     b = _i32(img[..., rgb[2]])
-    h1 = target_hue.astype(jnp.int32)
+    h1 = _per_frame(target_hue.astype(jnp.int32), img.ndim - 1)
+    tolerance = _per_frame(tolerance, img.ndim - 1)
     h2 = rgb_to_hue(r, g, b)
     d1 = h1 - h2
     d2 = h2 - h1

@@ -1,0 +1,2 @@
+from gstbad_tpu.session.play import Play, PlayState
+from gstbad_tpu.session.transcoder import Transcoder

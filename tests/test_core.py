@@ -112,3 +112,23 @@ def test_dag_multi_leaf(rng):
         "s. ! dodge ! fakesink")
     outs = p.run(n_frames=2, window=2)
     assert isinstance(outs, dict) and len(outs) == 2
+
+
+def test_control_curves(rng):
+    """GST_PARAM_CONTROLLABLE analog: per-frame property automation."""
+    from gstbad_tpu.golden.gaudieffects import burn as g_burn
+    p = gt.parse_launch("videotestsrc pattern=gradient width=24 height=16 "
+                        "format=BGRx ! burn ! fakesink")
+    el = p.elements[1]
+    el.set_control("adjustment", lambda pts: (pts // int(1e9 / 30)) * 50 % 257)
+    outs = p.run(n_frames=4, window=4)
+    got = np.asarray(outs[0].data)
+    src = np.asarray(p.elements[0]._bg)
+    for i in range(4):
+        np.testing.assert_array_equal(got[i], g_burn(src, (i * 50) % 257))
+
+
+def test_control_rejects_non_controllable():
+    el = gt.make("gaussianblur")
+    with pytest.raises(ValueError):
+        el.set_control("sigma", lambda pts: pts)

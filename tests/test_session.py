@@ -1,0 +1,100 @@
+"""Session layer: Play, Transcoder + CLI path, checkpoint/resume."""
+
+import time
+
+import numpy as np
+import pytest
+
+import gstbad_tpu as gt
+from gstbad_tpu.core.spec import MediaSpec
+from gstbad_tpu.io import y4m
+from gstbad_tpu.session import Play, PlayState, Transcoder
+
+
+def test_play_state_machine():
+    got = []
+    p = Play("videotestsrc pattern=ball width=32 height=32 format=GRAY8 "
+             "! videoanalyse ! fakesink",
+             window=4, realtime=False, n_frames=16,
+             on_frame=lambda b, i: got.append(int(np.asarray(b.pts)[i])))
+    p.play()
+    deadline = time.time() + 30
+    while p.state != PlayState.STOPPED and time.time() < deadline:
+        time.sleep(0.02)
+    assert p.state == PlayState.STOPPED
+    assert len(got) == 16
+    assert p.position > 0
+    assert len(p.bus.pop(element="videoanalyse")) == 16
+
+
+def test_play_pause_resume():
+    p = Play("videotestsrc width=16 height=16 ! fakesink",
+             window=2, realtime=False)
+    p.play()
+    time.sleep(0.3)
+    p.pause()
+    assert p.state == PlayState.PAUSED
+    pos = p.position
+    time.sleep(0.2)
+    p.play()
+    time.sleep(0.3)
+    p.stop()
+    assert p.state == PlayState.STOPPED
+
+
+def test_transcoder_roundtrip(tmp_path, rng):
+    spec = MediaSpec(kind="video", format="I420", width=32, height=16)
+    planes = {"y": rng.integers(0, 256, (6, 16, 32), dtype=np.uint8),
+              "u": rng.integers(0, 256, (6, 8, 16), dtype=np.uint8),
+              "v": rng.integers(0, 256, (6, 8, 16), dtype=np.uint8)}
+    src = tmp_path / "in.y4m"
+    dst = tmp_path / "out.y4m"
+    y4m.write_y4m(src, spec, planes)
+
+    positions = []
+    t = Transcoder(str(src), str(dst), "zebrastripe threshold=70",
+                   window=3, on_position=lambda p, d: positions.append(p))
+    n = t.run()
+    assert n == 6
+    spec2, planes2 = y4m.read_y4m(str(dst))
+    assert planes2["y"].shape == (6, 16, 32)
+    from gstbad_tpu.golden.videofilters import zebrastripe_y
+    for i in range(6):
+        np.testing.assert_array_equal(planes2["y"][i],
+                                      zebrastripe_y(planes["y"][i], 70, i))
+    np.testing.assert_array_equal(planes2["u"], planes["u"])
+    assert positions
+
+
+def test_checkpoint_resume(tmp_path, rng):
+    """Stateful pipeline (zebrastripe phase) resumes identically."""
+    frames = rng.integers(0, 256, (8, 16, 16), dtype=np.uint8)
+
+    def fresh():
+        p = gt.parse_launch("zebrastripe ! fakesink")
+        p.negotiate(MediaSpec(kind="video", format="GRAY8",
+                              width=16, height=16))
+        return p
+
+    from gstbad_tpu.core.frame import FrameBatch
+    import jax.numpy as jnp
+
+    def feed(p, arr):
+        return p.run(inputs=FrameBatch.make(jnp.asarray(arr)), window=4)
+
+    # continuous reference
+    p_ref = fresh()
+    ref = [np.asarray(o.data) for o in
+           feed(p_ref, frames[:4]) + feed(p_ref, frames[4:])]
+
+    # checkpointed: run half, save, restore into a NEW pipeline, run rest
+    p1 = fresh()
+    out1 = feed(p1, frames[:4])
+    p1.save_checkpoint(tmp_path / "ck.pkl")
+    p2 = fresh()
+    p2.compile(4)
+    p2.load_checkpoint(tmp_path / "ck.pkl")
+    out2 = feed(p2, frames[4:])
+    got = [np.asarray(o.data) for o in out1 + out2]
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)
