@@ -2,40 +2,16 @@
 """tpu-transcode — the gst-transcoder CLI analog (tools/gst-transcoder.c).
 
     python tools/tpu_transcode.py in.y4m out.y4m \
-        --filters "gaussianblur sigma=2 ! videoconvert format=I420"
+        --filters "videoconvert format=AYUV ! gaussianblur sigma=2 \
+                   ! videoconvert format=I420"
 """
 
-import argparse
+import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-def main():
-    ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("src")
-    ap.add_argument("dest")
-    ap.add_argument("--filters", default="",
-                    help="gst-launch style filter chain")
-    ap.add_argument("--window", type=int, default=8)
-    ap.add_argument("--cpu", action="store_true",
-                    help="run on CPU instead of the TPU")
-    args = ap.parse_args()
-
-    if args.cpu:
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-
-    from gstbad_tpu.session import Transcoder
-
-    def progress(pos, total):
-        pct = 100.0 * pos / total if total else 0.0
-        print(f"\rposition {pos / 1e9:.2f}s / {total / 1e9:.2f}s "
-              f"({pct:.0f}%)", end="", file=sys.stderr)
-
-    t = Transcoder(args.src, args.dest, args.filters, window=args.window,
-                   on_position=progress)
-    frames = t.run()
-    print(f"\nwrote {frames} frames to {args.dest}", file=sys.stderr)
-
+from gstbad_tpu.cli import transcode_main
 
 if __name__ == "__main__":
-    main()
+    sys.exit(transcode_main())
