@@ -1,0 +1,47 @@
+"""Pallas warp kernel vs golden remap (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gstbad_tpu.golden import geometric as golden
+from gstbad_tpu.ops import warp_pallas as wp
+from gstbad_tpu.ops.remap import fix_map
+
+H, W = 64, 256
+
+
+@pytest.mark.parametrize("name", ["fisheye", "twirl", "rotate", "mirror"])
+def test_warp_kernel_matches_remap(rng, name):
+    kwargs = {"angle": 0.4} if name == "rotate" else {}
+    mp = golden.MAP_BUILDERS[name](W, H, **kwargs)
+    p = wp.plan(mp, W, H, "ignore")
+    assert p is not None, "plan rejected a smooth map"
+    img = rng.integers(0, 256, (2, H, W, 4), dtype=np.uint8)
+    _, valid = fix_map(mp, W, H, "ignore")
+    bg = jnp.zeros(4, jnp.uint8)
+    out = np.asarray(wp.warp_batch(jnp.asarray(img), p, jnp.asarray(valid),
+                                   bg, interpret=True))
+    want = np.stack([golden.remap(img[i], mp, "ignore") for i in range(2)])
+    np.testing.assert_array_equal(out, want)
+
+
+def test_plan_rejects_wild_maps(rng):
+    # a random permutation map has full-frame tile spans (on a frame large
+    # enough that the window caps bind)
+    h2, w2 = 256, 1024
+    mp = np.stack([rng.random((h2, w2)) * w2, rng.random((h2, w2)) * h2], -1)
+    assert wp.plan(mp, w2, h2, "ignore") is None
+
+
+def test_jaxfilter_element(rng):
+    import gstbad_tpu as gt
+    from gstbad_tpu.core.pipeline import Pipeline
+    from gstbad_tpu.core.spec import MediaSpec
+    el = gt.make("jaxfilter", fn=lambda x: 255 - x)
+    p = Pipeline([el])
+    p.negotiate(MediaSpec(kind="video", format="GRAY8", width=16, height=16))
+    from gstbad_tpu.core.frame import FrameBatch
+    img = rng.integers(0, 256, (2, 16, 16), dtype=np.uint8)
+    outs = p.run(inputs=FrameBatch.make(jnp.asarray(img)))
+    np.testing.assert_array_equal(np.asarray(outs[0].data), 255 - img)
