@@ -156,3 +156,26 @@ class TestIvtc:
         opts = np.concatenate([np.asarray(o.pts) for o in outs])
         dur = int(round(1e9 / 24))
         assert np.all(np.diff(opts) == dur)
+
+
+class TestFullDeinterlaceChain:
+    def test_interlace_fieldanalysis_ivtc_chain(self, rng):
+        """The reference's flagship analysis chain: progressive content is
+        2:3 telecined, fieldanalysis re-detects and flags it, ivtc recovers
+        progressive frames — all in one fused graph."""
+        import gstbad_tpu as gt
+        base = rng.integers(0, 200, (H, W), dtype=np.uint8)
+        p = gt.parse_launch(
+            f"videotestsrc pattern=ball width={W} height={H} format=GRAY8 "
+            "framerate=24/1 ! interlace pattern=2:3 "
+            "! fieldanalysis ! ivtc ! fakesink")
+        spec = p.negotiate()
+        assert spec.interlace_mode == "progressive"
+        outs = p.run(n_frames=16, window=8)
+        n_out = sum(o.batch for o in outs)
+        assert n_out >= 8  # 16 prog frames -> 20 tele -> 19 analyzed -> ivtc
+        msgs = p.bus.pop(element="fieldanalysis")
+        assert len(msgs) >= 8
+        from gstbad_tpu.golden.fieldanalysis import TC_MIXED, TC_PROGRESSIVE
+        concls = [m["conclusion"] for m in msgs]
+        assert any(c in (TC_MIXED, TC_PROGRESSIVE) for c in concls), concls
