@@ -174,6 +174,14 @@ class Smooth(_LumaFilter):
 
     def process(self, params, state, batch: FrameBatch):
         y = self._get_luma(batch.data)
+        out_y = self._smooth_plane(y, params)
+        data = self._set_luma(batch.data, out_y)
+        if not self.props["luma-only"] and isinstance(batch.data, dict):
+            for k in ("u", "v"):  # smooth_filter on planes 1,2
+                data = {**data, k: self._smooth_plane(batch.data[k], params)}
+        return state, batch.with_data(data)
+
+    def _smooth_plane(self, y, params):
         fs = self.props["filter-size"]
         tol = self.props["tolerance"]
         h, w = y.shape[-2], y.shape[-1]
@@ -195,5 +203,4 @@ class Smooth(_LumaFilter):
         mean = (ref + ssum) // (1 + num)
         out = mean.astype(jnp.uint8)
         out = out.at[..., h - 1, :].set(y[..., h - 1, :])  # last row untouched
-        out = jnp.where(params["active"], out, y)
-        return state, batch.with_data(self._set_luma(batch.data, out))
+        return jnp.where(params["active"], out, y)

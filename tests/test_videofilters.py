@@ -114,3 +114,33 @@ def test_simplevideomark_roundtrip(rng):
     assert len(msgs) == 2
     assert msgs[0]["have-pattern"]
     assert msgs[0]["pattern-data"] == 13
+
+
+def test_smooth_chroma(rng):
+    import gstbad_tpu as gt
+    from gstbad_tpu.core.frame import FrameBatch
+    import jax.numpy as jnp
+    data = {"y": rng.integers(0, 256, (1, 16, 16), dtype=np.uint8),
+            "u": rng.integers(0, 256, (1, 8, 8), dtype=np.uint8),
+            "v": rng.integers(0, 256, (1, 8, 8), dtype=np.uint8)}
+    el = gt.make("smooth", **{"luma-only": False})
+    el.set_info(MediaSpec(kind="video", format="I420", width=16, height=16))
+    _, out, *_ = el(FrameBatch.make({k: jnp.asarray(v)
+                                     for k, v in data.items()}))
+    got_u = np.asarray(out.data["u"][0])
+    np.testing.assert_array_equal(got_u, golden.smooth_y(data["u"][0]))
+
+
+def test_alphacombine(rng):
+    import gstbad_tpu as gt
+    p = gt.parse_launch(
+        "videotestsrc pattern=bars width=16 height=16 format=I420 name=v "
+        "! comb. "
+        "videotestsrc pattern=gradient width=16 height=16 format=GRAY8 "
+        "! comb. "
+        "alphacombine name=comb ! fakesink")
+    spec = p.negotiate()
+    assert spec.format == "A420"
+    outs = p.run(n_frames=2, window=2)
+    assert "a" in outs[0].data
+    assert outs[0].data["a"].shape == (2, 16, 16)
