@@ -391,10 +391,15 @@ def parse_launch(description: str) -> Pipeline:
             named[name] = node
         prev = node
 
+    pend: Dict[str, List[Node]] = {}
     for src, name in pending_links:
         if name not in named:
             raise ValueError(f"unresolved element ref {name!r}.")
-        named[name].inputs.insert(0, src)
+        pend.setdefault(name, []).append(src)
+    for name, srcs in pend.items():
+        # links made before the element's declaration keep their order and
+        # precede later ones (first link = first sink pad)
+        named[name].inputs = srcs + named[name].inputs
     return Pipeline(nodes=nodes)
 
 

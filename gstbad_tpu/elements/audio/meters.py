@@ -18,31 +18,63 @@ from gstbad_tpu.core.spec import AudioFormat, MediaSpec
 class VideoFrameAudioLevel(AudioFilter):
     """Per-video-frame RMS meter (gstvideoframe-audiolevel.c:26-32).
 
-    The reference synchronizes audio against actual video buffers on a second
-    pad; this rebuild derives the frame boundaries from `framerate`, computes
-    per-channel RMS over each audio block that maps to one video frame
-    interval, and posts one `videoframe-audiolevel` message per block.
+    Connected with TWO inputs (video branch + audio branch, the reference's
+    vsink/asink pads), audio samples are binned to video frames by PTS and
+    one message per video frame is posted; the video stream passes through.
+    With a single (audio) input, frame boundaries derive from `framerate`
+    and one message per audio block is posted.
     rms = sqrt(mean(sample^2)) on normalized [-1,1] samples.
     """
 
     NAME = "videoframe-audiolevel"
+    N_INPUTS = 2
     FORMATS = AudioFormat.ALL
     PROPERTIES = (Property("framerate", str, "30/1", static=True),)
 
-    def process(self, params, state, batch: FrameBatch):
-        x = batch.data
-        fmt = self.in_spec.format
+    def negotiate(self, in_spec):
+        if isinstance(in_spec, list):
+            video, audio = in_spec
+            from gstbad_tpu.core.spec import require
+            require(video.kind == "video" and audio.kind == "audio",
+                    "videoframe-audiolevel: needs (video, audio) inputs")
+            self._audio_spec = audio
+            return video
+        self._audio_spec = in_spec
+        return in_spec
+
+    def _norm(self, x):
+        fmt = self._audio_spec.format
         if fmt == AudioFormat.S16:
-            xf = x.astype(jnp.float64) / 32768.0
-        elif fmt == AudioFormat.S32:
-            xf = x.astype(jnp.float64) / 2147483648.0
-        else:
-            xf = x.astype(jnp.float64)
+            return x.astype(jnp.float64) / 32768.0
+        if fmt == AudioFormat.S32:
+            return x.astype(jnp.float64) / 2147483648.0
+        return x.astype(jnp.float64)
+
+    def process(self, params, state, batch):
+        if isinstance(batch, list):
+            video, audio = batch
+            xf = self._norm(audio.data)          # [Ba, S, C]
+            ba, s, c = xf.shape
+            rate = self._audio_spec.rate
+            # absolute pts of every audio sample
+            sample_pts = (audio.pts[:, None]
+                          + (jnp.arange(s, dtype=jnp.int64)
+                             * jnp.int64(round(1e9 / rate)))[None, :]
+                          ).reshape(-1)           # [Ba*S]
+            sq = (xf * xf).reshape(-1, c)
+            vdur = jnp.int64(self.out_spec.frame_duration_ns)
+            lo = video.pts[:, None]               # [Bv, 1]
+            hi = lo + vdur
+            m = ((sample_pts[None, :] >= lo)
+                 & (sample_pts[None, :] < hi)).astype(jnp.float64)
+            counts = jnp.maximum(m.sum(axis=1), 1.0)
+            sums = m @ sq                         # [Bv, C]
+            rms = jnp.sqrt(sums / counts[:, None])
+            msgs = {"videoframe-audiolevel": {"rms": rms}}
+            return state, video, msgs
+        xf = self._norm(batch.data)
         rms = jnp.sqrt(jnp.mean(xf * xf, axis=1))  # [B, C]
-        msgs = {"videoframe-audiolevel": {
-            "rms": rms,
-        }}
-        return state, batch, msgs
+        return state, batch, {"videoframe-audiolevel": {"rms": rms}}
 
 
 @register

@@ -188,3 +188,21 @@ def test_audio_pipeline_end_to_end():
         "! freeverb ! fakesink")
     outs = p.run(n_frames=2, window=2)
     assert outs[0].data.shape == (2, 256, 2)
+
+
+def test_videoframe_audiolevel_av_sync(rng):
+    """2-input A/V form: audio binned to video frames by PTS."""
+    p = gt.parse_launch(
+        "videotestsrc pattern=black width=16 height=16 framerate=25/1 "
+        "! lvl. "
+        "audiotestsrc wave=sine channels=2 rate=48000 samplesperbuffer=1920 "
+        "! lvl. "
+        "videoframe-audiolevel name=lvl ! fakesink")
+    spec = p.negotiate()
+    assert spec.kind == "video"
+    # 1920 samples @48k = 40ms = one 25fps video frame per audio block
+    p.run(n_frames=4, window=4)
+    msgs = p.bus.pop(element="videoframe-audiolevel")
+    assert len(msgs) == 4
+    # full-scale 0.8 sine RMS ~ 0.566
+    assert msgs[1]["rms"][0] == pytest.approx(0.8 / np.sqrt(2), rel=0.05)
