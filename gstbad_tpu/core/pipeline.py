@@ -262,6 +262,33 @@ class Pipeline:
             return outs[0]
         return outs
 
+    def send_eos(self):
+        """EOS analog: drain elements that hold queued frames (the
+        fieldanalysis/ivtc flush path, gstfieldanalysis.c:744-781).
+
+        Returns the drained frames per element name.  Drained frames are
+        also run through any HOST sinks; downstream re-processing of drained
+        frames is not propagated (matching a tail-position analyzer).
+        """
+        drained = {}
+        order = self._order or self._toposort()
+        if self._states is None:
+            return drained
+        host_elements = [n.element for n in order
+                         if getattr(n.element, "HOST", False)]
+        for idx, n in enumerate(order):
+            el = n.element
+            if not hasattr(el, "drain"):
+                continue
+            st, batch = el.drain(self._states[idx])
+            self._states[idx] = st
+            if batch is not None:
+                np_batch = batch.to_numpy()
+                for h in host_elements:
+                    h.host_process(np_batch, self.bus)
+                drained.setdefault(el.NAME, []).append(np_batch)
+        return drained
+
     # -- checkpoint/resume ----------------------------------------------------
     # SURVEY.md section 5.4: element state is an explicit pytree carry, so
     # checkpointing is serializing the carry + stream position — something

@@ -14,6 +14,7 @@ chain call), so the whole analyzer stays inside the fused window program.
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 from jax import lax
@@ -224,6 +225,7 @@ class FieldAnalysis(VideoFilter):
             return new_st, (out_frame, out_pts, out_flags, out_valid,
                             e_concl, scores)
 
+        self._is_dict = is_dict
         data = batch.data if is_dict else {"y": batch.data}
         state, (frames, pts, flags, valid, concl, scores) = lax.scan(
             step, state, (data, batch.pts, batch.flags))
@@ -237,3 +239,30 @@ class FieldAnalysis(VideoFilter):
             "t_b": scores[:, 3], "b_t": scores[:, 4],
         }}
         return state, out, msgs
+
+    def drain(self, state):
+        """EOS flush (gst_field_analysis_flush_one,
+        gstfieldanalysis.c:692-722): emit the held frame.  Returns
+        (state, FrameBatch) host-side."""
+        import numpy as np
+        if not bool(np.asarray(state["have_prev"])):
+            return state, None
+        holding = int(np.asarray(state["prev_holding"]))
+        concl = int(np.asarray(state["prev_concl"]))
+        if holding in (1, 2):  # 1 + TOP / 1 + BOTTOM: one field needed
+            tff = holding == 1
+            flags = (FLAG_TFF if tff else 0) | FLAG_ONEFIELD
+        else:
+            flags = FLAG_RFF if holding == 0 else 0
+        if concl in (1, 3):  # INTERLACED / TC_MIXED
+            flags |= FLAG_INTERLACED
+        frame = state["prev"]
+        data = frame if self._is_dict else frame["y"]
+        data = jax.tree_util.tree_map(lambda x: x[None], data)
+        batch = FrameBatch(
+            data=data,
+            pts=jnp.asarray([np.asarray(state["prev_pts"])], jnp.int64),
+            flags=jnp.asarray([flags], jnp.int32),
+            valid=jnp.ones(1, bool))
+        state = {**state, "have_prev": jnp.bool_(False)}
+        return state, batch

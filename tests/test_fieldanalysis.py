@@ -163,3 +163,25 @@ class TestElement:
         assert len(msgs) == len(want)
         for i, (wf, wflags, wconcl) in enumerate(want):
             assert msgs[i]["conclusion"] == wconcl, i
+
+
+def test_eos_drain_matches_golden_flush(rng):
+    frames = _telecine_seq(rng)
+    h = Harness("fieldanalysis")
+    h.set_src_spec(_spec())
+    h.push(frames.copy())
+    drained = h.pipeline.send_eos()
+    assert "fieldanalysis" in drained
+    last = drained["fieldanalysis"][0]
+
+    g = golden.GoldenFieldAnalysis()
+    for f in frames:
+        g.push(f)
+    flush = g.flush()
+    assert len(flush) == 1
+    wf, wflags, wconcl = flush[0]
+    np.testing.assert_array_equal(np.asarray(last.data)[0], wf)
+    assert bool(last.flags[0] & FLAG_ONEFIELD) == wflags["onefield"]
+    assert bool(last.flags[0] & FLAG_TFF) == wflags["tff"]
+    # second drain is a no-op
+    assert h.pipeline.send_eos() == {}
