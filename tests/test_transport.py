@@ -170,3 +170,17 @@ def test_watchdog():
     time.sleep(0.01)
     with pytest.raises(TimeoutError):
         wd.check()
+
+
+def test_pnm_roundtrip(tmp_path, rng):
+    from gstbad_tpu.io import pnm
+    img = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    pnm.write_pnm(tmp_path / "t.ppm", img)
+    spec, back = pnm.read_pnm(str(tmp_path / "t.ppm"))
+    assert spec.format == "RGB" and spec.width == 24
+    np.testing.assert_array_equal(img, back)
+    gray = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    pnm.write_pnm(tmp_path / "t.pgm", gray)
+    spec2, back2 = pnm.read_pnm(str(tmp_path / "t.pgm"))
+    assert spec2.format == "GRAY8"
+    np.testing.assert_array_equal(gray, back2)
