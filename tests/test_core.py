@@ -132,3 +132,12 @@ def test_control_rejects_non_controllable():
     el = gt.make("gaussianblur")
     with pytest.raises(ValueError):
         el.set_control("sigma", lambda pts: pts)
+
+
+def test_pipeline_tracer():
+    from gstbad_tpu.utils import PipelineTracer
+    p = gt.parse_launch("videotestsrc width=16 height=16 ! burn ! fakesink")
+    tracer = PipelineTracer(p)
+    p.run(n_frames=4, window=4)
+    rep = tracer.report()
+    assert rep["frames"] == 4 and rep["wall_s"] > 0
