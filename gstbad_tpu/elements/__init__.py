@@ -11,4 +11,5 @@ from gstbad_tpu.elements import bridges  # noqa: F401
 from gstbad_tpu.io import shm as _shm_elements  # noqa: F401
 from gstbad_tpu.elements import misc  # noqa: F401
 from gstbad_tpu.elements import jaxfilter  # noqa: F401
+from gstbad_tpu.elements import files  # noqa: F401
 from gstbad_tpu.elements.audio import visualizers  # noqa: F401

@@ -1,0 +1,148 @@
+"""File endpoints — filesink (raw), gdpfilesink/gdpfilesrc (gst/gdp/ over a
+file transport), multifilesink (one file per frame)."""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+
+from gstbad_tpu.core.element import Element, Property
+from gstbad_tpu.core.frame import FrameBatch
+from gstbad_tpu.core.registry import register
+from gstbad_tpu.io import gdp
+
+
+@register
+class FileSink(Element):
+    """Write raw frame bytes (videoparse/audioparse-compatible)."""
+
+    NAME = "filesink"
+    KIND = "sink"
+    HOST = True
+    PROPERTIES = (Property("location", str, "out.raw", static=True),)
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        self._fh = None
+
+    def process(self, params, state, batch: FrameBatch):
+        return state, batch
+
+    def host_process(self, np_batch: FrameBatch, bus) -> None:
+        if self._fh is None:
+            self._fh = open(self.props["location"], "wb")
+        data = np_batch.data
+        for i in range(np_batch.batch):
+            if isinstance(data, dict):
+                for k in ("y", "u", "v", "a"):
+                    if k in data:
+                        self._fh.write(np.ascontiguousarray(
+                            data[k][i]).tobytes())
+            else:
+                self._fh.write(np.ascontiguousarray(data[i]).tobytes())
+        self._fh.flush()
+
+    def close(self):
+        if self._fh:
+            self._fh.close()
+            self._fh = None
+
+
+@register
+class MultiFileSink(Element):
+    """multifilesink analog: location printf-pattern, one file per frame."""
+
+    NAME = "multifilesink"
+    KIND = "sink"
+    HOST = True
+    PROPERTIES = (Property("location", str, "frame%05d.raw", static=True),)
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        self._index = 0
+
+    def process(self, params, state, batch: FrameBatch):
+        return state, batch
+
+    def host_process(self, np_batch: FrameBatch, bus) -> None:
+        data = np_batch.data
+        for i in range(np_batch.batch):
+            path = self.props["location"] % self._index
+            with open(path, "wb") as f:
+                if isinstance(data, dict):
+                    for k in sorted(data):
+                        f.write(np.ascontiguousarray(data[k][i]).tobytes())
+                else:
+                    f.write(np.ascontiguousarray(data[i]).tobytes())
+            self._index += 1
+
+
+@register
+class GdpFileSink(Element):
+    """gdppay ! filesink analog: length-prefixed GDP packets to a file."""
+
+    NAME = "gdpfilesink"
+    KIND = "sink"
+    HOST = True
+    PROPERTIES = (Property("location", str, "out.gdp", static=True),)
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        self._fh = None
+
+    def process(self, params, state, batch: FrameBatch):
+        return state, batch
+
+    def host_process(self, np_batch: FrameBatch, bus) -> None:
+        if self._fh is None:
+            self._fh = open(self.props["location"], "wb")
+        blob = gdp.pay(np_batch, self.out_spec)
+        self._fh.write(struct.pack("<Q", len(blob)))
+        self._fh.write(blob)
+        self._fh.flush()
+
+    def close(self):
+        if self._fh:
+            self._fh.close()
+            self._fh = None
+
+
+@register
+class GdpFileSrc(Element):
+    """filesrc ! gdpdepay analog: read GDP packets; spec comes from the
+    stream (caps-over-the-wire)."""
+
+    NAME = "gdpfilesrc"
+    KIND = "host-source"
+    PROPERTIES = (Property("location", str, "in.gdp", static=True),)
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        self._fh = None
+        self._spec = None
+
+    def negotiate(self, in_spec):
+        self._fh = open(self.props["location"], "rb")
+        self._pending, self._spec = self._read_packet()
+        if self._pending is None:
+            raise EOFError("gdpfilesrc: empty stream")
+        return self._spec
+
+    def _read_packet(self):
+        hdr = self._fh.read(8)
+        if len(hdr) < 8:
+            return None, self._spec
+        (n,) = struct.unpack("<Q", hdr)
+        return gdp.depay(self._fh.read(n))
+
+    def pull_window(self, window: int):
+        if self._pending is not None:
+            batch, self._pending = self._pending, None
+            return batch
+        batch, _ = self._read_packet()
+        return batch
+
+    def process(self, params, state, batch):
+        return state, batch

@@ -184,3 +184,38 @@ def test_pnm_roundtrip(tmp_path, rng):
     spec2, back2 = pnm.read_pnm(str(tmp_path / "t.pgm"))
     assert spec2.format == "GRAY8"
     np.testing.assert_array_equal(gray, back2)
+
+
+def test_gdp_file_transport(tmp_path, rng):
+    frames = rng.integers(0, 256, (5, 16, 24, 4), dtype=np.uint8)
+    loc = str(tmp_path / "t.gdp")
+    p1 = gt.parse_launch(f"appsrc width=24 height=16 format=BGRx "
+                         f"! gdpfilesink location={loc}")
+    p1.negotiate()
+    p1.elements[0].push_frames(frames)
+    p1.run(window=2)
+    p1.elements[-1].close()
+
+    p2 = gt.parse_launch(f"gdpfilesrc location={loc} ! solarize ! fakesink")
+    spec = p2.negotiate()
+    assert spec.width == 24 and spec.format == "BGRx"
+    outs = p2.run(window=2)
+    got = np.concatenate([np.asarray(o.data) for o in outs])
+    from gstbad_tpu.golden.gaudieffects import solarize
+    assert got.shape[0] == 5
+    for i in range(5):
+        np.testing.assert_array_equal(got[i], solarize(frames[i]))
+
+
+def test_filesink_videoparse_roundtrip(tmp_path, rng):
+    loc = str(tmp_path / "t.raw")
+    p = gt.parse_launch("videotestsrc pattern=gradient width=16 height=16 "
+                        f"format=GRAY8 ! filesink location={loc}")
+    p.run(n_frames=3, window=3)
+    p.elements[-1].close()
+    p2 = gt.parse_launch("videoparse format=GRAY8 width=16 height=16 "
+                         "! fakesink")
+    p2.negotiate()
+    p2.elements[0].push_bytes(open(loc, "rb").read())
+    outs = p2.run(window=3)
+    assert sum(o.batch for o in outs) == 3
