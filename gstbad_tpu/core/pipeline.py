@@ -199,6 +199,9 @@ class Pipeline:
         """
         if inputs is not None:
             window = window or inputs.batch
+        window = window or self._window or n_frames
+        if not window:
+            raise ValueError("run() needs a window size (or inputs/n_frames)")
         if self._step is None or window != self._window:
             self.compile(window)
         order = self._order
