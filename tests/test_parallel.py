@@ -1,0 +1,80 @@
+"""Mesh sharding: DP over frames, SP over rows — results must match the
+unsharded program (XLA inserts halo exchanges for row-neighborhood ops).
+Runs on the 8 virtual CPU devices from conftest."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import gstbad_tpu as gt
+from gstbad_tpu.core.frame import FrameBatch
+from gstbad_tpu.core.spec import MediaSpec
+from gstbad_tpu.parallel import make_mesh, shard_batch, pipeline_shardings
+
+
+@pytest.fixture
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(dp=4, sp=2)
+
+
+def _build(desc, spec=None):
+    p = gt.parse_launch(desc)
+    p.negotiate(spec)
+    return p
+
+
+def _step_outputs(p, window, batch):
+    step = p.compile(window, jit=True, donate_state=False)
+    params = p.params()
+    states = p.init_states(window)
+    _, leaf, _ = step(params, states, batch)
+    return np.asarray(leaf[-1].data)
+
+
+def test_sharded_pointops_match_unsharded(rng, mesh):
+    img = rng.integers(0, 256, (8, 32, 128, 4), dtype=np.uint8)
+    spec = MediaSpec(kind="video", format="BGRx", width=128, height=32)
+    p = _build("burn ! solarize ! chromahold ! fakesink", spec)
+    batch = FrameBatch.make(jnp.asarray(img))
+    want = _step_outputs(p, 8, batch)
+
+    p2 = _build("burn ! solarize ! chromahold ! fakesink", spec)
+    with mesh:
+        sharded = shard_batch(batch, mesh)
+        got = _step_outputs(p2, 8, sharded)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_blur_halo_exchange(rng, mesh):
+    """gaussianblur has a row neighborhood — the sp sharding forces XLA to
+    halo-exchange across the row-sharded devices; results must be identical."""
+    img = rng.integers(0, 256, (8, 64, 128, 4), dtype=np.uint8)
+    spec = MediaSpec(kind="video", format="AYUV", width=128, height=64)
+    p = _build("gaussianblur sigma=2.0 ! fakesink", spec)
+    batch = FrameBatch.make(jnp.asarray(img))
+    want = _step_outputs(p, 8, batch)
+
+    p2 = _build("gaussianblur sigma=2.0 ! fakesink", spec)
+    with mesh:
+        got = _step_outputs(p2, 8, shard_batch(batch, mesh))
+    # sharded conv may reassociate the f32 taps; at a +0.5 truncation
+    # boundary a pixel can land one LSB away
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 1e-4
+
+
+def test_output_actually_sharded(rng, mesh):
+    img = rng.integers(0, 256, (8, 32, 128, 4), dtype=np.uint8)
+    spec = MediaSpec(kind="video", format="BGRx", width=128, height=32)
+    p = _build("burn ! fakesink", spec)
+    batch = shard_batch(FrameBatch.make(jnp.asarray(img)), mesh)
+    shardings = pipeline_shardings(mesh, batch)
+    step = p.compile(8, jit=True, donate_state=False,
+                     out_shardings=(None, [shardings], None))
+    with mesh:
+        _, leaf, _ = step(p.params(), p.init_states(8), batch)
+    assert len(leaf[-1].data.sharding.device_set) == 8
