@@ -1,0 +1,81 @@
+"""Subtitle/graphics overlay — the dvdspu / dvbsuboverlay compositing analog
+(gst/dvdspu/, gst/dvbsuboverlay/).
+
+The reference blends decoded subpicture RGBA/palette planes onto video with
+per-pixel alpha; `suboverlay` does the same for an alpha-carrying overlay
+branch (AYUV or A420-style planar) onto AYUV/I420 video, with integer
+(alpha + 1)/256 blending in the reference's fixed-point style.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from gstbad_tpu.core.element import Element, Property
+from gstbad_tpu.core.frame import FrameBatch
+from gstbad_tpu.core.registry import register
+from gstbad_tpu.core.spec import MediaSpec, VideoFormat, require
+
+
+def _blend(dst, src, alpha):
+    """dst + (src - dst) * a, fixed point: (a * src + (255 - a) * dst) / 255
+    evaluated as (x * 257 + 257) >> 16 style is overkill here; use exact
+    integer rounding (x + 127) // 255."""
+    d = dst.astype(jnp.int32)
+    s = src.astype(jnp.int32)
+    a = alpha.astype(jnp.int32)
+    return ((a * s + (255 - a) * d + 127) // 255).astype(jnp.uint8)
+
+
+@register
+class SubOverlay(Element):
+    """2-input: [video, overlay] -> video with the overlay alpha-blended.
+
+    video: AYUV or I420; overlay: AYUV, or planar dict with an "a" plane
+    (alphacombine output); geometries must match.
+    """
+
+    NAME = "suboverlay"
+    N_INPUTS = 2
+
+    def negotiate(self, in_spec):
+        require(isinstance(in_spec, list) and len(in_spec) == 2,
+                "suboverlay: needs (video, overlay) inputs")
+        video, overlay = in_spec
+        require(video.kind == "video" and overlay.kind == "video",
+                "suboverlay: needs video inputs")
+        require(video.width == overlay.width
+                and video.height == overlay.height,
+                "suboverlay: geometry mismatch")
+        require(video.format in (VideoFormat.AYUV, VideoFormat.I420),
+                f"suboverlay: video format {video.format} unsupported")
+        require(overlay.format in (VideoFormat.AYUV, "A420"),
+                f"suboverlay: overlay format {overlay.format} unsupported")
+        self._video_fmt = video.format
+        self._overlay_fmt = overlay.format
+        return video
+
+    def process(self, params, state, batches):
+        video, overlay = batches
+        if self._overlay_fmt == VideoFormat.AYUV:
+            oa = overlay.data[..., 0]
+            oy = overlay.data[..., 1]
+            ou = overlay.data[..., 2]
+            ov = overlay.data[..., 3]
+        else:  # A420 planar dict
+            oa = overlay.data["a"]
+            oy = overlay.data["y"]
+            ou = jnp.repeat(jnp.repeat(overlay.data["u"], 2, -2), 2, -1)
+            ov = jnp.repeat(jnp.repeat(overlay.data["v"], 2, -2), 2, -1)
+        if self._video_fmt == VideoFormat.AYUV:
+            out = video.data
+            out = out.at[..., 1].set(_blend(video.data[..., 1], oy, oa))
+            out = out.at[..., 2].set(_blend(video.data[..., 2], ou, oa))
+            out = out.at[..., 3].set(_blend(video.data[..., 3], ov, oa))
+            return state, video.with_data(out)
+        # I420: blend luma full-res; chroma at subsampled alpha
+        y = _blend(video.data["y"], oy, oa)
+        a_sub = oa[..., ::2, ::2]
+        u = _blend(video.data["u"], ou[..., ::2, ::2], a_sub)
+        v = _blend(video.data["v"], ov[..., ::2, ::2], a_sub)
+        return state, video.with_data({"y": y, "u": u, "v": v})

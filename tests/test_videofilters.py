@@ -144,3 +144,17 @@ def test_alphacombine(rng):
     outs = p.run(n_frames=2, window=2)
     assert "a" in outs[0].data
     assert outs[0].data["a"].shape == (2, 16, 16)
+
+
+def test_suboverlay(rng):
+    import gstbad_tpu as gt
+    p = gt.parse_launch(
+        "videotestsrc pattern=black width=16 height=16 format=AYUV name=v "
+        "! ovl. "
+        "videotestsrc pattern=white width=16 height=16 format=AYUV "
+        "! ovl. "
+        "suboverlay name=ovl ! fakesink")
+    outs = p.run(n_frames=1, window=1)
+    out = np.asarray(outs[0].data[0])
+    # overlay alpha=255 -> video replaced by overlay (white: Y=235)
+    assert abs(int(out[0, 0, 1]) - 235) <= 1
