@@ -131,7 +131,7 @@ class Pipeline:
     # -- compilation ---------------------------------------------------------
     def compile(self, window: int, in_spec: Optional[MediaSpec] = None,
                 jit: bool = True, donate_state: bool = True,
-                out_shardings=None):
+                out_shardings=None, mesh=None):
         """Build the fused window function over the whole DAG.
 
         step(params, states, in_batch_or_None)
@@ -171,11 +171,22 @@ class Pipeline:
             leaf_out = [values[id(n)] for n in leaves]
             return new_states, leaf_out, messages
 
+        if mesh is not None and out_shardings is None:
+            # source-driven multi-chip: shard every leaf batch dp over
+            # frames, sp over rows (parallel/mesh.py placement)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data_s = NamedSharding(mesh, P("dp", "sp"))
+            meta_s = NamedSharding(mesh, P("dp"))
+            batch_s = FrameBatch(data=data_s, pts=meta_s, flags=meta_s,
+                                 valid=meta_s)
+            out_shardings = (None, [batch_s for _ in leaves], None)
         if jit:
             donate = (1,) if donate_state else ()
             step = jax.jit(step, donate_argnums=donate,
                            out_shardings=out_shardings)
         self._step = step
+        self._mesh = mesh
         if self._states is None:
             self._states = [n.element.init_state(window) for n in order]
         return step

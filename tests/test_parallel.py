@@ -78,3 +78,22 @@ def test_output_actually_sharded(rng, mesh):
     with mesh:
         _, leaf, _ = step(p.params(), p.init_states(8), batch)
     assert len(leaf[-1].data.sharding.device_set) == 8
+
+
+def test_pipeline_compile_with_mesh(rng, mesh):
+    """Source-driven pipeline compiled straight onto the mesh."""
+    p = gt.parse_launch("videotestsrc pattern=bars width=128 height=32 "
+                        "format=BGRx ! burn ! solarize ! fakesink")
+    p.negotiate()
+    with mesh:
+        step = p.compile(8, mesh=mesh, donate_state=False)
+        _, leaf, _ = step(p.params(), p.init_states(8), None)
+    assert len(leaf[-1].data.sharding.device_set) == 8
+    # equality vs single-device
+    p2 = gt.parse_launch("videotestsrc pattern=bars width=128 height=32 "
+                         "format=BGRx ! burn ! solarize ! fakesink")
+    p2.negotiate()
+    step2 = p2.compile(8, donate_state=False)
+    _, leaf2, _ = step2(p2.params(), p2.init_states(8), None)
+    np.testing.assert_array_equal(np.asarray(leaf[-1].data),
+                                  np.asarray(leaf2[-1].data))
