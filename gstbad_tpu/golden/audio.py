@@ -261,3 +261,64 @@ class VAD:
         else:
             self.samples = 0
         return self.state
+
+
+# ---------------------------------------------------------------------------
+# bs2b crossfeed (ext/bs2b/gstbs2b.c; DSP = public-domain libbs2b)
+# ---------------------------------------------------------------------------
+
+BS2B_PRESETS = {
+    # name -> (fcut Hz, feed dB*10); gstbs2b.c:85-98 preset table
+    # (BS2B_DEFAULT/CMOY/JMEIER_CLEVEL packed fcut | feed<<16)
+    "default": (700, 45),
+    "cmoy": (700, 60),
+    "jmeier": (650, 95),
+}
+
+
+class Bs2b:
+    """Sample-serial float64 transcription of libbs2b's cross_feed_d.
+
+    The element (ext/bs2b/gstbs2b.c) delegates all DSP to the external
+    libbs2b; this is the spec for our TPU rebuild.  Filter design follows
+    libbs2b init(): the feed level (dB*10) splits into lowpass attenuation
+    GB_lo = -level*5/6 - 3 and high-boost GB_hi = level/6 - 3; one-pole
+    lowpass at fcut feeds the opposite channel, a matching one-pole
+    high-boost keeps the direct channel, and gain renormalizes.
+    """
+
+    def __init__(self, rate=44100, fcut=700, feed=45):
+        level = feed / 10.0
+        gb_lo = level * -5.0 / 6.0 - 3.0
+        gb_hi = level / 6.0 - 3.0
+        g_lo = 10.0 ** (gb_lo / 20.0)
+        g_hi = 1.0 - 10.0 ** (gb_hi / 20.0)
+        fc_hi = fcut * 2.0 ** ((gb_lo - 20.0 * np.log10(g_hi)) / 12.0)
+        x = np.exp(-2.0 * np.pi * fcut / rate)
+        self.b1_lo, self.a0_lo = x, g_lo * (1.0 - x)
+        x = np.exp(-2.0 * np.pi * fc_hi / rate)
+        self.b1_hi, self.a0_hi, self.a1_hi = x, 1.0 - g_hi * (1.0 - x), -x
+        self.gain = 1.0 / (1.0 - g_hi + g_lo)
+        self.lo = np.zeros(2)
+        self.hi = np.zeros(2)
+        self.asis = np.zeros(2)
+
+    def process_float(self, x: np.ndarray) -> np.ndarray:
+        """x: [N, 2] float64 (any native scale; libbs2b runs int formats
+        unnormalized and clips afterwards)."""
+        out = np.empty_like(x, np.float64)
+        for n in range(x.shape[0]):
+            for ch in (0, 1):
+                self.lo[ch] = self.a0_lo * x[n, ch] + self.b1_lo * self.lo[ch]
+                self.hi[ch] = (self.a0_hi * x[n, ch]
+                               + self.a1_hi * self.asis[ch]
+                               + self.b1_hi * self.hi[ch])
+                self.asis[ch] = x[n, ch]
+            out[n, 0] = (self.hi[0] + self.lo[1]) * self.gain
+            out[n, 1] = (self.hi[1] + self.lo[0]) * self.gain
+        return out
+
+    def process_s16(self, x: np.ndarray) -> np.ndarray:
+        """bs2b_cross_feed_s16: process in native int range, clip, trunc."""
+        y = self.process_float(x.astype(np.float64))
+        return np.clip(y, -32768, 32767).astype(np.int16)

@@ -357,3 +357,69 @@ def vad_block(state, data: jnp.ndarray, threshold: jnp.ndarray,
     new = {"ring": ring, "count": count, "power": power,
            "state": new_state, "samples": new_samples}
     return new, new_state
+
+
+# ---------------------------------------------------------------------------
+# bs2b crossfeed (ext/bs2b/gstbs2b.c wrapping the public-domain libbs2b)
+# ---------------------------------------------------------------------------
+
+
+def first_order_iir(d: jnp.ndarray, c, y0: jnp.ndarray) -> jnp.ndarray:
+    """Parallel first-order recurrence y[n] = c*y[n-1] + d[n], y[-1] = y0.
+
+    Solved in O(log N) depth with an associative scan over the affine maps
+    y -> c*y + d (compose: (a1,b1)∘(a2,b2) = (a1*a2, b2 + a2*b1)) — the
+    TPU-native form of the sample-serial IIR loops the reference delegates
+    to external DSP libraries.  d: [N, ...]; y0 broadcastable to d[0]."""
+    cs = jnp.broadcast_to(jnp.asarray(c, d.dtype), d.shape)
+
+    def compose(l, r):
+        a1, b1 = l
+        a2, b2 = r
+        return a1 * a2, b2 + a2 * b1
+
+    a, b = lax.associative_scan(compose, (cs, d), axis=0)
+    return b + a * y0
+
+
+def bs2b_cross_feed(state, x: jnp.ndarray, coef):
+    """libbs2b cross_feed_d on a block: x [N, 2] float64.
+
+    Per sample (libbs2b bs2b.c cross_feed_d; element hook
+    ext/bs2b/gstbs2b.c:341-361):
+      lo[ch]   = a0_lo*x[ch] + b1_lo*lo[ch]            (lowpass)
+      hi[ch]   = a0_hi*x[ch] + a1_hi*asis[ch] + b1_hi*hi[ch]  (high boost)
+      asis[ch] = x[ch]
+      out      = (hi + swap(lo)) * gain                (crossfeed)
+    state = {"lo": [2], "hi": [2], "asis": [2]} float64 carries."""
+    lo = first_order_iir(coef["a0_lo"] * x, coef["b1_lo"], state["lo"])
+    x_prev = jnp.concatenate([state["asis"][None, :], x[:-1]], axis=0)
+    hi = first_order_iir(coef["a0_hi"] * x + coef["a1_hi"] * x_prev,
+                         coef["b1_hi"], state["hi"])
+    out = (hi + lo[:, ::-1]) * coef["gain"]
+    new_state = {"lo": lo[-1], "hi": hi[-1], "asis": x[-1]}
+    return new_state, out
+
+
+def bs2b_coefficients(fcut: float, feed: float, rate: int):
+    """libbs2b init(): filter design from (fcut Hz, feed dB*10, srate).
+
+    feed is split between attenuating the crossfed lowpass (GB_lo) and
+    boosting the direct high band (GB_hi); gain renormalizes the sum.
+    Host-side float64 (numpy), recomputed when fcut/feed change — the
+    bs2b_set_level_fcut/feed analog (gstbs2b.c:370-381)."""
+    level = float(feed) / 10.0
+    gb_lo = level * -5.0 / 6.0 - 3.0
+    gb_hi = level / 6.0 - 3.0
+    g_lo = 10.0 ** (gb_lo / 20.0)
+    g_hi = 1.0 - 10.0 ** (gb_hi / 20.0)
+    fc_lo = float(fcut)
+    fc_hi = fc_lo * 2.0 ** ((gb_lo - 20.0 * np.log10(g_hi)) / 12.0)
+    x = np.exp(-2.0 * np.pi * fc_lo / rate)
+    b1_lo, a0_lo = x, g_lo * (1.0 - x)
+    x = np.exp(-2.0 * np.pi * fc_hi / rate)
+    b1_hi, a0_hi, a1_hi = x, 1.0 - g_hi * (1.0 - x), -x
+    gain = 1.0 / (1.0 - g_hi + g_lo)
+    return {"b1_lo": jnp.float64(b1_lo), "a0_lo": jnp.float64(a0_lo),
+            "b1_hi": jnp.float64(b1_hi), "a0_hi": jnp.float64(a0_hi),
+            "a1_hi": jnp.float64(a1_hi), "gain": jnp.float64(gain)}

@@ -206,3 +206,64 @@ def test_videoframe_audiolevel_av_sync(rng):
     assert len(msgs) == 4
     # full-scale 0.8 sine RMS ~ 0.566
     assert msgs[1]["rms"][0] == pytest.approx(0.8 / np.sqrt(2), rel=0.05)
+
+
+# ---------------------------------------------------------------------------
+# bs2b crossfeed
+# ---------------------------------------------------------------------------
+
+
+def test_bs2b_float_matches_golden(rng):
+    x = ((rng.random((2, 256, 2)) - 0.5) * 1.6).astype(np.float32)
+    h = Harness("bs2b")
+    h.set_src_spec(_spec(AudioFormat.F32, 2, 44100))
+    got = h.push_pull(x)
+    g = golden.Bs2b(rate=44100)
+    want = g.process_float(x.reshape(-1, 2).astype(np.float64))
+    want = np.clip(want, -1.0, 1.0).astype(np.float32).reshape(2, 256, 2)
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-7)
+
+
+def test_bs2b_state_spans_windows(rng):
+    x = ((rng.random((4, 64, 2)) - 0.5)).astype(np.float64)
+    h = Harness("bs2b", fcut=900, feed=80)
+    h.set_src_spec(_spec(AudioFormat.F64, 2, 48000))
+    got_a = h.push_pull(x[:2])
+    got_b = h.push_pull(x[2:])
+    g = golden.Bs2b(rate=48000, fcut=900, feed=80)
+    want = g.process_float(x.reshape(-1, 2))
+    want = np.clip(want, -1.0, 1.0).reshape(4, 64, 2)
+    np.testing.assert_allclose(
+        np.concatenate([got_a, got_b]), want, rtol=0, atol=1e-12)
+
+
+def test_bs2b_s16_clips_and_truncates(rng):
+    x = rng.integers(-32768, 32768, (1, 512, 2)).astype(np.int16)
+    h = Harness("bs2b")
+    h.set_src_spec(_spec(AudioFormat.S16, 2, 44100))
+    got = h.push_pull(x)
+    g = golden.Bs2b(rate=44100)
+    want = g.process_s16(x.reshape(-1, 2)).reshape(1, 512, 2)
+    assert got.dtype == np.int16
+    # scan reassociation can flip the final truncation by 1 LSB
+    assert np.abs(got.astype(np.int32) - want.astype(np.int32)).max() <= 1
+
+
+def test_bs2b_presets_and_mono_passthrough(rng):
+    xs = ((rng.random((1, 128, 2)) - 0.5)).astype(np.float64)
+    outs = {}
+    for preset in ("default", "cmoy", "jmeier"):
+        h = Harness("bs2b", preset=preset)
+        h.set_src_spec(_spec(AudioFormat.F64, 2, 44100))
+        outs[preset] = h.push_pull(xs)
+        fcut, feed = golden.BS2B_PRESETS[preset]
+        g = golden.Bs2b(rate=44100, fcut=fcut, feed=feed)
+        want = np.clip(g.process_float(xs.reshape(-1, 2)), -1, 1)
+        np.testing.assert_allclose(outs[preset].reshape(-1, 2), want,
+                                   rtol=0, atol=1e-12)
+    assert not np.allclose(outs["default"], outs["jmeier"])
+
+    mono = ((rng.random((1, 64, 1)) - 0.5)).astype(np.float32)
+    h = Harness("bs2b")
+    h.set_src_spec(_spec(AudioFormat.F32, 1, 44100))
+    np.testing.assert_array_equal(h.push_pull(mono), mono)
