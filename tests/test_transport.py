@@ -219,3 +219,59 @@ def test_filesink_videoparse_roundtrip(tmp_path, rng):
     p2.elements[0].push_bytes(open(loc, "rb").read())
     outs = p2.run(window=3)
     assert sum(o.batch for o in outs) == 3
+
+
+def test_netsim_drop_packets_counter():
+    p = gt.parse_launch("videotestsrc pattern=gradient width=16 height=16 "
+                        "! netsim drop-packets=5 ! fakesink")
+    outs = p.run(n_frames=12, window=4)
+    n = sum(o.batch for o in outs)
+    assert n == 7  # first 5 dropped, counter persists across windows
+
+
+def test_netsim_token_bucket_rate_cap():
+    # 16x16 AYUV = 1024 B = 8192 bits/frame at 30 fps = ~246 kbps stream;
+    # cap at ~half that (123 kbps = 4100 tokens/frame, 9 Kb bucket) and
+    # check the bucket passes every other frame in steady state.
+    p = gt.parse_launch(
+        "videotestsrc pattern=gradient width=16 height=16 "
+        "! netsim max-kbps=123 max-bucket-size=9 ! fakesink")
+    outs = p.run(n_frames=30, window=6)
+    n = sum(o.batch for o in outs)
+    assert 12 <= n <= 18
+    # a bucket smaller than one frame blocks everything
+    p_blocked = gt.parse_launch(
+        "videotestsrc pattern=gradient width=16 height=16 "
+        "! netsim max-kbps=123 max-bucket-size=8 ! fakesink")
+    assert sum(o.batch for o in p_blocked.run(n_frames=6, window=3)) == 0
+    # unlimited rate with a bucket: everything passes (refill each frame)
+    p2 = gt.parse_launch(
+        "videotestsrc pattern=gradient width=16 height=16 "
+        "! netsim max-kbps=-1 max-bucket-size=9 ! fakesink")
+    assert sum(o.batch for o in p2.run(n_frames=10, window=5)) == 10
+
+
+def test_netsim_delay_distributions_and_reorder_guard():
+    import numpy as np
+    for dist in ("uniform", "normal", "gamma"):
+        p = gt.parse_launch(
+            "videotestsrc pattern=gradient width=16 height=16 "
+            f"! netsim delay-probability=1.0 delay-distribution={dist} "
+            "min-delay=100 max-delay=200 seed=11 ! fakesink")
+        outs = p.run(n_frames=16, window=8)
+        pts = np.concatenate([np.asarray(o.pts) for o in outs])
+        base = np.arange(16) * (10**9 // 30)
+        d_ms = (pts - base) / 1e6
+        assert d_ms.min() >= 0
+        if dist == "uniform":
+            assert d_ms.min() >= 100 and d_ms.max() <= 200
+        else:
+            assert 80 < np.median(d_ms) < 400
+    # allow-reordering=false: output PTS must be non-decreasing
+    p = gt.parse_launch(
+        "videotestsrc pattern=gradient width=16 height=16 "
+        "! netsim delay-probability=0.7 min-delay=0 max-delay=500 "
+        "allow-reordering=false seed=5 ! fakesink")
+    outs = p.run(n_frames=24, window=8)
+    pts = np.concatenate([np.asarray(o.pts) for o in outs])
+    assert (np.diff(pts) >= 0).all()
