@@ -23,6 +23,10 @@ FLAG_TFF = 1 << 1
 FLAG_RFF = 1 << 2
 FLAG_ONEFIELD = 1 << 3
 FLAG_GAP = 1 << 4
+# composed field markers for interlace-mode=alternate streams, mirroring
+# GStreamer's TOP_FIELD = TFF|ONEFIELD / BOTTOM_FIELD = ONEFIELD composition
+FLAG_TOP_FIELD = FLAG_TFF | FLAG_ONEFIELD
+FLAG_BOTTOM_FIELD = FLAG_ONEFIELD
 
 Array = Any
 

@@ -18,8 +18,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from gstbad_tpu.core.element import Property, VideoFilter
-from gstbad_tpu.core.frame import (FLAG_INTERLACED, FLAG_ONEFIELD, FLAG_RFF,
-                                   FLAG_TFF, FrameBatch)
+from gstbad_tpu.core.frame import (FLAG_BOTTOM_FIELD, FLAG_INTERLACED,
+                                   FLAG_ONEFIELD, FLAG_RFF, FLAG_TFF,
+                                   FLAG_TOP_FIELD, FrameBatch)
 from gstbad_tpu.core.registry import register
 from gstbad_tpu.core.spec import MediaSpec, VideoFormat, require
 
@@ -48,6 +49,13 @@ class Interlace(VideoFilter):
         Property("pattern", str, "2:3", static=True),
         Property("pattern-offset", int, 0, 0, 12, static=True),
         Property("allow-rff", bool, False, static=True),
+        # interlace-mode=alternate output: two half-height field buffers per
+        # woven frame, sharing PTS, flagged TOP_FIELD/BOTTOM_FIELD
+        # (gstinterlace.c:1288-1410 alternate branches).  The reference
+        # selects this when downstream caps prefer alternate
+        # (gstinterlace.c:484-488); negotiation here is forward-only, so it
+        # is an explicit property.
+        Property("alternate", bool, False, static=True),
     )
 
     def negotiate(self, in_spec: MediaSpec) -> MediaSpec:
@@ -61,6 +69,13 @@ class Interlace(VideoFilter):
                 "interlace: pattern-offset beyond pattern")
         mode = ("mixed" if self.props["pattern"] not in ("1:1", "2:2")
                 else "interleaved")
+        if self.props["alternate"]:
+            div = 4 if in_spec.format == VideoFormat.I420 else 2
+            require(in_spec.height % div == 0,
+                    f"interlace: alternate needs height % {div} == 0")
+            return in_spec.with_(
+                framerate=in_spec.framerate * Fraction(rn, rd),
+                interlace_mode="alternate", height=in_spec.height // 2)
         return in_spec.with_(
             framerate=in_spec.framerate * Fraction(rn, rd),
             interlace_mode=mode)
@@ -97,6 +112,17 @@ class Interlace(VideoFilter):
         }
 
     @staticmethod
+    def _copy_field(planes, fi):
+        """Half-height field extract: rows fi, fi+2, ... of every plane
+        (copy_field, gstinterlace.c:1131-1171).  fi is traced 0/1, so both
+        static strided slices are built and selected."""
+        out = {}
+        for k, v in planes.items():
+            h2 = v.shape[0] // 2
+            out[k] = jnp.where(fi == 0, v[0::2][:h2], v[1::2][:h2])
+        return out
+
+    @staticmethod
     def _weave(stored, current, field_index):
         """Rows of parity `field_index` from stored, others from current
         (copy_fields, gstinterlace.c:1070-1113)."""
@@ -113,6 +139,7 @@ class Interlace(VideoFilter):
         table = jnp.asarray(self._table)
         offset = self.props["pattern-offset"]
         allow_rff = self.props["allow-rff"]
+        alternate = self.props["alternate"]
         mixed = self._mixed
         field_ns = self._field_ns
         is_dict = isinstance(batch.data, dict)
@@ -138,20 +165,45 @@ class Interlace(VideoFilter):
             for _ in range(2):
                 emit = num >= 2
                 use_stored = stored_fields > 0
-                woven = self._weave(stored, planes, field_index)
-                frame_out = {k: jnp.where(use_stored, woven[k], planes[k])
-                             for k in planes}
                 take3 = (~use_stored) & (num >= 3) & allow_rff
                 nout = jnp.where(use_stored, 2, jnp.where(take3, 3, 2))
                 interlaced = use_stored
-                # flags (gst_interlace_decorate_buffer)
-                flags = jnp.where(field_index == 0, FLAG_TFF, 0)
-                flags = flags | jnp.where(nout == 3, FLAG_RFF, 0)
-                if mixed:
-                    flags = flags | jnp.where(interlaced & (nout == 2),
-                                              FLAG_INTERLACED, 0)
                 pts_out = timebase + jnp.int64(field_ns) \
                     * fields_since.astype(jnp.int64)
+
+                if alternate:
+                    # field 1 from stored (or current), field 2 always from
+                    # the incoming buffer (gstinterlace.c:1306-1341)
+                    src1 = {k: jnp.where(use_stored, stored[k], planes[k])
+                            for k in planes}
+                    f1 = self._copy_field(src1, field_index)
+                    f2 = self._copy_field(planes, field_index ^ 1)
+                    top_first = field_index == 0
+                    flags1 = jnp.where(top_first, FLAG_TOP_FIELD,
+                                       FLAG_BOTTOM_FIELD) | FLAG_INTERLACED
+                    flags2 = jnp.where(top_first, FLAG_BOTTOM_FIELD,
+                                       FLAG_TOP_FIELD) | FLAG_INTERLACED
+                    outs += [f1, f2]
+                    out_pts += [pts_out, pts_out]  # fields share the ts
+                    out_flags += [
+                        jnp.where(emit, flags1, 0).astype(jnp.int32),
+                        jnp.where(emit, flags2, 0).astype(jnp.int32)]
+                    out_valid += [emit, emit]
+                else:
+                    woven = self._weave(stored, planes, field_index)
+                    frame_out = {k: jnp.where(use_stored, woven[k],
+                                              planes[k]) for k in planes}
+                    # flags (gst_interlace_decorate_buffer)
+                    flags = jnp.where(field_index == 0, FLAG_TFF, 0)
+                    flags = flags | jnp.where(nout == 3, FLAG_RFF, 0)
+                    if mixed:
+                        flags = flags | jnp.where(interlaced & (nout == 2),
+                                                  FLAG_INTERLACED, 0)
+                    outs.append(frame_out)
+                    out_pts.append(pts_out)
+                    out_flags.append(jnp.where(emit, flags, 0)
+                                     .astype(jnp.int32))
+                    out_valid.append(emit)
 
                 consumed_cur = jnp.where(use_stored, 1, nout)
                 current = jnp.where(emit, current - consumed_cur, current)
@@ -162,11 +214,6 @@ class Interlace(VideoFilter):
                 field_index = jnp.where(emit, field_index ^ (nout & 1),
                                         field_index)
                 num = jnp.where(emit, num - nout, num)
-
-                outs.append(frame_out)
-                out_pts.append(pts_out)
-                out_flags.append(jnp.where(emit, flags, 0).astype(jnp.int32))
-                out_valid.append(emit)
 
             # store leftover field (gstinterlace.c:1436-1447)
             keep = current > 0
@@ -186,11 +233,12 @@ class Interlace(VideoFilter):
         state, (frames, pts, flags, valid) = lax.scan(
             step, state, (data, batch.pts))
         b = batch.batch
-        out_data = {k: v.reshape((2 * b,) + v.shape[2:])
+        slots = 4 if alternate else 2
+        out_data = {k: v.reshape((slots * b,) + v.shape[2:])
                     for k, v in frames.items()}
         if not is_dict:
             out_data = out_data["p"]
-        out = FrameBatch(data=out_data, pts=pts.reshape(2 * b),
-                         flags=flags.reshape(2 * b),
-                         valid=valid.reshape(2 * b))
+        out = FrameBatch(data=out_data, pts=pts.reshape(slots * b),
+                         flags=flags.reshape(slots * b),
+                         valid=valid.reshape(slots * b))
         return state, out

@@ -203,3 +203,63 @@ def test_interlace_pattern_field_accounting(rng, pattern, n_in, expect_out):
     n_out = sum(o.batch for o in outs)
     # stored leftover field at stream end may hold back one output
     assert expect_out - 1 <= n_out <= expect_out, (pattern, n_out)
+
+
+class TestInterlaceAlternate:
+    """interlace-mode=alternate: two half-height field buffers per woven
+    frame (gstinterlace.c:1288-1410)."""
+
+    def test_alternate_reweaves_to_woven_output(self, rng):
+        from gstbad_tpu.core.frame import FLAG_TOP_FIELD, FLAG_ONEFIELD
+        frames = _frames(8, rng)
+
+        h_w = Harness("interlace", pattern="2:3")
+        h_w.set_src_spec(_gray_spec("24/1"))
+        woven = h_w.push(frames)
+        wdata = np.concatenate([np.asarray(o.data) for o in woven])
+        wpts = np.concatenate([np.asarray(o.pts) for o in woven])
+
+        h_a = Harness("interlace", pattern="2:3", alternate=True)
+        spec = h_a.set_src_spec(_gray_spec("24/1"))
+        assert spec.interlace_mode == "alternate"
+        assert spec.height == H // 2
+        alts = h_a.push(frames)
+        adata = np.concatenate([np.asarray(o.data) for o in alts])
+        apts = np.concatenate([np.asarray(o.pts) for o in alts])
+        aflags = np.concatenate([np.asarray(o.flags) for o in alts])
+
+        assert adata.shape[0] == 2 * wdata.shape[0]
+        for i in range(wdata.shape[0]):
+            f1, f2 = adata[2 * i], adata[2 * i + 1]
+            fl1, fl2 = aflags[2 * i], aflags[2 * i + 1]
+            # both fields share the woven frame's PTS
+            assert apts[2 * i] == apts[2 * i + 1] == wpts[i]
+            assert fl1 & FLAG_ONEFIELD and fl2 & FLAG_ONEFIELD
+            top_first = (fl1 & FLAG_TOP_FIELD) == FLAG_TOP_FIELD
+            rec = np.empty((H, W), np.uint8)
+            if top_first:
+                rec[0::2], rec[1::2] = f1, f2
+            else:
+                rec[1::2], rec[0::2] = f1, f2
+            np.testing.assert_array_equal(rec, wdata[i])
+
+    def test_alternate_i420_planes(self, rng):
+        frames = {"y": rng.integers(0, 256, (4, H, W), np.uint8),
+                  "u": rng.integers(0, 256, (4, H // 2, W // 2), np.uint8),
+                  "v": rng.integers(0, 256, (4, H // 2, W // 2), np.uint8)}
+        h = Harness("interlace", pattern="2:2", alternate=True,
+                    **{"top-field-first": True})
+        spec = h.set_src_spec(MediaSpec(kind="video",
+                                        format=VideoFormat.I420,
+                                        width=W, height=H))
+        assert spec.height == H // 2
+        outs = h.push(frames)
+        y = np.concatenate([np.asarray(o.data["y"]) for o in outs])
+        u = np.concatenate([np.asarray(o.data["u"]) for o in outs])
+        assert y.shape == (8, H // 2, W)
+        assert u.shape == (8, H // 4, W // 2)
+        # 2:2 + tff: frame k -> top field then bottom field of frame k
+        np.testing.assert_array_equal(y[0], frames["y"][0][0::2])
+        np.testing.assert_array_equal(y[1], frames["y"][0][1::2])
+        np.testing.assert_array_equal(u[0], frames["u"][0][0::2])
+        np.testing.assert_array_equal(u[1], frames["u"][0][1::2])
