@@ -109,3 +109,67 @@ def test_audioparse(rng):
     p.elements[0].push_bytes(raw)
     outs = p.run(window=2)
     assert sum(o.batch for o in outs) == 4
+
+
+# ---------------------------------------------------------------------------
+# digitalzoom (gst/camerabin2/gstdigitalzoom.c)
+# ---------------------------------------------------------------------------
+
+
+def _bilinear_window(img, left, top, cw, ch):
+    """numpy transcription: center-aligned bilinear resample of the crop
+    window back to the full plane size."""
+    h, w = img.shape[:2]
+    out = np.zeros_like(img, np.float64)
+    ys = np.clip((np.arange(h) + 0.5) * (ch / h) + top - 0.5, 0, h - 1.0)
+    xs = np.clip((np.arange(w) + 0.5) * (cw / w) + left - 0.5, 0, w - 1.0)
+    y0 = np.floor(ys).astype(int); ay = ys - y0
+    x0 = np.floor(xs).astype(int); ax = xs - x0
+    y1 = np.minimum(y0 + 1, h - 1); x1 = np.minimum(x0 + 1, w - 1)
+    f = img.astype(np.float64)
+    for i in range(h):
+        r = (1 - ay[i]) * f[y0[i]] + ay[i] * f[y1[i]]
+        out[i] = ((1 - ax)[:, None] if img.ndim == 3 else (1 - ax)) \
+            * r[x0].T.T + (ax[:, None] if img.ndim == 3 else ax) * r[x1]
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def test_digitalzoom_crop_math_and_bilinear(rng):
+    from gstbad_tpu.core.harness import Harness
+    from gstbad_tpu.core.spec import MediaSpec, VideoFormat
+    x = rng.integers(0, 256, (2, 24, 32, 4), np.uint8)
+    for zoom in (1.0, 1.7, 2.0, 4.0):
+        h = Harness("digitalzoom", zoom=zoom)
+        h.set_src_spec(MediaSpec(kind="video", format=VideoFormat.AYUV,
+                                 width=32, height=24))
+        got = h.push_pull(x)
+        # reference integer crop (gstdigitalzoom.c:95-107)
+        w2 = (32 - int(32 * 1.0 / zoom)) // 2
+        h2 = (24 - int(24 * 1.0 / zoom)) // 2
+        left = w2 & 0xFFFE
+        cw, ch = 32 - left - w2, 24 - 2 * h2
+        for b in range(2):
+            want = _bilinear_window(x[b], left, h2, cw, ch)
+            diff = np.abs(got[b].astype(int) - want.astype(int))
+            assert diff.max() <= 1  # f32 vs f64 rounding at .5 boundaries
+    # zoom=1 is exactly identity
+    h = Harness("digitalzoom")
+    h.set_src_spec(MediaSpec(kind="video", format=VideoFormat.AYUV,
+                             width=32, height=24))
+    np.testing.assert_array_equal(h.push_pull(x), x)
+
+
+def test_digitalzoom_i420_planes(rng):
+    from gstbad_tpu.core.harness import Harness
+    from gstbad_tpu.core.spec import MediaSpec, VideoFormat
+    data = {"y": rng.integers(0, 256, (1, 24, 32), np.uint8),
+            "u": rng.integers(0, 256, (1, 12, 16), np.uint8),
+            "v": rng.integers(0, 256, (1, 12, 16), np.uint8)}
+    h = Harness("digitalzoom", zoom=2.0)
+    h.set_src_spec(MediaSpec(kind="video", format=VideoFormat.I420,
+                             width=32, height=24))
+    got = h.push(data)
+    y = np.asarray(got[0].data["y"])
+    assert y.shape == (1, 24, 32)
+    want_y = _bilinear_window(data["y"][0], 8, 6, 16, 12)
+    assert np.abs(y[0].astype(int) - want_y.astype(int)).max() <= 1
