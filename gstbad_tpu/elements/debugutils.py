@@ -138,3 +138,41 @@ class Queue(Identity):
     """queue: a scheduling decoupler in the reference; a no-op in the fused
     window program (the whole graph is one schedule)."""
     NAME = "queue"
+
+
+@register
+class ClockSelect(Identity):
+    """clockselect (gst/debugutils/gstclockselect.c): force the pipeline
+    clock.  The reference is a GstBin electing clock-id
+    default/monotonic/realtime/ptp/tai (+ptp-domain) as the pipeline
+    clock; here the element is a passthrough marker whose `clock()`
+    callable paces realtime sessions — Play looks one up in its pipeline
+    (session/play.py).  ptp has no host implementation and raises, like
+    the reference failing when the PTP subsystem is not initialized."""
+
+    NAME = "clockselect"
+    PROPERTIES = (
+        Property("clock-id", str, "default", static=True),
+        Property("ptp-domain", int, 0, 0, 255, static=True),
+    )
+
+    _IDS = ("default", "monotonic", "realtime", "ptp", "tai")
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        if self.props["clock-id"] not in self._IDS:
+            raise ValueError(f"clockselect: unknown clock-id "
+                             f"{self.props['clock-id']!r} (have {self._IDS})")
+
+    def clock(self):
+        """Returns a float-seconds callable for the selected clock."""
+        import time
+        cid = self.props["clock-id"]
+        if cid in ("default", "monotonic"):
+            return time.monotonic
+        if cid == "realtime":
+            return time.time
+        if cid == "tai":
+            return lambda: time.clock_gettime(time.CLOCK_TAI)
+        raise RuntimeError("clockselect: ptp clock unavailable "
+                           "(no PTP subsystem on this host)")

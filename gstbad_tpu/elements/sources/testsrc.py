@@ -248,3 +248,34 @@ class AudioTestSrc(Element):
         dur = int(1e9 * s / spec.rate)
         pts = (n0 // s + jnp.arange(window, dtype=jnp.int64)) * dur
         return n0 + window * s, FrameBatch.make(data, pts=pts)
+
+
+@register
+class TestSrcBin(Element):
+    """testsrcbin (gst/debugutils/gsttestsrcbin.c): wraps
+    audiotestsrc/videotestsrc per a stream spec.  The reference is a bin
+    exposing one sometimes-pad per stream and is consumed mainly through
+    `playbin uri=testbin://...`; here the factory returns the configured
+    inner source directly (the pad-proxy analog), so
+    `testsrcbin stream-types=video,pattern=ball ! ...` works inline.
+    Multi-stream specs (`audio+video`) expand to one chain per stream at
+    the session layer — see session/testbin.py testbin_launch and
+    Play.from_uri."""
+
+    NAME = "testsrcbin"
+    KIND = "source"
+    PROPERTIES = (Property("stream-types", str, "video", static=True),)
+
+    def __new__(cls, **props):
+        from gstbad_tpu.core.registry import make
+        from gstbad_tpu.session.testbin import parse_testbin_uri
+        streams = parse_testbin_uri(
+            "testbin://" + str(props.get("stream-types", "video")))
+        if len(streams) != 1:
+            raise ValueError(
+                "testsrcbin: one stream per launch-chain instance; for "
+                f"{len(streams)} streams use Play.from_uri('testbin://...') "
+                "or session.testbin.testbin_launch")
+        kind, sprops = streams[0]
+        return make("videotestsrc" if kind == "video" else "audiotestsrc",
+                    **sprops)

@@ -42,6 +42,29 @@ class Play:
         self._wake = threading.Event()
         self._stop = threading.Event()
 
+    @classmethod
+    def from_uri(cls, uri: str, **kw) -> "Play":
+        """GstPlay-style URI entry point.  Supports `testbin://` stream
+        specs (gsttestsrcbin.c URI handler; one pipeline chain per stream)
+        and `.y4m` file paths/URIs via the y4m reader."""
+        if uri.startswith("testbin://"):
+            from gstbad_tpu.session.testbin import testbin_launch
+            return cls(testbin_launch(uri), **kw)
+        path = uri[len("file://"):] if uri.startswith("file://") else uri
+        if path.endswith(".y4m"):
+            from gstbad_tpu.core.pipeline import parse_launch
+            from gstbad_tpu.io import y4m
+            spec, planes = y4m.read_y4m(path)
+            p = parse_launch(
+                f"appsrc name=src format={spec.format} width={spec.width} "
+                f"height={spec.height} framerate={spec.framerate.numerator}"
+                f"/{spec.framerate.denominator} ! fakevideosink")
+            p.get_by_name("src").push_frames(planes)
+            kw.setdefault("n_frames", next(iter(planes.values())).shape[0])
+            return cls(p, **kw)
+        raise ValueError(f"Play.from_uri: unsupported uri {uri!r} "
+                         "(testbin:// or .y4m)")
+
     @property
     def bus(self):
         return self.pipeline.bus
@@ -91,16 +114,25 @@ class Play:
         return self._position_ns
 
     # -- worker --------------------------------------------------------------
+    def _clock(self):
+        """Pacing clock: a clockselect element in the graph wins
+        (gstclockselect.c), else the monotonic default."""
+        for n in getattr(self.pipeline, "nodes", []):
+            if getattr(n.element, "NAME", "") == "clockselect":
+                return n.element.clock()
+        return time.monotonic
+
     def _loop(self) -> None:
         spec = self.pipeline.negotiate() if self.pipeline._order is None \
             else self.pipeline.out_spec
         dur = spec.frame_duration_ns if spec.kind == "video" else int(1e9 / 30)
         frames_done = 0
+        clock = self._clock()
         while not self._stop.is_set():
             if self.state != PlayState.PLAYING:
                 self._wake.wait(timeout=0.1)
                 continue
-            t0 = time.monotonic()
+            t0 = clock()
             outs = self.pipeline.run(n_frames=self.window, window=self.window)
             batches = outs if isinstance(outs, list) else outs[0]
             for b in batches:
@@ -115,6 +147,6 @@ class Play:
                 return
             if self.realtime:
                 budget = self.window * dur / 1e9
-                elapsed = time.monotonic() - t0
+                elapsed = clock() - t0
                 if elapsed < budget:
                     time.sleep(budget - elapsed)

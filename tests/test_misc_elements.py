@@ -173,3 +173,86 @@ def test_digitalzoom_i420_planes(rng):
     assert y.shape == (1, 24, 32)
     want_y = _bilinear_window(data["y"][0], 8, 6, 16, 12)
     assert np.abs(y[0].astype(int) - want_y.astype(int)).max() <= 1
+
+
+# ---------------------------------------------------------------------------
+# chopmydata / testsrcbin / clockselect (gst/debugutils/)
+# ---------------------------------------------------------------------------
+
+
+def test_chopmydata_sizes_and_parser_fuzz(rng):
+    from gstbad_tpu.io.chop import ChopMyData
+    # size distribution: [min,max] quantized to step
+    c = ChopMyData(min_size=10, max_size=64, step_size=8, seed=3)
+    chunks = c.push(bytes(rng.integers(0, 256, 4096, np.uint8)))
+    sizes = {len(ch) for ch in chunks}
+    assert sizes and all(16 <= s <= 64 and s % 8 == 0 for s in sizes)
+    assert len(sizes) > 1  # actually random
+    tail = c.flush()
+    assert all(len(t) == 10 for t in tail)
+    # begin >= end degenerate case: fixed chunk size
+    c2 = ChopMyData(min_size=32, max_size=32, step_size=32)
+    assert {len(ch) for ch in c2.push(bytes(128))} == {32}
+    # parser-boundary fuzz: chopped feed == contiguous feed
+    raw = bytes(rng.integers(0, 256, 16 * 16 * 6, np.uint8))
+    outs = []
+    for feed in ("whole", "chopped"):
+        p = gt.parse_launch("videoparse format=GRAY8 width=16 height=16 "
+                            "! fakesink")
+        src = p.elements[0]
+        if feed == "whole":
+            src.push_bytes(raw)
+        else:
+            c = ChopMyData(min_size=1, max_size=100, step_size=7, seed=9)
+            for ch in c.push(raw) + c.flush():
+                src.push_bytes(ch)
+        got = p.run(n_frames=6, window=3)
+        outs.append(np.concatenate([np.asarray(o.data) for o in got]))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_testsrcbin_inline_and_uri(rng):
+    # inline single-stream: factory returns the configured inner source
+    p = gt.parse_launch("testsrcbin stream-types=video,pattern=gradient,"
+                        "width=16,height=16 ! fakesink")
+    outs = p.run(n_frames=2, window=2)
+    assert np.asarray(outs[0].data).shape == (2, 16, 16, 4)
+    # reference comparison: identical to plain videotestsrc
+    p2 = gt.parse_launch("videotestsrc pattern=gradient width=16 height=16 "
+                         "! fakesink")
+    np.testing.assert_array_equal(np.asarray(outs[0].data),
+                                  np.asarray(p2.run(n_frames=2,
+                                                    window=2)[0].data))
+    # multi-stream URI -> disjoint chains
+    from gstbad_tpu.session.testbin import parse_testbin_uri, testbin_launch
+    streams = parse_testbin_uri("testbin://audio,freq=330+video,pattern=white")
+    assert streams == [("audio", {"freq": "330"}),
+                       ("video", {"pattern": "white"})]
+    launch = testbin_launch("testbin://audio,freq=330+video,pattern=white,"
+                            "width=16,height=16")
+    p3 = gt.parse_launch(launch)
+    p3.run(n_frames=2, window=2)
+    # bad specs fail loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        parse_testbin_uri("testbin://subtitle")
+    with _pytest.raises(ValueError):
+        gt.parse_launch("testsrcbin stream-types=audio+video ! fakesink")
+
+
+def test_clockselect_paces_play():
+    import time as _time
+    from gstbad_tpu.session.play import Play
+    p = gt.parse_launch("videotestsrc pattern=black width=8 height=8 "
+                        "framerate=120/1 ! clockselect clock-id=realtime "
+                        "! fakesink")
+    play = Play(p, window=4, realtime=True, n_frames=8)
+    assert play._clock() is _time.time
+    t0 = _time.time()
+    play.play()
+    while play.state.value == "playing" and _time.time() - t0 < 5:
+        _time.sleep(0.01)
+    assert play.position > 0
+    with np.testing.assert_raises(Exception):
+        gt.parse_launch("videotestsrc ! clockselect clock-id=bogus "
+                        "! fakesink")
