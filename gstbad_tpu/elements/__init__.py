@@ -9,6 +9,7 @@ from gstbad_tpu.elements import analysis  # noqa: F401
 from gstbad_tpu.elements import observability  # noqa: F401
 from gstbad_tpu.elements import bridges  # noqa: F401
 from gstbad_tpu.io import shm as _shm_elements  # noqa: F401
+from gstbad_tpu.io import ipcpipeline as _ipc_elements  # noqa: F401
 from gstbad_tpu.elements import misc  # noqa: F401
 from gstbad_tpu.elements import jaxfilter  # noqa: F401
 from gstbad_tpu.elements import files  # noqa: F401

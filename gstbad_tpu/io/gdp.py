@@ -84,3 +84,46 @@ def depay(blob: bytes) -> Tuple[FrameBatch, MediaSpec]:
         flags=jnp.asarray(header["flags"], jnp.int32),
         valid=jnp.asarray(header["valid"], bool))
     return batch, _spec_from(header["spec"])
+
+
+# ---------------------------------------------------------------------------
+# ipcpipeline typed chunks (sys/ipcpipeline/protocol.txt:12-23)
+# ---------------------------------------------------------------------------
+# Same chunk grammar as the reference — type byte, little-endian request id
+# and payload size — with JSON payloads where the reference serializes
+# GstStructure strings (we are not GObject-wire-compatible; the protocol
+# *shape* — typed chunks, request ids, acks carrying results — is the parity
+# point).
+
+CHUNK_ACK = 1
+CHUNK_QUERY_RESULT = 2
+CHUNK_BUFFER = 3
+CHUNK_EVENT = 4
+CHUNK_SINK_MESSAGE_EVENT = 5
+CHUNK_QUERY = 6
+CHUNK_STATE_CHANGE = 7
+CHUNK_STATE_LOST = 8
+CHUNK_MESSAGE = 9
+CHUNK_ERROR_MESSAGE = 10
+
+_CHUNK_HDR = struct.Struct("<BII")
+
+
+def pack_chunk(ctype: int, req_id: int, payload: bytes = b"") -> bytes:
+    return _CHUNK_HDR.pack(ctype, req_id, len(payload)) + payload
+
+
+def unpack_chunk(blob: bytes) -> Tuple[int, int, bytes]:
+    ctype, req_id, size = _CHUNK_HDR.unpack_from(blob)
+    payload = blob[_CHUNK_HDR.size:_CHUNK_HDR.size + size]
+    if len(payload) != size:
+        raise ValueError(f"chunk truncated: want {size}, got {len(payload)}")
+    return ctype, req_id, payload
+
+
+def pack_json_chunk(ctype: int, req_id: int, obj) -> bytes:
+    return pack_chunk(ctype, req_id, json.dumps(obj).encode())
+
+
+def unpack_json(payload: bytes):
+    return json.loads(payload.decode())

@@ -275,3 +275,87 @@ def test_netsim_delay_distributions_and_reorder_guard():
     outs = p.run(n_frames=24, window=8)
     pts = np.concatenate([np.asarray(o.pts) for o in outs])
     assert (np.diff(pts) >= 0).all()
+
+
+def test_ipcpipeline_state_query_message_forwarding(rng):
+    """Full control-plane parity (protocol.txt chunk types 1/2/6/7/8/9):
+    master forwards state changes + queries, slave acks and answers;
+    slave messages surface on the master side."""
+    import threading
+    from gstbad_tpu.io.ipcpipeline import (IpcMaster, IpcSlave,
+                                           STATE_CHANGE_SUCCESS)
+
+    master = IpcMaster("gstbad-test-ipc", slot_size=1 << 20, n_slots=4)
+    seen = {"states": [], "events": []}
+
+    def slave_main():
+        slave = IpcSlave(
+            "gstbad-test-ipc",
+            on_state=lambda t: (seen["states"].append(t),
+                                STATE_CHANGE_SUCCESS)[1],
+            on_query=lambda q: {"result": True, "position": 42}
+            if q["type"] == "position" else {"result": False},
+            on_event=lambda e: seen["events"].append(e["type"]))
+        slave.post_message({"name": "slave-ready"})
+        n = 0
+        while True:
+            got = slave.pull_buffer(5000)
+            if got is None:
+                break
+            batch, spec = got
+            n += batch.batch
+        slave.post_message({"name": "slave-done", "frames": n})
+        seen["frames"] = n
+        slave.close()
+
+    t = threading.Thread(target=slave_main, daemon=True)
+    t.start()
+
+    # state change RPC (chunk 7 + ack)
+    assert master.set_state("playing") == STATE_CHANGE_SUCCESS
+    # query RPC (chunk 6 + query result)
+    res = master.query({"type": "position"})
+    assert res == {"result": True, "position": 42}
+    assert master.query({"type": "duration"}) == {"result": False}
+
+    # buffers flow after the control plane
+    from gstbad_tpu.core.frame import FrameBatch
+    from gstbad_tpu.core.spec import MediaSpec, VideoFormat
+    import jax.numpy as jnp
+    frames = rng.integers(0, 256, (3, 8, 8, 4), np.uint8)
+    spec = MediaSpec(kind="video", format=VideoFormat.BGRx, width=8, height=8)
+    master.push_buffer(FrameBatch.make(jnp.asarray(frames)), spec)
+    master.send_eos()
+    t.join(timeout=10)
+    assert not t.is_alive() and seen["frames"] == 3
+    assert seen["states"] == ["playing"]
+    assert seen["events"] == ["eos"]
+
+    msgs = master.poll_messages(timeout_ms=200)
+    names = [m.get("name") for m in msgs]
+    assert "slave-ready" in names and "slave-done" in names
+    master.close()
+
+
+def test_ipcpipeline_elements_end_to_end(rng):
+    """ipcpipelinesink ! (ring) ! ipcpipelinesrc in pipelines, both ends in
+    one process like the reference's tests/check/pipelines/ipcpipeline.c."""
+    frames = rng.integers(0, 256, (4, 8, 12, 4), np.uint8)
+    p1 = gt.parse_launch(
+        "appsrc width=12 height=8 format=BGRx "
+        "! ipcpipelinesink name-prefix=gstbad-test-ipc2 shm-size=1048576")
+    p1.negotiate()
+    p1.elements[0].push_frames(frames)
+    p1.run(window=2)
+    sink = p1.elements[-1]
+    sink.eos()
+
+    p2 = gt.parse_launch(
+        "ipcpipelinesrc name-prefix=gstbad-test-ipc2 timeout-ms=3000 "
+        "! solarize ! fakesink")
+    outs = p2.run(window=2)
+    got = np.concatenate([np.asarray(o.data) for o in outs])
+    from gstbad_tpu.golden.gaudieffects import solarize
+    assert got.shape[0] == 4
+    for i in range(4):
+        np.testing.assert_array_equal(got[i], solarize(frames[i]))
