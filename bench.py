@@ -70,7 +70,22 @@ def main():
     ap.add_argument("--windows", type=int, default=8)
     ap.add_argument("--all", action="store_true",
                     help="print per-config lines to stderr as well")
+    ap.add_argument("--init-timeout", type=int, default=600,
+                    help="seconds to wait for device init before aborting")
     args = ap.parse_args()
+
+    # the axon relay can wedge; fail loudly instead of hanging forever
+    import os
+    import signal
+
+    def _alarm(signum, frame):
+        print("bench: device init/compile exceeded "
+              f"{args.init_timeout}s (TPU relay unavailable?)",
+              file=sys.stderr)
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(args.init_timeout)
 
     from gstbad_tpu.models import build, BENCHMARKS
 
@@ -85,6 +100,7 @@ def main():
 
     pipeline = build(args.config)
     fps = time_pipeline(pipeline, args.window, args.windows)
+    signal.alarm(0)  # measurement done; baseline runs on host numpy
     baseline = cpu_baseline_fps()
     print(json.dumps({
         "metric": "1080p_frames_per_sec_per_chip_10elem_graph",
