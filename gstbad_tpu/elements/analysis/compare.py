@@ -60,12 +60,14 @@ class _TwoStreamElement(Element):
 
     def negotiate(self, in_spec):
         if isinstance(in_spec, list):
-            ref_spec, spec = in_spec[0], in_spec[-1]
-            require(ref_spec.format == spec.format
-                    and ref_spec.width == spec.width
-                    and ref_spec.height == spec.height,
-                    f"{self.NAME}: branch specs differ: {ref_spec} vs {spec}")
-            return spec
+            ref_spec = in_spec[0]
+            for spec in in_spec[1:]:
+                require(ref_spec.format == spec.format
+                        and ref_spec.width == spec.width
+                        and ref_spec.height == spec.height,
+                        f"{self.NAME}: branch specs differ: "
+                        f"{ref_spec} vs {spec}")
+            return in_spec[-1]
         return in_spec
 
     def _split_inputs(self, batch):
@@ -134,9 +136,14 @@ class Compare(_TwoStreamElement):
 
 @register
 class Iqa(_TwoStreamElement):
-    """iqa (ext/iqa/iqa.c): DSSIM against the reference pad; optionally
-    writes the SSIM map into the output frame (do_dssim, iqa.c:195-290) and
-    errors when dssim exceeds ssim-error-threshold (iqa.c:265-275)."""
+    """iqa (ext/iqa/iqa.c): N-input aggregator — the first input is the
+    reference, every other input is scored against it per frame
+    (aggregate_frames, iqa.c:336-400); the IQA message carries one dssim
+    per pad (iqa.c:48-56,392-399).  Optionally writes the SSIM map into
+    the output frame (do_dssim, iqa.c:195-290) and flags frames whose
+    dssim exceeds ssim-error-threshold (iqa.c:265-275).  DSSIM here is
+    (1-SSIM)/2 from the in-tree SSIM oracle, not libdssim's multiscale
+    metric (documented divergence, ROADMAP.md)."""
 
     NAME = "iqa"
     PROPERTIES = (
@@ -146,22 +153,35 @@ class Iqa(_TwoStreamElement):
         Property("output-map", bool, False, static=True),
     )
 
-    def process(self, params, state, batch):
-        ref, batch = self._split_inputs(batch)
-        planes_a, is_yuv = _planes(batch.data, self.out_spec)
+    def _score(self, data, ref):
+        planes_a, is_yuv = _planes(data, self.out_spec)
         planes_b, _ = _planes(ref, self.out_spec)
         weights = ssim_ops.ssim_weights(len(planes_a), is_yuv)
-        ssim = sum(w * ssim_ops.ssim_plane(a, b)
+        return sum(w * ssim_ops.ssim_plane(a, b)
                    for w, a, b in zip(weights, planes_a, planes_b))
-        dssim = (1.0 - ssim) / 2.0
+
+    def process(self, params, state, batch):
+        if isinstance(batch, list):
+            ref, streams = batch[0].data, batch[1:]
+        else:
+            ref, one = self._split_inputs(batch)
+            streams = [one]
         thr = params["ssim-error-threshold"]
-        exceeded = (thr > 0.0) & (dssim > thr)
-        out = batch
-        if self.props["output-map"] and not isinstance(batch.data, dict):
+        fields = {}
+        exceeded = None
+        for i, sb in enumerate(streams):
+            ssim = self._score(sb.data, ref)
+            dssim = (1.0 - ssim) / 2.0
+            exc = (thr > 0.0) & (dssim > thr)
+            exceeded = exc if exceeded is None else (exceeded | exc)
+            if i == 0:  # first compared pad keeps the flat field names
+                fields.update({"dssim": dssim, "ssim": ssim})
+            fields[f"dssim-pad-{i + 1}"] = dssim
+        fields["exceeded"] = exceeded
+        out = streams[0]
+        if self.props["output-map"] and not isinstance(out.data, dict):
             if self.out_spec.format == VideoFormat.AYUV:
-                y_a, y_b = batch.data[..., 1], ref[..., 1]
+                y_a, y_b = out.data[..., 1], ref[..., 1]
                 mp = ssim_ops.ssim_map(y_a, y_b)
-                out = batch.with_data(batch.data.at[..., 1].set(mp))
-        msgs = {"IQA": {"dssim": dssim, "ssim": ssim,
-                        "exceeded": exceeded}}
-        return state, out, msgs
+                out = out.with_data(out.data.at[..., 1].set(mp))
+        return state, out, {"IQA": fields}

@@ -66,3 +66,23 @@ def test_iqa_element(rng):
     msg = h.bus.pop(element="iqa")[0]
     assert 0.0 < msg["dssim"] < 0.5
     assert msg["exceeded"] == (msg["dssim"] > 0.01)
+
+
+def test_iqa_n_pad_aggregation(rng):
+    """iqa.c:336-400: first pad = reference, every other pad scored; the
+    IQA message carries a dssim per pad."""
+    import gstbad_tpu as gt
+    p = gt.parse_launch(
+        "videotestsrc pattern=gradient width=32 height=32 format=AYUV "
+        "name=ref ! m.  "
+        "ref. ! identity ! m.  "
+        "ref. ! gaussianblur sigma=3 ! m.  "
+        "iqa name=m ! fakesink")
+    p.run(n_frames=2, window=2)
+    msgs = p.bus.pop(element="iqa")
+    assert msgs, "no IQA messages"
+    f = msgs[-1].fields
+    # identical branch: dssim ~ 0; blurred branch: clearly worse
+    assert f["dssim-pad-1"] < 1e-9
+    assert f["dssim-pad-2"] > f["dssim-pad-1"] + 1e-4
+    assert f["dssim"] == f["dssim-pad-1"]
