@@ -4,3 +4,4 @@ from gstbad_tpu.elements.audio import removesilence  # noqa: F401
 from gstbad_tpu.elements.audio import buffersplit  # noqa: F401
 from gstbad_tpu.elements.audio import meters  # noqa: F401
 from gstbad_tpu.elements.audio import bs2b  # noqa: F401
+from gstbad_tpu.elements.audio import webrtcdsp  # noqa: F401

@@ -423,3 +423,125 @@ def bs2b_coefficients(fcut: float, feed: float, rate: int):
     return {"b1_lo": jnp.float64(b1_lo), "a0_lo": jnp.float64(a0_lo),
             "b1_hi": jnp.float64(b1_hi), "a0_hi": jnp.float64(a0_hi),
             "a1_hi": jnp.float64(a1_hi), "gain": jnp.float64(gain)}
+
+
+# ---------------------------------------------------------------------------
+# webrtcdsp kernels (ext/webrtcdsp analog): biquad, STFT noise suppression
+# ---------------------------------------------------------------------------
+
+
+def biquad(x: jnp.ndarray, b, a, state):
+    """Direct-form-II-transposed biquad over axis 0, parallel via
+    associative scan on 2x2 affine maps.
+
+    y[n] = b0 x[n] + s1[n-1];  s1[n] = b1 x[n] - a1 y[n] + s2[n-1];
+    s2[n] = b2 x[n] - a2 y[n].
+    x: [N, C]; b = (b0,b1,b2), a = (1,a1,a2); state: [2, C] (s1, s2).
+    Returns (y, new_state)."""
+    b0, b1, b2 = b
+    _, a1, a2 = a
+    # State-space: s[n] = A s[n-1] + B x[n];  y[n] = b0 x[n] + s1[n-1]
+    #   s1[n] = -a1 s1[n-1] + s2[n-1] + (b1 - a1 b0) x[n]
+    #   s2[n] = -a2 s1[n-1]           + (b2 - a2 b0) x[n]
+    A = jnp.array([[-a1, 1.0], [-a2, 0.0]], x.dtype)
+    Bv = jnp.array([b1 - a1 * b0, b2 - a2 * b0], x.dtype)
+    d = x[:, None, :] * Bv[None, :, None]          # [N, 2, C]
+    n = x.shape[0]
+    As = jnp.broadcast_to(A, (n, 2, 2))
+
+    def compose(l, r):
+        m1, v1 = l
+        m2, v2 = r
+        return m2 @ m1, jnp.einsum("nij,njc->nic", m2, v1) + v2
+
+    Ms, vs = lax.associative_scan(compose, (As, d), axis=0)
+    s = jnp.einsum("nij,jc->nic", Ms, state) + vs   # s[n] for every n
+    s_prev = jnp.concatenate([state[None], s[:-1]], axis=0)
+    y = b0 * x + s_prev[:, 0, :]
+    return y, s[-1]
+
+
+def butter_highpass(fc: float, rate: int):
+    """2nd-order Butterworth highpass (bilinear transform) — the
+    webrtcdsp high-pass-filter analog (WebRTC APM uses a fixed ~90 Hz
+    rumble filter)."""
+    w = np.tan(np.pi * fc / rate)
+    k = 1.0 / (1.0 + np.sqrt(2.0) * w + w * w)
+    b = (k, -2.0 * k, k)
+    a = (1.0, 2.0 * k * (w * w - 1.0), k * (1.0 - np.sqrt(2.0) * w + w * w))
+    return b, a
+
+
+def stft_frames(x: jnp.ndarray, tail: jnp.ndarray, frame: int):
+    """[N, C] signal + [hop, C] carried tail -> Hann-analysis frames
+    [F, frame, C] with 50% overlap (hop = frame//2); F = N // hop.
+    Hann at 50% overlap OLAs back to unity with a rectangular synthesis
+    window, so istft is a plain overlap-add."""
+    hop = frame // 2
+    n, c = x.shape
+    buf = jnp.concatenate([tail, x], axis=0)       # [N + hop, C]
+    f = n // hop
+    idx = jnp.arange(f)[:, None] * hop + jnp.arange(frame)[None, :]
+    frames = buf[idx]                              # [F, frame, C]
+    win = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi
+                              * jnp.arange(frame, dtype=x.dtype) / frame)
+    return frames * win[None, :, None], buf[n:]
+
+
+def ola(frames: jnp.ndarray, acc: jnp.ndarray):
+    """Overlap-add [F, frame, C] -> ([F*hop, C], new acc [hop, C])."""
+    f, frame, c = frames.shape
+    hop = frame // 2
+    first = frames[:, :hop, :].reshape(f * hop, c)
+    second = frames[:, hop:, :].reshape(f * hop, c)
+    out = first + jnp.concatenate([acc, second[:-hop]], axis=0)
+    return out, second[-hop:]
+
+
+def noise_suppress(frames: jnp.ndarray, noise: jnp.ndarray,
+                   g_min: jnp.ndarray, alpha_up=0.9, beta=1.5):
+    """Spectral-subtraction noise suppression over Hann frames.
+
+    Per 10 ms frame (sequential noise tracking, scanned):
+      mag = |rfft(frame)|
+      noise <- alpha_up*noise + (1-alpha_up)*mag   where mag <= 2*noise
+               alpha_down mix otherwise (fast decay guard)
+      gain = clip(1 - beta*noise/mag, g_min, 1)
+    g_min = 10^(-max_atten_dB/20) from the suppression level
+    (webrtcdsp noise-suppression-level low/moderate/high/very-high).
+    frames: [F, frame, C] f32; noise: [bins, C] carried magnitude."""
+    def step(ns, fr):
+        spec = jnp.fft.rfft(fr, axis=0)
+        mag = jnp.abs(spec).astype(jnp.float32)
+        ns = jnp.where(ns == 0.0, mag, ns)  # bootstrap from first frame
+        quiet = mag <= 2.0 * ns
+        # quiet bins track the floor; loud (speech/tone) bins barely leak
+        # into the estimate (0.2%/frame) so sustained tones survive
+        a = jnp.where(quiet, alpha_up, 0.998)
+        mix = jnp.where(quiet, 1.0 - alpha_up, 0.002)
+        ns2 = (a * ns + mix * mag).astype(jnp.float32)
+        gain = jnp.clip(1.0 - beta * ns2 / jnp.maximum(mag, 1e-10),
+                        g_min, 1.0)
+        out = jnp.fft.irfft(spec * gain, n=fr.shape[0], axis=0)
+        return ns2, out.astype(jnp.float32)
+
+    noise, out = lax.scan(step, noise, frames)
+    return out, noise
+
+
+def agc_adaptive(frames_rms_db: jnp.ndarray, gain_db0: jnp.ndarray,
+                 target_dbfs, max_gain_db, rate_db=0.5):
+    """Adaptive-digital gain control: per-10ms-frame gain walks toward
+    (target - level) bounded by [0, compression-gain-db], rate-limited to
+    rate_db per frame (the webrtc AGC's slow digital adaptation analog).
+    frames_rms_db: [F] dBFS of the frame *after* current gain would not
+    be known — adaptation uses the raw level, the standard feedforward
+    form.  Sequential, but F is small: scanned."""
+    def step(g, lvl):
+        desired = jnp.clip(-target_dbfs - lvl, 0.0, max_gain_db)
+        g2 = g + jnp.clip(desired - g, -rate_db, rate_db)
+        # hold gain during near-silence (no signal to act on)
+        g2 = jnp.where(lvl < -70.0, g, g2)
+        return g2, g2
+
+    return lax.scan(step, gain_db0, frames_rms_db)

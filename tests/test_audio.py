@@ -267,3 +267,133 @@ def test_bs2b_presets_and_mono_passthrough(rng):
     h = Harness("bs2b")
     h.set_src_spec(_spec(AudioFormat.F32, 1, 44100))
     np.testing.assert_array_equal(h.push_pull(mono), mono)
+
+
+# ---------------------------------------------------------------------------
+# webrtcdsp / webrtcechoprobe
+# ---------------------------------------------------------------------------
+
+
+def _sine(rate, n, freq, amp, dc=0.0, noise=0.0, rng=None, ch=1):
+    t = np.arange(n) / rate
+    x = amp * np.sin(2 * np.pi * freq * t) + dc
+    if noise and rng is not None:
+        x = x + noise * rng.standard_normal(n)
+    return np.clip(x, -32768, 32767).astype(np.int16).reshape(1, n, ch)
+
+
+def _band_db(x, rate, lo, hi):
+    spec = np.abs(np.fft.rfft(x.astype(np.float64).ravel() / 32768.0))
+    freqs = np.fft.rfftfreq(x.size, 1 / rate)
+    sel = (freqs >= lo) & (freqs < hi)
+    return 20 * np.log10(np.sqrt(np.mean(spec[sel] ** 2)) + 1e-12)
+
+
+def test_webrtcdsp_highpass_kills_dc(rng):
+    rate = 16000
+    x = _sine(rate, 3200, 440, 8000, dc=3000)
+    h = Harness("webrtcdsp", **{"noise-suppression": False,
+                                "gain-control": False,
+                                "echo-cancel": False})
+    h.set_src_spec(_spec(AudioFormat.S16, 1, rate))
+    got = h.push_pull(x)
+    assert abs(got[:, 200:].mean()) < 100  # DC gone after settle
+    # 440 Hz survives
+    assert _band_db(got[:, 200:], rate, 400, 500) > \
+        _band_db(x[:, 200:], rate, 400, 500) - 3
+
+
+def test_webrtcdsp_noise_suppression_improves_snr(rng):
+    rate = 16000
+    n = 16 * 160  # 16 x 10ms frames
+    # noise-only lead-in (the floor estimate bootstraps from it, like the
+    # APM adapting during speech pauses), then tone + noise
+    lead = np.clip(600 * rng.standard_normal(n), -32768, 32767
+                   ).astype(np.int16).reshape(1, n, 1)
+    x = _sine(rate, n, 440, 9000, noise=600, rng=rng)
+    h = Harness("webrtcdsp", **{"high-pass-filter": False,
+                                "gain-control": False,
+                                "echo-cancel": False,
+                                "noise-suppression-level": "very-high"})
+    h.set_src_spec(_spec(AudioFormat.S16, 1, rate))
+    h.push_pull(lead)
+    got = h.push_pull(x)
+    tail = slice(n // 4, None)
+    noise_in = _band_db(x[:, tail], rate, 2000, 7000)
+    noise_out = _band_db(got[:, tail], rate, 2000, 7000)
+    sig_in = _band_db(x[:, tail], rate, 400, 500)
+    sig_out = _band_db(got[:, tail], rate, 400, 500)
+    assert noise_in - noise_out > 6.0       # noise floor dropped
+    assert sig_in - sig_out < 3.0           # tone kept
+
+
+def test_webrtcdsp_agc_modes(rng):
+    rate = 16000
+    quiet = _sine(rate, 3200, 440, 800)     # ~ -32 dBFS
+    # fixed-digital: flat compression-gain-db
+    h = Harness("webrtcdsp", **{"high-pass-filter": False,
+                                "noise-suppression": False,
+                                "echo-cancel": False,
+                                "gain-control-mode": "fixed-digital",
+                                "compression-gain-db": 12})
+    h.set_src_spec(_spec(AudioFormat.S16, 1, rate))
+    got = h.push_pull(quiet)
+    gain_db = (20 * np.log10(np.abs(got.astype(np.float64)).max()
+                             / np.abs(quiet).max()))
+    assert 10.0 < gain_db < 13.0
+    # adaptive: gain ramps toward target across windows, never above cap
+    h2 = Harness("webrtcdsp", **{"high-pass-filter": False,
+                                 "noise-suppression": False,
+                                 "echo-cancel": False,
+                                 "compression-gain-db": 30,
+                                 "target-level-dbfs": 3})
+    h2.set_src_spec(_spec(AudioFormat.S16, 1, rate))
+    peaks = []
+    for _ in range(6):
+        out = h2.push_pull(quiet)
+        peaks.append(np.abs(out.astype(np.float64)).max())
+    assert peaks[-1] > peaks[0] * 2          # ramped up
+    assert peaks[-1] <= np.abs(quiet).max() * 10 ** (30 / 20) + 1
+
+
+def test_webrtcdsp_voice_detection_messages(rng):
+    rate = 16000
+    talk = _sine(rate, 1600, 300, 12000)
+    hush = np.zeros((1, 1600, 1), np.int16)
+    x = np.concatenate([hush, talk, talk, hush], axis=0)
+    h = Harness("webrtcdsp", **{"voice-detection": True,
+                                "high-pass-filter": False,
+                                "noise-suppression": False,
+                                "gain-control": False,
+                                "echo-cancel": False})
+    h.set_src_spec(_spec(AudioFormat.S16, 1, rate))
+    h.push(x)
+    msgs = h.bus.pop(name="voice-activity")
+    states = [m.fields["stream-has-voice"] for m in msgs]
+    assert states and states[0] in (True, 1)   # silence -> voice edge
+    assert any(not bool(v) for v in states)    # voice -> silence edge
+
+
+def test_webrtcdsp_echo_probe_suppression(rng):
+    rate = 16000
+    n = 3200
+    far = _sine(rate, n, 1000, 12000)
+    kw = {"high-pass-filter": False, "noise-suppression": False,
+          "gain-control": False}
+    # without a probe: echo-cancel warns and passes through
+    h0 = Harness("webrtcdsp", **kw)
+    h0.set_src_spec(_spec(AudioFormat.S16, 1, rate))
+    ref = h0.push_pull(far)
+    # with a probe fed the same far-end signal: the 1 kHz echo is cut
+    from gstbad_tpu.elements.audio.webrtcdsp import _PROBES
+    import collections
+    _PROBES["webrtcdsp-probe"] = collections.deque(maxlen=64)
+    _PROBES["webrtcdsp-probe"].append(
+        far.reshape(-1, 1).astype(np.float32))
+    h1 = Harness("webrtcdsp", **{**kw,
+                                 "echo-suppression-level": "high"})
+    h1.set_src_spec(_spec(AudioFormat.S16, 1, rate))
+    got = h1.push_pull(far)
+    _PROBES.clear()
+    assert (_band_db(ref[:, 400:], rate, 900, 1100)
+            - _band_db(got[:, 400:], rate, 900, 1100)) > 10.0
