@@ -5,3 +5,4 @@ from gstbad_tpu.elements.audio import buffersplit  # noqa: F401
 from gstbad_tpu.elements.audio import meters  # noqa: F401
 from gstbad_tpu.elements.audio import bs2b  # noqa: F401
 from gstbad_tpu.elements.audio import webrtcdsp  # noqa: F401
+from gstbad_tpu.elements.audio import pitch  # noqa: F401

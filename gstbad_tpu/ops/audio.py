@@ -545,3 +545,92 @@ def agc_adaptive(frames_rms_db: jnp.ndarray, gain_db0: jnp.ndarray,
         return g2, g2
 
     return lax.scan(step, gain_db0, frames_rms_db)
+
+
+# ---------------------------------------------------------------------------
+# pitch (ext/soundtouch/gstpitch.cc analog): phase-vocoder time stretch
+# ---------------------------------------------------------------------------
+
+
+def pv_init_state(frame: int, ha: int, hs: int, channels: int):
+    bins = frame // 2 + 1
+    return {
+        "in_tail": jnp.zeros((frame - ha, channels), jnp.float32),
+        "prev_ph": jnp.zeros((bins, channels), jnp.float32),
+        "synth_ph": jnp.zeros((bins, channels), jnp.float32),
+        "ola": jnp.zeros((frame - hs, channels), jnp.float32),
+        "primed": jnp.bool_(False),
+    }
+
+
+def phase_vocoder(x: jnp.ndarray, state, frame: int, ha: int, hs: int):
+    """Time-stretch x [N, C] by hs/ha with a Hann phase vocoder.
+
+    Classic analysis/synthesis: per frame, the wrapped phase increment
+    over the analysis hop gives the true bin frequency, which advances a
+    carried synthesis phase by the synthesis hop (the SoundTouch
+    time-stretch core is the WSOLA equivalent of this).  Framing is
+    sequential only in phase (scanned over frames); FFTs batch."""
+    n, c = x.shape
+    f = n // ha
+    buf = jnp.concatenate([state["in_tail"], x], axis=0)
+    idx = jnp.arange(f)[:, None] * ha + jnp.arange(frame)[None, :]
+    frames = buf[idx]                                # [F, frame, C]
+    win = (0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * jnp.arange(frame)
+                               / frame)).astype(jnp.float32)
+    spec = jnp.fft.rfft(frames * win[None, :, None], axis=1)
+    mag = jnp.abs(spec).astype(jnp.float32)
+    ph = jnp.angle(spec).astype(jnp.float32)
+
+    bins = frame // 2 + 1
+    omega = (2.0 * jnp.pi * jnp.arange(bins) / frame).astype(jnp.float32)
+    expected = omega * ha
+
+    def step(carry, inp):
+        prev_ph, synth_ph, primed = carry
+        m, p = inp
+        dph = p - prev_ph - expected[:, None]
+        dph = dph - 2.0 * jnp.pi * jnp.round(dph / (2.0 * jnp.pi))
+        true_freq = omega[:, None] + dph / ha
+        # first-ever frame: copy the analysis phase (no history yet)
+        sp = jnp.where(primed, synth_ph + true_freq * hs, p)
+        return (p, sp, jnp.bool_(True)), (m, sp)
+
+    (prev_ph, synth_ph, primed), (mags, phases) = lax.scan(
+        step, (state["prev_ph"], state["synth_ph"], state["primed"]),
+        (mag, ph))
+    out_frames = jnp.fft.irfft(mags * jnp.exp(1j * phases), n=frame,
+                               axis=1).astype(jnp.float32)
+    out_frames = out_frames * win[None, :, None]
+    # hann^2 OLA at hop hs sums to (3/8) * frame / hs
+    norm = 0.375 * frame / hs
+    # overlap-add at hop hs
+    total = f * hs + (frame - hs)
+    out = jnp.zeros((total, c), jnp.float32)
+
+    def ola_step(acc, inp):
+        i, fr = inp
+        start = (i * jnp.int32(hs), jnp.int32(0))
+        return lax.dynamic_update_slice(
+            acc, lax.dynamic_slice(acc, start, (frame, c)) + fr,
+            start), None
+
+    out, _ = lax.scan(ola_step, out,
+                      (jnp.arange(f, dtype=jnp.int32), out_frames))
+    out = out.at[: frame - hs].add(state["ola"])
+    stretched = out[: f * hs] / norm
+    new_state = {"in_tail": buf[n:], "prev_ph": prev_ph,
+                 "synth_ph": synth_ph, "ola": out[f * hs:],
+                 "primed": primed}
+    return stretched, new_state
+
+
+def resample_linear(x: jnp.ndarray, n_out: int):
+    """[N, C] -> [n_out, C] linear resample spanning the whole input."""
+    n = x.shape[0]
+    pos = (jnp.arange(n_out, dtype=jnp.float32) + 0.5) * (n / n_out) - 0.5
+    pos = jnp.clip(pos, 0.0, n - 1.0)
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, n - 1)
+    a = (pos - i0)[:, None]
+    return x[i0] * (1.0 - a) + x[i1] * a

@@ -397,3 +397,56 @@ def test_webrtcdsp_echo_probe_suppression(rng):
     _PROBES.clear()
     assert (_band_db(ref[:, 400:], rate, 900, 1100)
             - _band_db(got[:, 400:], rate, 900, 1100)) > 10.0
+
+
+# ---------------------------------------------------------------------------
+# pitch (ext/soundtouch)
+# ---------------------------------------------------------------------------
+
+
+def _dom_freq(sig, rate):
+    sig = np.asarray(sig).ravel()
+    spec = np.abs(np.fft.rfft(sig * np.hanning(sig.size)))
+    return np.fft.rfftfreq(sig.size, 1 / rate)[np.argmax(spec)]
+
+
+@pytest.mark.parametrize("kw,exp_len,exp_f", [
+    ({"pitch": 2.0}, 4096, 880.0),   # octave up, duration kept
+    ({"tempo": 2.0}, 2048, 440.0),   # half duration, pitch kept
+    ({"rate": 2.0}, 2048, 880.0),    # resample: both change
+    ({"pitch": 0.5}, 4096, 220.0),   # octave down
+])
+def test_pitch_semantics(kw, exp_len, exp_f):
+    rate = 48000
+    t = np.arange(4 * 1024) / rate
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32
+                                                   ).reshape(4, 1024, 1)
+    h = Harness("pitch", **kw)
+    h.set_src_spec(_spec(AudioFormat.F32, 1, rate))
+    outs = h.push(x)
+    y = np.concatenate([np.asarray(o.data) for o in outs], axis=1)
+    assert abs(y.shape[1] - exp_len) <= 64  # hop quantization
+    f = _dom_freq(y[0, y.shape[1] // 2:], rate)
+    assert abs(f - exp_f) < 0.06 * exp_f    # within vocoder accuracy
+    # amplitude roughly preserved (OLA normalization correct)
+    assert 0.3 < np.abs(y[0, y.shape[1] // 2:]).max() < 0.75
+
+
+def test_pitch_identity_and_state_continuity():
+    rate = 48000
+    t = np.arange(8 * 1024) / rate
+    x = (0.5 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32
+                                                    ).reshape(8, 1024, 1)
+    h = Harness("pitch")  # all factors 1.0
+    h.set_src_spec(_spec(AudioFormat.F32, 1, rate))
+    y1 = np.concatenate([np.asarray(o.data)
+                         for o in h.push(x[:4])], axis=1)
+    y2 = np.concatenate([np.asarray(o.data)
+                         for o in h.push(x[4:])], axis=1)
+    y = np.concatenate([y1, y2], axis=1)[0]
+    assert y.shape[0] == 8 * 1024
+    # steady state reproduces the tone without window-boundary glitches
+    tail = y[2048:]
+    assert abs(_dom_freq(tail, rate) - 1000.0) < 25
+    rms = np.sqrt(np.mean(tail ** 2))
+    assert 0.3 < rms < 0.4  # 0.5/sqrt(2) ~ 0.354
