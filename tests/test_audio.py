@@ -450,3 +450,22 @@ def test_pitch_identity_and_state_continuity():
     assert abs(_dom_freq(tail, rate) - 1000.0) < 25
     rms = np.sqrt(np.mean(tail ** 2))
     assert 0.3 < rms < 0.4  # 0.5/sqrt(2) ~ 0.354
+
+
+def test_bpmdetect_click_track():
+    rate = 48000
+    for want_bpm in (120.0, 90.0):
+        period = int(rate * 60 / want_bpm)
+        n = rate * 10
+        sig = np.zeros(n, np.float32)
+        for i in range(0, n - 200, period):
+            sig[i:i + 200] = 0.9 * np.sin(np.arange(200) * 0.5)
+        x = sig.reshape(-1, 4800, 1)
+        h = Harness("bpmdetect")
+        h.set_src_spec(_spec(AudioFormat.F32, 1, rate))
+        for i in range(0, x.shape[0], 2):
+            h.push(x[i:i + 2])
+        msgs = h.bus.pop(name="bpm")
+        assert msgs, f"no bpm message for {want_bpm}"
+        got = float(msgs[-1].fields["bpm"])
+        assert abs(got - want_bpm) <= 2.0
