@@ -139,19 +139,35 @@ def freeverb_process(state, x: jnp.ndarray, params, rate: int, mono: bool):
     return _freeverb_process_blocked(state, x, params, rate, mono)
 
 
-def _circular_positions(t, sizes, n):
-    """pos[i, s] = (t + s) mod sizes[i]; [len(sizes), n] int32."""
-    s = jnp.arange(n, dtype=jnp.int32)[None, :]
-    return jnp.remainder(t + s, sizes[:, None])
+def _ring_read(line, d: int, start):
+    """BLOCK-long circular window of `line` starting at `start` (< d).
+    The line is doubled so one dynamic_slice handles the wrap — no
+    gather, which keeps Mosaic/XLA compile time sane (the original
+    advanced-index formulation compiled ~8 min through the TPU relay)."""
+    dbl = jnp.concatenate([line, line[:BLOCK]])
+    return lax.dynamic_slice(dbl, (start,), (BLOCK,))
+
+
+def _ring_write(line, d: int, start, vals, valid):
+    """Write `vals` (masked by `valid`) into the same circular window."""
+    dbl = jnp.concatenate([line, line[:BLOCK]])
+    cur = lax.dynamic_slice(dbl, (start,), (BLOCK,))
+    dbl = lax.dynamic_update_slice(dbl, jnp.where(valid, vals, cur),
+                                   (start,))
+    # fold the wrapped tail [d, d+BLOCK) back onto the head
+    wrap = jnp.maximum(start + BLOCK - d, 0)
+    head = jnp.where(jnp.arange(BLOCK) < wrap, dbl[d:d + BLOCK],
+                     dbl[:BLOCK])
+    return dbl[: line.shape[0]].at[:BLOCK].set(head)
 
 
 def _comb_bank_block(buf, store, t, sizes, inp, damp1, damp2, feedback,
                      valid, n_valid):
     """All 8 combs over one block.  buf [8, L], store [8], inp [BLOCK].
-    Returns (buf, store, out_contrib [BLOCK])."""
-    rows = jnp.arange(8)[:, None]
-    pos = _circular_positions(t, sizes, BLOCK)
-    tmp = buf[rows, pos]                      # [8, BLOCK] pre-block taps
+    sizes: host numpy delay lengths.  Returns (buf, store, out [BLOCK])."""
+    starts = [jnp.remainder(t, int(d)).astype(jnp.int32) for d in sizes]
+    tmp = jnp.stack([_ring_read(buf[i], int(d), starts[i])
+                     for i, d in enumerate(sizes)])  # [8, BLOCK] taps
 
     # filterstore[s] = damp2*tmp[s] + damp1*filterstore[s-1]
     a = jnp.full((8, BLOCK), damp1, jnp.float32)
@@ -167,32 +183,30 @@ def _comb_bank_block(buf, store, t, sizes, inp, damp1, damp2, feedback,
     powers = jnp.cumprod(a, axis=1)
     stores = stores + powers * store[:, None]
     new_vals = inp[None, :] + stores * feedback
-    buf = buf.at[rows, pos].set(jnp.where(valid[None, :], new_vals,
-                                          buf[rows, pos]))
-    store_out = stores[:, :]
-    new_store = store_out[jnp.arange(8), jnp.maximum(n_valid - 1, 0)]
+    for i, d in enumerate(sizes):
+        buf = buf.at[i].set(_ring_write(buf[i], int(d), starts[i],
+                                        new_vals[i], valid))
+    new_store = stores[jnp.arange(8), jnp.maximum(n_valid - 1, 0)]
     new_store = jnp.where(n_valid > 0, new_store, store)
     return buf, new_store, jnp.sum(tmp, axis=0)
 
 
 def _allpass_chain_block(buf, t, sizes, x, valid):
     """4 series allpasses over one block.  buf [4, L], x [BLOCK]."""
-    pos = _circular_positions(t, sizes, BLOCK)
-    for i in range(4):
-        bufout = buf[i, pos[i]]
+    for i, d in enumerate(sizes):
+        start = jnp.remainder(t, int(d)).astype(jnp.int32)
+        bufout = _ring_read(buf[i], int(d), start)
         out = bufout - x
-        buf = buf.at[i, pos[i]].set(
-            jnp.where(valid, x + bufout * jnp.float32(0.5), buf[i, pos[i]]))
+        buf = buf.at[i].set(_ring_write(
+            buf[i], int(d), start, x + bufout * jnp.float32(0.5), valid))
         x = out
     return buf, x
 
 
 def _freeverb_process_blocked(state, x, params, rate, mono):
     sizes = freeverb_sizes(rate)
-    cL = jnp.asarray(sizes["combL"])
-    cR = jnp.asarray(sizes["combR"])
-    aL = jnp.asarray(sizes["apL"])
-    aR = jnp.asarray(sizes["apR"])
+    cL, cR = sizes["combL"], sizes["combR"]  # host ints: static ring caps
+    aL, aR = sizes["apL"], sizes["apR"]
     damp1, damp2 = params["damp1"], params["damp2"]
     feedback = params["feedback"]
     wet1, wet2, dry = params["wet1"], params["wet2"], params["dry"]
