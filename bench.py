@@ -74,33 +74,35 @@ def main():
                     help="seconds to wait for device init before aborting")
     args = ap.parse_args()
 
-    # the axon relay can wedge; fail loudly instead of hanging forever
+    # The axon relay can wedge inside PJRT init, which holds the GIL — an
+    # in-process SIGALRM handler never runs then.  A watchdog SUBPROCESS
+    # delivers SIGKILL regardless, so a dead relay fails loudly instead of
+    # hanging the driver forever.
     import os
-    import signal
+    import subprocess
 
-    def _alarm(signum, frame):
-        print("bench: device init/compile exceeded "
-              f"{args.init_timeout}s (TPU relay unavailable?)",
-              file=sys.stderr)
-        os._exit(3)
+    watchdog = subprocess.Popen(
+        ["/bin/sh", "-c",
+         f"sleep {args.init_timeout} && "
+         f"echo 'bench: init/compile exceeded {args.init_timeout}s "
+         f"(TPU relay unavailable?)' >&2 && kill -9 {os.getpid()}"])
 
-    signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(args.init_timeout)
+    try:
+        from gstbad_tpu.models import build, BENCHMARKS
 
-    from gstbad_tpu.models import build, BENCHMARKS
+        if args.all:
+            for name in BENCHMARKS:
+                try:
+                    p = build(name)
+                    fps = time_pipeline(p, args.window, args.windows)
+                    print(f"{name}: {fps:.1f} frames/sec", file=sys.stderr)
+                except Exception as e:  # noqa: BLE001
+                    print(f"{name}: FAILED {e}", file=sys.stderr)
 
-    if args.all:
-        for name in BENCHMARKS:
-            try:
-                p = build(name)
-                fps = time_pipeline(p, args.window, args.windows)
-                print(f"{name}: {fps:.1f} frames/sec", file=sys.stderr)
-            except Exception as e:  # noqa: BLE001
-                print(f"{name}: FAILED {e}", file=sys.stderr)
-
-    pipeline = build(args.config)
-    fps = time_pipeline(pipeline, args.window, args.windows)
-    signal.alarm(0)  # measurement done; baseline runs on host numpy
+        pipeline = build(args.config)
+        fps = time_pipeline(pipeline, args.window, args.windows)
+    finally:
+        watchdog.kill()  # measurement done; baseline runs on host numpy
     baseline = cpu_baseline_fps()
     print(json.dumps({
         "metric": "1080p_frames_per_sec_per_chip_10elem_graph",
