@@ -79,45 +79,87 @@ class VideoFrameAudioLevel(AudioFilter):
 
 @register
 class AudioLatency(AudioFilter):
-    """audiolatency (gstaudiolatency.c:22-51): measures src->sink roundtrip.
+    """audiolatency (gst/audiolatency/gstaudiolatency.c): tick-probe
+    roundtrip latency meter.
 
-    Host-side: stamps wall-clock time when each window leaves the jitted
-    program and reports the running average of the last 5 measurements
-    against the window's nominal duration.
-    """
+    The reference outputs 1 Hz ticks on its src pad (an internal
+    audiotestsrc with wave=ticks, gstaudiolatency.c:224) and watches its
+    sink pad for a sample with |x| > 0.7 (buffer_has_wave,
+    gstaudiolatency.c:368), keeping a ring of the last 5 latencies and
+    posting a "latency" message with last-latency / average-latency in
+    microseconds (gst_audiolatency_set_latency, :287-310).  Latencies
+    above the 1 s tick period cannot be measured — same constraint here.
+
+    Dataflow rebuild: the OUTPUT is a 10 ms 440 Hz tick burst aligned to
+    every whole stream-time second; the INPUT is scanned for the first
+    |x| > 0.7 sample per frame and its stream-time offset into the
+    current second IS the loop latency (the reference measures the same
+    thing with g_get_monotonic_time because its loop crosses real audio
+    hardware; ours is stream-time-observable, like netsim)."""
 
     NAME = "audiolatency"
-    FORMATS = AudioFormat.ALL
+    FORMATS = (AudioFormat.F32,)  # reference caps are F32 (gstaudiolatency.h)
     PROPERTIES = (Property("print-latency", bool, False),)
-    HOST = True
 
-    def __init__(self, **props):
-        super().__init__(**props)
-        self._t0 = None
-        self._measurements = []
+    TICK_HZ = 440.0
+    TICK_NS = 10_000_000  # 10 ms burst
+
+    def init_state(self, batch: int):
+        return {
+            "ring": jnp.zeros((5,), jnp.int64),   # µs, last 5
+            "idx": jnp.int64(0),
+            "count": jnp.int64(0),
+            "last_bucket": jnp.int64(-1),
+        }
 
     def process(self, params, state, batch: FrameBatch):
-        return state, batch
+        import jax
+        from jax import lax
+        b, s, c = batch.data.shape
+        rate = self.in_spec.rate
 
-    def start_window(self):
-        self._t0 = time.monotonic()
+        # sample stream times [B, S] ns
+        offs = (jnp.arange(s, dtype=jnp.int64) * 1_000_000_000) // rate
+        pos = batch.pts[:, None] + offs[None, :]
 
-    def host_process(self, np_batch: FrameBatch, bus) -> None:
-        from gstbad_tpu.core.bus import Message
-        now = time.monotonic()
-        if self._t0 is None:
-            self._t0 = now
-            return
-        latency_us = (now - self._t0) * 1e6
-        self._t0 = now
-        self._measurements.append(latency_us)
-        window = self._measurements[-5:]
-        avg = sum(window) / len(window)
-        if bus is not None:
-            bus.post(Message(self.NAME, "latency",
-                             int(np_batch.pts[-1]) if np_batch.batch else 0,
-                             {"last-latency-us": latency_us,
-                              "average-latency-us": avg}))
+        # --- output: tick bursts at whole seconds --------------------------
+        in_burst = (pos % 1_000_000_000) < self.TICK_NS
+        t = (pos % 1_000_000_000).astype(jnp.float32) / 1e9
+        wave = jnp.sin(2.0 * jnp.pi * self.TICK_HZ * t) * 0.8
+        out = jnp.where(in_burst, wave, 0.0).astype(jnp.float32)
+        out = jnp.broadcast_to(out[..., None], (b, s, c))
+
+        # --- input: detect tick arrivals -----------------------------------
+        hits = jnp.abs(batch.data[..., 0]) > 0.7   # first channel, like C
+        first = jnp.argmax(hits, axis=1)           # per frame
+        has = jnp.any(hits, axis=1)
+        hit_pos = pos[jnp.arange(b), first]
+        bucket = hit_pos // 1_000_000_000
+
+        def step(st, inp):
+            has_i, bucket_i, pos_i, valid_i = inp
+            accept = has_i & valid_i & (bucket_i > st["last_bucket"])
+            lat_us = (pos_i % 1_000_000_000) // 1000
+            ring = jnp.where(accept,
+                             st["ring"].at[st["idx"] % 5].set(lat_us),
+                             st["ring"])
+            idx = jnp.where(accept, st["idx"] + 1, st["idx"])
+            count = jnp.minimum(jnp.where(accept, st["count"] + 1,
+                                          st["count"]), 5)
+            avg = jnp.where(count > 0,
+                            jnp.sum(ring) // jnp.maximum(count, 1), 0)
+            new = {"ring": ring, "idx": idx, "count": count,
+                   "last_bucket": jnp.where(accept, bucket_i,
+                                            st["last_bucket"])}
+            return new, (accept, lat_us, avg)
+
+        state, (accepted, lat_us, avg_us) = lax.scan(
+            step, state, (has, bucket, hit_pos, batch.valid))
+
+        msgs = {"latency": {"_emit": accepted,
+                            "last-latency": lat_us,
+                            "average-latency": avg_us}}
+        return state, batch.with_data(out), msgs
 
     @property
     def last_latency_us(self):

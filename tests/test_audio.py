@@ -469,3 +469,31 @@ def test_bpmdetect_click_track():
         assert msgs, f"no bpm message for {want_bpm}"
         got = float(msgs[-1].fields["bpm"])
         assert abs(got - want_bpm) <= 2.0
+
+
+def test_audiolatency_tick_roundtrip():
+    """gstaudiolatency.c: 1 Hz ticks, |x|>0.7 detection, ring-of-5
+    average, "latency" message in microseconds."""
+    rate = 48000
+    n = rate * 3
+    sig = np.zeros((n,), np.float32)
+    for sec in range(3):  # loopback echo arriving 37 ms after each second
+        start = sec * rate + int(0.037 * rate)
+        tt = np.arange(480) / rate
+        sig[start:start + 480] = 0.8 * np.sin(2 * np.pi * 440 * tt)
+    x = sig.reshape(-1, 4800, 1)
+    pts = np.arange(x.shape[0], dtype=np.int64) * (4800 * 10**9 // rate)
+    h = Harness("audiolatency")
+    h.set_src_spec(_spec(AudioFormat.F32, 1, rate))
+    outs = h.push(x, pts=pts)
+    msgs = h.bus.pop(name="latency")
+    lats = [int(m.fields["last-latency"]) for m in msgs]
+    assert len(lats) == 3
+    for lat in lats:
+        assert abs(lat - 37000) < 1500  # ~37 ms in us
+    assert abs(int(msgs[-1].fields["average-latency"]) - 37000) < 1500
+    # output carries the generated tick train at each second boundary
+    y = np.concatenate([np.asarray(o.data) for o in outs], axis=1).ravel()
+    burst = np.where(np.abs(y) > 0.7)[0]
+    assert burst.size and burst[0] < 480
+    assert np.any((burst >= rate) & (burst < rate + 480))
