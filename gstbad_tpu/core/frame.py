@@ -23,6 +23,7 @@ FLAG_TFF = 1 << 1
 FLAG_RFF = 1 << 2
 FLAG_ONEFIELD = 1 << 3
 FLAG_GAP = 1 << 4
+FLAG_DISCONT = 1 << 5  # GST_BUFFER_FLAG_DISCONT analog
 # composed field markers for interlace-mode=alternate streams, mirroring
 # GStreamer's TOP_FIELD = TFF|ONEFIELD / BOTTOM_FIELD = ONEFIELD composition
 FLAG_TOP_FIELD = FLAG_TFF | FLAG_ONEFIELD

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gstbad_tpu.core.element import AudioFilter, Property
-from gstbad_tpu.core.frame import FrameBatch
+from gstbad_tpu.core.frame import FLAG_DISCONT, FrameBatch
 from gstbad_tpu.core.registry import register
 from gstbad_tpu.core.spec import AudioFormat, MediaSpec
 
@@ -26,7 +26,28 @@ class AudioBufferSplit(AudioFilter):
     PROPERTIES = (
         Property("output-buffer-duration", str, "1/50", static=True,
                  doc="seconds, as a fraction (default 20 ms)"),
+        # GstAudioStreamAlign knobs (gstaudiobuffersplit.c:123-136):
+        # a timestamp drift beyond alignment-threshold sustained for
+        # discont-wait resyncs the output timeline to the input pts.
+        # Detection here is at window granularity (our chain unit).
+        Property("alignment-threshold", int, 40_000_000),   # ns, 40 ms
+        Property("discont-wait", int, 1_000_000_000),       # ns, 1 s
+        # strict-buffer-size: discard the carried partial tail at EOS
+        # instead of emitting a short buffer (gstaudiobuffersplit.c:138-141)
+        Property("strict-buffer-size", bool, False, static=True),
+        # gapless silence insertion (gstaudiobuffersplit.c:145-155) needs
+        # data-dependent sample insertion — incompatible with the fused
+        # static-shape window; resync (the default path) is implemented.
+        Property("gapless", bool, False, static=True),
     )
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        if self.props["gapless"]:
+            raise ValueError(
+                "audiobuffersplit: gapless silence insertion is not "
+                "supported in the fused window program (data-dependent "
+                "output length); use the default resync behavior")
 
     def negotiate(self, in_spec: MediaSpec) -> MediaSpec:
         frac = Fraction(self.props["output-buffer-duration"])
@@ -43,6 +64,8 @@ class AudioBufferSplit(AudioFilter):
             "rem_fill": jnp.int32(0),
             "next_pts": jnp.int64(0),
             "have_pts": jnp.bool_(False),
+            "next_in_pts": jnp.int64(0),
+            "misaligned_since": jnp.int64(-1),
         }
 
     def process(self, params, state, batch: FrameBatch):
@@ -66,17 +89,34 @@ class AudioBufferSplit(AudioFilter):
         idx = tail_start + jnp.arange(so)
         rem = jnp.where((jnp.arange(so) < rem_fill)[:, None],
                         buf[idx], rem)
-        # timestamps: continuous from the first input pts seen
-        first_pts = jnp.where(state["have_pts"], state["next_pts"],
-                              batch.pts[0])
+        # timestamps: continuous from the first input pts seen; a drift
+        # beyond alignment-threshold sustained past discont-wait resyncs
+        # the output timeline to the input pts (GstAudioStreamAlign)
+        in_pts = batch.pts[0]
+        drift = jnp.abs(in_pts - state["next_in_pts"])
+        misaligned = state["have_pts"] & \
+            (drift > params["alignment-threshold"])
+        since = jnp.where(misaligned,
+                          jnp.where(state["misaligned_since"] >= 0,
+                                    state["misaligned_since"], in_pts),
+                          jnp.int64(-1))
+        resync = misaligned & (since >= 0) & \
+            (in_pts - since >= params["discont-wait"])
+        base = jnp.where(resync, in_pts, state["next_pts"])
+        since = jnp.where(resync, jnp.int64(-1), since)
+
+        first_pts = jnp.where(state["have_pts"], base, in_pts)
         dur = jnp.int64(round(1e9 * so / self.in_spec.rate))
         pts = first_pts + jnp.arange(n_out, dtype=jnp.int64) * dur
         next_pts = first_pts + n_full.astype(jnp.int64) * dur
+        in_dur = (jnp.int64(b * s) * 1_000_000_000) // self.in_spec.rate
         new_state = {"rem": rem, "rem_fill": rem_fill.astype(jnp.int32),
-                     "next_pts": next_pts, "have_pts": jnp.bool_(True)}
-        out = FrameBatch(data=blocks, pts=pts,
-                         flags=jnp.zeros(n_out, jnp.int32),
-                         valid=valid)
+                     "next_pts": next_pts, "have_pts": jnp.bool_(True),
+                     "next_in_pts": in_pts + in_dur,
+                     "misaligned_since": since}
+        flags = jnp.zeros(n_out, jnp.int32).at[0].set(
+            jnp.where(resync, jnp.int32(FLAG_DISCONT), 0))
+        out = FrameBatch(data=blocks, pts=pts, flags=flags, valid=valid)
         return new_state, out
 
 

@@ -497,3 +497,34 @@ def test_audiolatency_tick_roundtrip():
     burst = np.where(np.abs(y) > 0.7)[0]
     assert burst.size and burst[0] < 480
     assert np.any((burst >= rate) & (burst < rate + 480))
+
+
+def test_audiobuffersplit_discont_resync():
+    """GstAudioStreamAlign semantics: drift past alignment-threshold
+    sustained for discont-wait resyncs output PTS and flags DISCONT."""
+    from gstbad_tpu.core.frame import FLAG_DISCONT
+    h = Harness("audiobuffersplit",
+                **{"output-buffer-duration": "1/100",
+                   "alignment-threshold": 40_000_000,
+                   "discont-wait": 0})
+    h.set_src_spec(_spec(AudioFormat.F32, 1))
+    x = np.zeros((2, 480, 1), np.float32)
+    dur = 480 * 10**9 // 48000
+    # aligned window, then a window 5 s ahead (sustained gap)
+    outs1 = h.push(x, pts=np.array([0, dur]))
+    pts_jump = 5 * 10**9
+    outs2 = h.push(x, pts=np.array([pts_jump, pts_jump + dur]))
+    p1 = np.concatenate([np.asarray(o.pts) for o in outs1])
+    p2 = np.concatenate([np.asarray(o.pts) for o in outs2])
+    f2 = np.concatenate([np.asarray(o.flags) for o in outs2])
+    assert p1[0] == 0
+    assert p2[0] == pts_jump          # resynced to the input timeline
+    assert f2[0] & FLAG_DISCONT
+    # small drift below threshold: no resync
+    h2 = Harness("audiobuffersplit", **{"output-buffer-duration": "1/100"})
+    h2.set_src_spec(_spec(AudioFormat.F32, 1))
+    h2.push(x, pts=np.array([0, dur]))
+    outs = h2.push(x, pts=np.array([2 * dur + 1_000_000,
+                                    3 * dur + 1_000_000]))
+    pts = np.concatenate([np.asarray(o.pts) for o in outs])
+    assert pts[0] == 2 * dur          # continuous timeline kept
