@@ -256,3 +256,44 @@ def test_clockselect_paces_play():
     with np.testing.assert_raises(Exception):
         gt.parse_launch("videotestsrc ! clockselect clock-id=bogus "
                         "! fakesink")
+
+
+# ---------------------------------------------------------------------------
+# jpegparse (gst/jpegformat/gstjpegparse.c) — byte-domain framing
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_seg(marker, payload):
+    import struct
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) \
+        + payload
+
+
+def _fake_jpeg(w, h, subsamp=((2, 2), (1, 1), (1, 1))):
+    import struct
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    for i, (bw, bh) in enumerate(subsamp):
+        sof += bytes([i + 1, (bw << 4) | bh, 0])
+    entropy = bytes([0x12, 0xFF, 0x00, 0x34, 0xFF, 0xD0, 0x56] * 5)
+    return (b"\xff\xd8" + _jpeg_seg(0xE0, b"JFIF\x00" + bytes(8))
+            + _jpeg_seg(0xDB, bytes(65)) + _jpeg_seg(0xC0, sof)
+            + _jpeg_seg(0xC4, bytes(20)) + _jpeg_seg(0xDA, bytes(10))
+            + entropy + b"\xff\xd9")
+
+
+def test_jpegparse_framing_and_headers():
+    from gstbad_tpu.io.jpeg import JpegParse
+    blob = (b"garbage!" + _fake_jpeg(640, 480)
+            + _fake_jpeg(320, 240, ((2, 1), (1, 1), (1, 1)))
+            + _fake_jpeg(64, 48, ((1, 1), (1, 1), (1, 1))))
+    # arbitrary buffer boundaries (the chopmydata test pattern)
+    p = JpegParse()
+    imgs = []
+    for i in range(0, len(blob), 13):
+        imgs += p.push(blob[i:i + 13])
+    assert [(im.width, im.height, im.format) for im in imgs] == \
+        [(640, 480, "I420"), (320, 240, "UYVY"), (64, 48, "YV12")]
+    for im in imgs:
+        assert im.data.startswith(b"\xff\xd8")
+        assert im.data.endswith(b"\xff\xd9")
+        assert im.precision == 8 and im.n_components == 3
