@@ -359,3 +359,39 @@ def test_ipcpipeline_elements_end_to_end(rng):
     assert got.shape[0] == 4
     for i in range(4):
         np.testing.assert_array_equal(got[i], solarize(frames[i]))
+
+
+def test_ivf_roundtrip(tmp_path, rng):
+    from gstbad_tpu.io.ivf import IvfParse, write_ivf
+    frames = [(i * 3000, rng.integers(0, 256, (50 + i,), np.uint8)
+               .tobytes()) for i in range(5)]
+    path = tmp_path / "t.ivf"
+    write_ivf(path, b"VP90", 320, 240, 30000, 1001, frames)
+    p = IvfParse()
+    blob = path.read_bytes()
+    got = []
+    for i in range(0, len(blob), 23):  # ragged boundaries
+        got += p.push(blob[i:i + 23])
+    assert p.header.media_type == "video/x-vp9"
+    assert (p.header.width, p.header.height) == (320, 240)
+    assert (p.header.fps_n, p.header.fps_d) == (30000, 1001)
+    assert got == frames
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        IvfParse().push(b"XXXX" + bytes(40))
+
+
+def test_subtitle_encoders():
+    from gstbad_tpu.io.subtitles import SrtEnc, WebvttEnc
+    srt = SrtEnc()
+    out = srt.encode("hello", 0) + srt.encode("world", 61_500 * 10**6,
+                                              2 * 10**9)
+    assert out.decode() == (
+        "1\n00:00:00,000 --> 00:00:01,000\nhello\n\n"
+        "2\n00:01:01,500 --> 00:01:03,500\nworld\n\n")
+    vtt = WebvttEnc()
+    out = vtt.encode("hi", 3_661_002 * 10**6).decode()
+    assert out.startswith("WEBVTT\n\n")
+    assert "01:01:01.002 --> 01:01:02.002\nhi" in out
+    # header emitted once
+    assert "WEBVTT" not in vtt.encode("again", 0).decode()
