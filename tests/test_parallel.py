@@ -97,3 +97,35 @@ def test_pipeline_compile_with_mesh(rng, mesh):
     _, leaf2, _ = step2(p2.params(), p2.init_states(8), None)
     np.testing.assert_array_equal(np.asarray(leaf[-1].data),
                                   np.asarray(leaf2[-1].data))
+
+
+def test_sharded_digitalzoom_matches_unsharded(rng, mesh):
+    """digitalzoom's row-resample matmul mixes rows across the sp shards;
+    XLA must all-gather — results identical to unsharded."""
+    img = rng.integers(0, 256, (8, 32, 128, 4), dtype=np.uint8)
+    spec = MediaSpec(kind="video", format="AYUV", width=128, height=32)
+    p = _build("digitalzoom zoom=2.0 ! fakesink", spec)
+    batch = FrameBatch.make(jnp.asarray(img))
+    want = _step_outputs(p, 8, batch)
+
+    p2 = _build("digitalzoom zoom=2.0 ! fakesink", spec)
+    with mesh:
+        got = _step_outputs(p2, 8, shard_batch(batch, mesh))
+    # f32 matmul reassociation across shards can flip a rounding LSB
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_sharded_audio_scan_elements(rng, mesh):
+    """bs2b/webrtcdsp carry scan state; under a dp mesh over blocks the
+    sequential carries must still thread correctly (the window program is
+    one logical step, dp shards the flattened sample work)."""
+    x = ((rng.random((8, 256, 2)) - 0.5)).astype(np.float64)
+    spec = MediaSpec(kind="audio", format="F64", rate=48000, channels=2)
+    p = _build("bs2b fcut=800 feed=60 ! fakesink", spec)
+    batch = FrameBatch.make(jnp.asarray(x))
+    want = _step_outputs(p, 8, batch)
+
+    p2 = _build("bs2b fcut=800 feed=60 ! fakesink", spec)
+    with mesh:
+        got = _step_outputs(p2, 8, shard_batch(batch, mesh))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
