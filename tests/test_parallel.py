@@ -129,3 +129,22 @@ def test_sharded_audio_scan_elements(rng, mesh):
     with mesh:
         got = _step_outputs(p2, 8, shard_batch(batch, mesh))
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+
+def test_multihost_feed_window_single_process(rng, mesh):
+    """feed_window degrades to device_put sharding in one process and
+    produces the same results as shard_batch."""
+    from gstbad_tpu.parallel import feed_window
+    img = rng.integers(0, 256, (8, 32, 128, 4), dtype=np.uint8)
+    spec = MediaSpec(kind="video", format="BGRx", width=128, height=32)
+    pts = np.arange(8, dtype=np.int64) * 33_000_000
+
+    p = _build("burn ! fakesink", spec)
+    want = _step_outputs(p, 8, FrameBatch.make(jnp.asarray(img),
+                                               pts=jnp.asarray(pts)))
+    p2 = _build("burn ! fakesink", spec)
+    with mesh:
+        batch = feed_window(mesh, img, pts)
+        assert batch.data.sharding.spec == ("dp", "sp", None, None)
+        got = _step_outputs(p2, 8, batch)
+    np.testing.assert_array_equal(got, want)
