@@ -322,3 +322,103 @@ class Bs2b:
         """bs2b_cross_feed_s16: process in native int range, clip, trunc."""
         y = self.process_float(x.astype(np.float64))
         return np.clip(y, -32768, 32767).astype(np.int16)
+
+
+# ---------------------------------------------------------------------------
+# adpcmdec (gst/adpcmdec/adpcmdec.c)
+# ---------------------------------------------------------------------------
+
+IMA_INDEX_ADJUST = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8])  # :254-256
+IMA_STEP_SIZE = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767])  # :258-272
+MS_ADAPTATION = np.array([230, 230, 230, 230, 307, 409, 512, 614,
+                          768, 614, 512, 409, 307, 230, 230, 230])
+MS_COEFF1 = np.array([256, 512, 0, 192, 240, 460, 392])
+MS_COEFF2 = np.array([0, -256, 0, 64, 0, -208, -232])
+
+
+def _rd16(data, off):
+    # plain ints: uint8 << 8 would wrap to zero; manual two's complement
+    v = int(data[off]) | (int(data[off + 1]) << 8)
+    return v - 65536 if v >= 32768 else v
+
+
+def adpcm_decode_ima_block(data: np.ndarray, channels: int) -> np.ndarray:
+    """adpcmdec_decode_ima_block (adpcmdec.c:274-331), interleaved int16."""
+    n_samples = (len(data) - 4 * channels) * 2 + channels
+    samples = np.zeros(n_samples, np.int64)
+    stepindex = np.zeros(channels, np.int64)
+    for c in range(channels):
+        samples[c] = _rd16(data, c * 4)
+        stepindex[c] = min(data[c * 4 + 2], 88)
+        assert data[c * 4 + 3] == 0, "synchronisation error"
+    i = channels
+    idx = 4 * channels
+    while i < n_samples:
+        for c in range(channels):
+            sample = i + c
+            for j in range(8):
+                if j % 2 == 0:
+                    code = int(data[idx]) & 0x0F
+                else:
+                    code = int(data[idx] >> 4) & 0x0F
+                    idx += 1
+                step = IMA_STEP_SIZE[stepindex[c]]
+                diff = (2 * (code & 0x7) * step + step) // 8
+                if code & 8:
+                    diff = -diff
+                samples[sample] = np.clip(samples[sample - channels] + diff,
+                                          -32768, 32767)
+                stepindex[c] = np.clip(stepindex[c]
+                                       + IMA_INDEX_ADJUST[code], 0, 88)
+                sample += channels
+        i += 8 * channels
+    return samples.astype(np.int16)
+
+
+def adpcm_decode_ms_block(data: np.ndarray, channels: int) -> np.ndarray:
+    """adpcmdec_decode_ms_block (adpcmdec.c:180-252), interleaved int16."""
+    n_samples = (len(data) - 7 * channels) * 2 + 2 * channels
+    samples = np.zeros(n_samples, np.int64)
+    if channels == 1:
+        pred = [data[0]]
+        idelta = [int(_rd16(data, 1))]
+        samples[1] = _rd16(data, 3)
+        samples[0] = _rd16(data, 5)
+        idx, i = 7, 2
+    else:
+        pred = [data[0], data[1]]
+        idelta = [int(_rd16(data, 2)), int(_rd16(data, 4))]
+        samples[2] = _rd16(data, 6)
+        samples[3] = _rd16(data, 8)
+        samples[0] = _rd16(data, 10)
+        samples[1] = _rd16(data, 12)
+        idx, i = 14, 4
+    assert all(0 <= p <= 6 for p in pred), "invalid block predictor"
+    while i < n_samples:
+        chan = i % channels
+        if i % 2 == 0:
+            code = int(data[idx] >> 4) & 0x0F
+        else:
+            code = int(data[idx]) & 0x0F
+            idx += 1
+        delta = idelta[chan]
+        # C keeps idelta in gint16: the product truncates to 16 bits
+        # BEFORE the < 16 floor (adpcmdec.c:185 'gint16 idelta[2]')
+        nd = (int(MS_ADAPTATION[code]) * delta) >> 8
+        nd = ((nd + 32768) % 65536) - 32768
+        idelta[chan] = max(nd, 16)
+        signed = code - 0x10 if code & 0x8 else code
+        predict = ((int(samples[i - channels]) * int(MS_COEFF1[pred[chan]]))
+                   + (int(samples[i - 2 * channels])
+                      * int(MS_COEFF2[pred[chan]]))) >> 8
+        samples[i] = np.clip(signed * delta + predict, -32768, 32767)
+        i += 1
+    return samples.astype(np.int16)

@@ -648,3 +648,106 @@ def resample_linear(x: jnp.ndarray, n_out: int):
     i1 = jnp.minimum(i0 + 1, n - 1)
     a = (pos - i0)[:, None]
     return x[i0] * (1.0 - a) + x[i1] * a
+
+
+# ---------------------------------------------------------------------------
+# adpcmdec (gst/adpcmdec/adpcmdec.c) — IMA/DVI and Microsoft ADPCM
+# ---------------------------------------------------------------------------
+
+IMA_INDEX_ADJUST = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8], np.int32)
+IMA_STEP_SIZE = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], np.int32)
+MS_ADAPTATION = np.array([230, 230, 230, 230, 307, 409, 512, 614,
+                          768, 614, 512, 409, 307, 230, 230, 230], np.int32)
+MS_COEFF1 = np.array([256, 512, 0, 192, 240, 460, 392], np.int32)
+MS_COEFF2 = np.array([0, -256, 0, 64, 0, -208, -232], np.int32)
+
+
+def _rd16s(b, off):
+    v = b[:, off] | (b[:, off + 1] << 8)
+    return ((v + 32768) % 65536) - 32768
+
+
+def adpcm_ima_decode(blocks: jnp.ndarray, channels: int) -> jnp.ndarray:
+    """uint8 [B, blocksize] -> int16 [B, n, C].  The decode recurrences
+    (stepindex walk + clamped sample accumulation,
+    adpcmdec.c:302-328) are sequential per channel but independent across
+    blocks and channels, so ONE scan over nibble positions runs the whole
+    window vectorized [B, C]."""
+    b = blocks.astype(jnp.int32)
+    bsz = blocks.shape[1]
+    n_groups = (bsz - 4 * channels) // (4 * channels)
+    hdr = b[:, : 4 * channels].reshape(-1, channels, 4)
+    v = hdr[..., 0] | (hdr[..., 1] << 8)
+    s0 = ((v + 32768) % 65536) - 32768                 # [B, C]
+    si0 = jnp.minimum(hdr[..., 2], 88)
+    body = b[:, 4 * channels:].reshape(-1, n_groups, channels, 4)
+    ch_bytes = jnp.moveaxis(body, 2, 1).reshape(-1, channels, n_groups * 4)
+    codes = jnp.stack([ch_bytes & 0x0F, (ch_bytes >> 4) & 0x0F],
+                      axis=-1).reshape(-1, channels, n_groups * 8)
+    step_tab = jnp.asarray(IMA_STEP_SIZE)
+    adj = jnp.asarray(IMA_INDEX_ADJUST)
+
+    def step(carry, code):
+        s, si = carry
+        stepv = step_tab[si]
+        diff = (2 * (code & 7) * stepv + stepv) // 8
+        diff = jnp.where((code & 8) != 0, -diff, diff)
+        s = jnp.clip(s + diff, -32768, 32767)
+        si = jnp.clip(si + adj[code], 0, 88)
+        return (s, si), s
+
+    _, seq = lax.scan(step, (s0, si0), jnp.moveaxis(codes, 2, 0))
+    out = jnp.concatenate([s0[None], seq], axis=0)     # [1+8G, B, C]
+    return jnp.moveaxis(out, 0, 1).astype(jnp.int16)
+
+
+def adpcm_ms_decode(blocks: jnp.ndarray, channels: int) -> jnp.ndarray:
+    """uint8 [B, blocksize] -> int16 [B, n, C]
+    (adpcmdec_decode_ms_block, adpcmdec.c:180-252)."""
+    b = blocks.astype(jnp.int32)
+    if channels == 1:
+        pred = b[:, 0:1]
+        delta0 = _rd16s(b, 1)[:, None]
+        s1 = _rd16s(b, 3)[:, None]   # samples[1] (newer)
+        s2 = _rd16s(b, 5)[:, None]   # samples[0]
+        init_out = jnp.concatenate([s2, s1], axis=1)   # output order 0,1
+        data_off = 7
+    else:
+        pred = b[:, 0:2]
+        delta0 = jnp.stack([_rd16s(b, 2), _rd16s(b, 4)], axis=1)
+        s2_, s3_ = _rd16s(b, 6), _rd16s(b, 8)
+        s0_, s1_ = _rd16s(b, 10), _rd16s(b, 12)
+        s1 = jnp.stack([s2_, s3_], axis=1)             # samples[2],[3]
+        s2 = jnp.stack([s0_, s1_], axis=1)             # samples[0],[1]
+        init_out = jnp.stack([s0_, s1_, s2_, s3_], axis=1)
+        data_off = 14
+    coef1 = jnp.asarray(MS_COEFF1)[pred]               # [B, C]
+    coef2 = jnp.asarray(MS_COEFF2)[pred]
+    adapt = jnp.asarray(MS_ADAPTATION)
+    body = b[:, data_off:]
+    codes = jnp.stack([(body >> 4) & 0x0F, body & 0x0F],
+                      axis=-1).reshape(b.shape[0], -1, channels)
+
+    def step(carry, code):
+        s1, s2, delta = carry
+        # gint16 idelta in C: wrap the product to 16 bits before the floor
+        nd = (adapt[code] * delta) >> 8
+        nd = ((nd + 32768) % 65536) - 32768
+        new_delta = jnp.maximum(nd, 16)
+        signed = code - jnp.where((code & 8) != 0, 16, 0)
+        predict = (s1 * coef1 + s2 * coef2) >> 8
+        cur = jnp.clip(signed * delta + predict, -32768, 32767)
+        return (cur, s1, new_delta), cur
+
+    _, seq = lax.scan(step, (s1, s2, delta0), jnp.moveaxis(codes, 1, 0))
+    out = jnp.concatenate([init_out.reshape(-1, 2, channels),
+                           jnp.moveaxis(seq, 0, 1)], axis=1)
+    return out.astype(jnp.int16)

@@ -528,3 +528,62 @@ def test_audiobuffersplit_discont_resync():
                                     3 * dur + 1_000_000]))
     pts = np.concatenate([np.asarray(o.pts) for o in outs])
     assert pts[0] == 2 * dur          # continuous timeline kept
+
+
+# ---------------------------------------------------------------------------
+# adpcmdec (gst/adpcmdec/)
+# ---------------------------------------------------------------------------
+
+
+def _ima_block(rng, channels, groups=8):
+    hdr = b""
+    for c in range(channels):
+        s0 = int(rng.integers(-2000, 2000))
+        hdr += int(s0 & 0xFFFF).to_bytes(2, "little") \
+            + bytes([int(rng.integers(0, 89)), 0])
+    return hdr + rng.integers(0, 256, groups * 4 * channels,
+                              dtype=np.uint8).tobytes()
+
+
+def _ms_block(rng, channels, nbytes=32):
+    hdr = bytes(int(rng.integers(0, 7)) for _ in range(channels))
+    for _ in range(channels):  # ideltas
+        hdr += int(rng.integers(16, 4000)).to_bytes(2, "little")
+    for _ in range(2 * channels):  # two initial samples per channel
+        hdr += int(int(rng.integers(-3000, 3000)) & 0xFFFF).to_bytes(
+            2, "little")
+    return hdr + rng.integers(0, 256, nbytes, dtype=np.uint8).tobytes()
+
+
+@pytest.mark.parametrize("channels", [1, 2])
+def test_adpcmdec_dvi_matches_golden(rng, channels):
+    blocks = [_ima_block(rng, channels) for _ in range(4)]
+    bs = len(blocks[0])
+    p = gt.parse_launch(
+        f"adpcmdec layout=dvi blocksize={bs} rate=22050 "
+        f"channels={channels} ! fakesink")
+    p.elements[0].push_bytes(b"".join(blocks))
+    outs = p.run(window=4)
+    got = np.concatenate([np.asarray(o.data) for o in outs])
+    for i, blk in enumerate(blocks):
+        want = golden.adpcm_decode_ima_block(
+            np.frombuffer(blk, np.uint8), channels
+        ).reshape(-1, channels)
+        np.testing.assert_array_equal(got[i], want)
+
+
+@pytest.mark.parametrize("channels", [1, 2])
+def test_adpcmdec_microsoft_matches_golden(rng, channels):
+    blocks = [_ms_block(rng, channels) for _ in range(4)]
+    bs = len(blocks[0])
+    p = gt.parse_launch(
+        f"adpcmdec layout=microsoft blocksize={bs} rate=44100 "
+        f"channels={channels} ! fakesink")
+    p.elements[0].push_bytes(b"".join(blocks))
+    outs = p.run(window=4)
+    got = np.concatenate([np.asarray(o.data) for o in outs])
+    for i, blk in enumerate(blocks):
+        want = golden.adpcm_decode_ms_block(
+            np.frombuffer(blk, np.uint8), channels
+        ).reshape(-1, channels)
+        np.testing.assert_array_equal(got[i], want)
