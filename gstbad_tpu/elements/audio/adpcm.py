@@ -82,3 +82,60 @@ class AdpcmDec(Element):
         else:
             out = ops.adpcm_ms_decode(batch.data, ch)
         return state, batch.with_data(out)
+
+
+@register
+class AdpcmEnc(Element):
+    """adpcmenc (gst/adpcmenc/adpcmenc.c): DVI/IMA ADPCM encoder.
+
+    S16 blocks of samples-per-block in, uint8 ADPCM blocks out;
+    step_index carries across blocks (adpcmenc.c 'enc->step_index'),
+    prev_sample resets to each block's header sample.  Encoding is one
+    scan over the window's flattened samples (ops/audio.adpcm_ima_encode)
+    with the nibble/byte packing as pure reshapes."""
+
+    NAME = "adpcmenc"
+    PROPERTIES = (
+        Property("layout", str, "dvi", static=True),
+        Property("blocksize", int, 1024, 8, 8192, static=True),
+    )
+
+    def negotiate(self, in_spec: MediaSpec) -> MediaSpec:
+        require(self.props["layout"] == "dvi",
+                "adpcmenc: only the dvi layout exists in the reference")
+        require(in_spec.kind == "audio"
+                and in_spec.format == AudioFormat.S16,
+                "adpcmenc: needs S16 audio")
+        ch = in_spec.channels
+        bs = self.props["blocksize"]
+        require((bs - 4 * ch) % (4 * ch) == 0,
+                f"adpcmenc: blocksize {bs} not group-aligned "
+                f"for {ch} channels")
+        self._groups = (bs - 4 * ch) // (4 * ch)
+        self._n_samples = 1 + 8 * self._groups
+        self._channels = ch
+        return MediaSpec(kind="bytes", format="adpcm-dvi",
+                         rate=in_spec.rate, channels=ch)
+
+    def init_state(self, batch: int):
+        return jnp.zeros((self._channels,), jnp.int32)
+
+    def process(self, params, state, batch: FrameBatch):
+        b, s, ch = batch.data.shape
+        require(s == self._n_samples,
+                f"adpcmenc: need exactly {self._n_samples} samples per "
+                f"block, got {s} (feed through audiobuffersplit)")
+        codes, header_si, state = ops.adpcm_ima_encode(batch.data, state)
+        # header: sample0 (LE int16) + step_index + 0, per channel
+        s0 = batch.data[:, 0, :].astype(jnp.int32) & 0xFFFF
+        hdr = jnp.stack([s0 & 0xFF, (s0 >> 8) & 0xFF,
+                         header_si, jnp.zeros_like(s0)],
+                        axis=-1)                       # [B, C, 4]
+        hdr = hdr.reshape(b, 4 * ch)
+        # body: per group, per channel, 4 bytes of (low | high<<4) pairs
+        body = codes[:, 1:, :].reshape(b, self._groups, 8, ch)
+        lo, hi = body[:, :, 0::2, :], body[:, :, 1::2, :]
+        byts = (lo & 0x0F) | ((hi << 4) & 0xF0)        # [B, G, 4, C]
+        byts = jnp.moveaxis(byts, 3, 2).reshape(b, self._groups * ch * 4)
+        out = jnp.concatenate([hdr, byts], axis=1).astype(jnp.uint8)
+        return state, batch.with_data(out)

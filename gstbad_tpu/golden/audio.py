@@ -422,3 +422,64 @@ def adpcm_decode_ms_block(data: np.ndarray, channels: int) -> np.ndarray:
         samples[i] = np.clip(signed * delta + predict, -32768, 32767)
         i += 1
     return samples.astype(np.int16)
+
+
+def adpcm_encode_ima_sample(sample, prev_sample, stepindex):
+    """adpcmenc_encode_ima_sample (adpcmenc.c): returns (code, prev, si)."""
+    diff = int(sample) - int(prev_sample)
+    step = int(IMA_STEP_SIZE[stepindex])
+    vpdiff = step >> 3
+    code = 0
+    if diff < 0:
+        diff = -diff
+        code = 0x8
+    mask = 0x4
+    while mask > 0:
+        if diff >= step:
+            code |= mask
+            diff -= step
+            vpdiff += step
+        step >>= 1
+        mask >>= 1
+    if code & 8:
+        vpdiff = -vpdiff
+    prev = int(np.clip(prev_sample + vpdiff, -32768, 32767))
+    si = int(np.clip(stepindex + IMA_INDEX_ADJUST[code], 0, 88))
+    return code, prev, si
+
+
+class AdpcmEncIma:
+    """adpcmenc_encode_ima_block (adpcmenc.c): DVI layout; step_index
+    carries across blocks, prev_sample resets to the header sample."""
+
+    def __init__(self, channels: int):
+        self.channels = channels
+        self.step_index = [0] * channels
+
+    def encode_block(self, samples: np.ndarray, blocksize: int) -> bytes:
+        """samples: int16 [n, channels] with n = samples_per_block."""
+        ch = self.channels
+        out = bytearray(blocksize)
+        prev = [0] * ch
+        for c in range(ch):
+            s0 = int(samples[0, c])
+            out[c * 4 + 0] = s0 & 0xFF
+            out[c * 4 + 1] = (s0 >> 8) & 0xFF
+            out[c * 4 + 2] = self.step_index[c]
+            out[c * 4 + 3] = 0
+            prev[c] = s0
+        wp = 4 * ch
+        rp = 1
+        while wp < blocksize:
+            for c in range(ch):
+                for j in range(0, 8, 2):
+                    lo, prev[c], self.step_index[c] = \
+                        adpcm_encode_ima_sample(samples[rp + j, c], prev[c],
+                                                self.step_index[c])
+                    hi, prev[c], self.step_index[c] = \
+                        adpcm_encode_ima_sample(samples[rp + j + 1, c],
+                                                prev[c], self.step_index[c])
+                    out[wp] = (lo & 0x0F) | ((hi << 4) & 0xF0)
+                    wp += 1
+            rp += 8
+        return bytes(out)

@@ -751,3 +751,49 @@ def adpcm_ms_decode(blocks: jnp.ndarray, channels: int) -> jnp.ndarray:
     out = jnp.concatenate([init_out.reshape(-1, 2, channels),
                            jnp.moveaxis(seq, 0, 1)], axis=1)
     return out.astype(jnp.int16)
+
+
+def adpcm_ima_encode(samples: jnp.ndarray, step_index0: jnp.ndarray):
+    """int16 [B, n, C] -> (codes int32 [B, n, C], header_si [B, C],
+    new step_index [C]).
+
+    adpcmenc_encode_ima_sample (adpcmenc.c): the quantizer's 3-bit
+    magnitude search unrolls to static mask steps; prev_sample resets to
+    the header sample at each block start while step_index carries across
+    blocks, so the scan runs over the flattened window with a
+    block-start reset mask.  codes[:, 0, :] are dummies (the header slot);
+    header_si is the carried step_index at each block's header."""
+    b, n, c = samples.shape
+    flat = samples.reshape(b * n, c).astype(jnp.int32)
+    starts = (jnp.arange(b * n) % n) == 0
+    tab = jnp.asarray(IMA_STEP_SIZE)
+    adj = jnp.asarray(IMA_INDEX_ADJUST)
+
+    def step(carry, inp):
+        prev, si = carry
+        s, start = inp
+        diff0 = s - prev
+        sign = diff0 < 0
+        diff = jnp.abs(diff0)
+        stepv = tab[si]
+        vpdiff = stepv >> 3
+        code = jnp.zeros_like(s)
+        for bit in (4, 2, 1):
+            ge = diff >= stepv
+            code = code | jnp.where(ge, bit, 0)
+            diff = diff - jnp.where(ge, stepv, 0)
+            vpdiff = vpdiff + jnp.where(ge, stepv, 0)
+            stepv = stepv >> 1
+        code = code | jnp.where(sign, 8, 0)
+        vp = jnp.where(sign, -vpdiff, vpdiff)
+        new_prev = jnp.clip(prev + vp, -32768, 32767)
+        new_si = jnp.clip(si + adj[code], 0, 88)
+        prev_out = jnp.where(start, s, new_prev)
+        si_out = jnp.where(start, si, new_si)
+        return (prev_out, si_out), (jnp.where(start, 0, code), si)
+
+    init = (jnp.zeros((c,), jnp.int32),
+            step_index0.astype(jnp.int32))
+    (_, si_final), (codes, si_seen) = lax.scan(step, init, (flat, starts))
+    header_si = si_seen.reshape(b, n, c)[:, 0, :]
+    return codes.reshape(b, n, c), header_si, si_final

@@ -587,3 +587,33 @@ def test_adpcmdec_microsoft_matches_golden(rng, channels):
             np.frombuffer(blk, np.uint8), channels
         ).reshape(-1, channels)
         np.testing.assert_array_equal(got[i], want)
+
+
+@pytest.mark.parametrize("channels", [1, 2])
+def test_adpcmenc_matches_golden_and_roundtrips(rng, channels):
+    groups = 8
+    n = 1 + 8 * groups
+    bs = 4 * channels + groups * 4 * channels
+    t = np.arange(3 * n)
+    sig = np.stack([(3000 * np.sin(t * 0.05 * (c + 1)))
+                    for c in range(channels)], 1).astype(np.int16)
+    x = sig.reshape(3, n, channels)
+    h = Harness("adpcmenc", blocksize=bs)
+    h.set_src_spec(_spec(AudioFormat.S16, channels, 22050))
+    got = h.push_pull(x)
+    enc = golden.AdpcmEncIma(channels)
+    for i in range(3):
+        want = enc.encode_block(x[i], bs)
+        assert np.asarray(got[i]).tobytes() == want
+    # enc -> dec roundtrip approximates the input once the step adapts
+    p = gt.parse_launch(
+        f"adpcmdec layout=dvi blocksize={bs} rate=22050 "
+        f"channels={channels} ! fakesink")
+    p.elements[0].push_bytes(b"".join(np.asarray(g).tobytes()
+                                      for g in got))
+    outs = p.run(window=3)
+    dec = np.concatenate([np.asarray(o.data) for o in outs]
+                         ).reshape(-1, channels)
+    tail = slice(n, None)  # skip the adaptation ramp
+    err = np.abs(dec[tail].astype(int) - sig[tail].astype(int))
+    assert err.mean() < 200  # lossy 4-bit codec, but tracking
