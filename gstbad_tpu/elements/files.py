@@ -146,3 +146,80 @@ class GdpFileSrc(Element):
 
     def process(self, params, state, batch):
         return state, batch
+
+
+@register
+class Y4mFileSrc(Element):
+    """y4mdec analog (gst/y4m/gsty4mdec.c) as a file source: parse the
+    YUV4MPEG2 header into the MediaSpec (caps) and emit I420 planar
+    windows.  (The reference decodes a byte stream mid-pipeline; here the
+    io/y4m.py reader does the byte parsing and this element frames it.)"""
+
+    NAME = "y4mfilesrc"
+    KIND = "host-source"
+    PROPERTIES = (Property("location", str, "in.y4m", static=True),)
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        self._planes = None
+        self._pos = 0
+
+    def negotiate(self, in_spec):
+        from gstbad_tpu.io import y4m
+        spec, self._planes = y4m.read_y4m(self.props["location"])
+        self._n = next(iter(self._planes.values())).shape[0]
+        self._dur = spec.frame_duration_ns
+        return spec
+
+    def pull_window(self, window: int):
+        import jax.numpy as jnp
+        if self._pos >= self._n:
+            return None
+        n = min(window, self._n - self._pos)
+        sl = slice(self._pos, self._pos + n)
+        data = {k: jnp.asarray(v[sl]) for k, v in self._planes.items()}
+        pts = (self._pos + np.arange(n, dtype=np.int64)) * self._dur
+        self._pos += n
+        return FrameBatch.make(data, pts=jnp.asarray(pts))
+
+    def process(self, params, state, batch):
+        return state, batch
+
+
+@register
+class Y4mFileSink(Element):
+    """y4m writer endpoint (the gst-good y4menc ! filesink chain analog;
+    pairs with y4mfilesrc for launch-string y4m io)."""
+
+    NAME = "y4mfilesink"
+    KIND = "sink"
+    HOST = True
+    PROPERTIES = (Property("location", str, "out.y4m", static=True),)
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        self._frames = []
+
+    def negotiate(self, in_spec):
+        from gstbad_tpu.core.spec import VideoFormat, require
+        require(in_spec.kind == "video"
+                and in_spec.format == VideoFormat.I420,
+                "y4mfilesink: needs I420 (use videoconvert)")
+        return in_spec
+
+    def process(self, params, state, batch: FrameBatch):
+        return state, batch
+
+    def host_process(self, np_batch: FrameBatch, bus) -> None:
+        valid = np.asarray(np_batch.valid)
+        data = {k: np.asarray(v)[valid] for k, v in np_batch.data.items()}
+        if data["y"].shape[0]:
+            self._frames.append(data)
+
+    def close(self):
+        from gstbad_tpu.io import y4m
+        if self._frames:
+            merged = {k: np.concatenate([f[k] for f in self._frames])
+                      for k in self._frames[0]}
+            y4m.write_y4m(self.props["location"], self.out_spec, merged)
+            self._frames = []

@@ -395,3 +395,23 @@ def test_subtitle_encoders():
     assert "01:01:01.002 --> 01:01:02.002\nhi" in out
     # header emitted once
     assert "WEBVTT" not in vtt.encode("again", 0).decode()
+
+
+def test_y4m_file_elements_roundtrip(tmp_path, rng):
+    """y4mfilesrc ! filter ! y4mfilesink in a launch string (y4mdec
+    analog)."""
+    planes = {"y": rng.integers(0, 256, (6, 48, 64), np.uint8),
+              "u": rng.integers(0, 256, (6, 24, 32), np.uint8),
+              "v": rng.integers(0, 256, (6, 24, 32), np.uint8)}
+    src = tmp_path / "in.y4m"
+    dst = tmp_path / "out.y4m"
+    y4m.write_y4m(src, MediaSpec(kind="video", format="I420",
+                                 width=64, height=48), planes)
+    p = gt.parse_launch(f"y4mfilesrc location={src} "
+                        f"! y4mfilesink location={dst}")
+    p.run(window=4)
+    p.elements[-1].close()
+    spec2, planes2 = y4m.read_y4m(str(dst))
+    assert spec2.width == 64 and spec2.format == "I420"
+    for k in planes:
+        np.testing.assert_array_equal(planes[k], planes2[k])
