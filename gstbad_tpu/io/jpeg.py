@@ -139,3 +139,51 @@ class JpegParse:
                         continue
                     pos = nxt  # points at ff of the next marker
                     break
+
+
+def jif_mux(jpeg: bytes, comment: Optional[str] = None,
+            exif: Optional[bytes] = None,
+            xmp: Optional[bytes] = None) -> bytes:
+    """jifmux analog (gst/jpegformat/gstjifmux.c): rewrite the JPEG header
+    markers — JFIF APP0 first, then Exif APP1, XMP APP1, then COM, then
+    the rest (gstjifmux.c:372-460 marker ordering).  Tag payloads come in
+    directly instead of through GstTagList/taginject."""
+    if jpeg[:2] != b"\xff" + bytes([SOI]):
+        raise ValueError("jif_mux: not a JPEG (no SOI)")
+    import struct as _struct
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + _struct.pack(
+            ">H", len(payload) + 2) + payload
+
+    # split the existing stream into (marker, raw segment) units
+    pos = 2
+    units = []
+    while pos + 1 < len(jpeg):
+        if jpeg[pos] != 0xFF:
+            break
+        marker = jpeg[pos + 1]
+        if marker == SOS:
+            units.append((marker, jpeg[pos:]))  # SOS + entropy + EOI
+            break
+        if marker in STANDALONE:
+            units.append((marker, jpeg[pos:pos + 2]))
+            pos += 2
+            continue
+        seglen = (jpeg[pos + 2] << 8) | jpeg[pos + 3]
+        units.append((marker, jpeg[pos:pos + 2 + seglen]))
+        pos += 2 + seglen
+
+    app0 = [u for u in units if u[0] == 0xE0]
+    keep = [u for u in units
+            if u[0] not in (0xE0, 0xE1, 0xFE)]  # strip APP0/APP1/COM
+    out = [jpeg[:2]]
+    out += [raw for _, raw in app0]             # JFIF APP0 first
+    if exif is not None:
+        out.append(seg(0xE1, b"Exif\x00\x00" + exif))
+    if xmp is not None:
+        out.append(seg(0xE1, b"http://ns.adobe.com/xap/1.0/\x00" + xmp))
+    if comment is not None:
+        out.append(seg(0xFE, comment.encode() + b"\x00"))
+    out += [raw for _, raw in keep]
+    return b"".join(out)

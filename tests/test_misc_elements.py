@@ -297,3 +297,17 @@ def test_jpegparse_framing_and_headers():
         assert im.data.startswith(b"\xff\xd8")
         assert im.data.endswith(b"\xff\xd9")
         assert im.precision == 8 and im.n_components == 3
+
+
+def test_jifmux_marker_rewrite():
+    from gstbad_tpu.io.jpeg import JpegParse, jif_mux
+    blob = _fake_jpeg(64, 48)
+    out = jif_mux(blob, comment="test image", exif=b"\x01\x02")
+    # still a valid parseable JPEG with the same image properties
+    imgs = JpegParse().push(out)
+    assert len(imgs) == 1 and imgs[0].width == 64
+    # marker order: SOI, APP0(JFIF), APP1(Exif), COM, ...
+    assert out[2:4] == b"\xff\xe0"
+    i_exif = out.find(b"Exif\x00\x00")
+    i_com = out.find(b"test image")
+    assert 0 < i_exif < i_com
