@@ -98,3 +98,30 @@ def test_checkpoint_resume(tmp_path, rng):
     got = [np.asarray(o.data) for o in out1 + out2]
     for a, b in zip(ref, got):
         np.testing.assert_array_equal(a, b)
+
+
+def test_camera_image_and_video_capture(tmp_path):
+    from gstbad_tpu.session.camera import Camera, MODE_VIDEO
+    from gstbad_tpu.io import pnm, y4m
+    import os
+    os.chdir(tmp_path)
+    cam = Camera(source="videotestsrc pattern=gradient width=64 height=48 "
+                 "format=BGRx", zoom=2.0)
+    loc = cam.start_capture()
+    assert loc == "img_0.pnm"
+    spec, img = pnm.read_pnm(loc)
+    assert img.shape == (48, 64, 3)
+    msgs = cam.bus.pop(name="image-done")
+    assert msgs and msgs[0]["filename"] == "img_0.pnm"
+    assert cam.start_capture() == "img_1.pnm"  # printf-index location
+
+    cam2 = Camera(source="videotestsrc pattern=ball width=64 height=48 "
+                  "format=I420", mode=MODE_VIDEO, window=4)
+    cam2.start_capture()
+    cam2.step()
+    cam2.step()
+    loc = cam2.stop_capture()
+    assert loc == "vid_0.y4m"
+    spec2, planes = y4m.read_y4m(loc)
+    assert planes["y"].shape == (8, 48, 64)
+    assert cam2.bus.pop(name="video-done")
