@@ -77,32 +77,45 @@ def main():
     # The axon relay can wedge inside PJRT init, which holds the GIL — an
     # in-process SIGALRM handler never runs then.  A watchdog SUBPROCESS
     # delivers SIGKILL regardless, so a dead relay fails loudly instead of
-    # hanging the driver forever.
+    # hanging the driver forever.  It is disarmed after the FIRST graph
+    # compiles + executes (the relay is then alive; a long --all sweep
+    # must not be killed), and runs in its own session so disarming also
+    # reaps the sleep child.
     import os
+    import signal as _signal
     import subprocess
 
     watchdog = subprocess.Popen(
         ["/bin/sh", "-c",
          f"sleep {args.init_timeout} && "
          f"echo 'bench: init/compile exceeded {args.init_timeout}s "
-         f"(TPU relay unavailable?)' >&2 && kill -9 {os.getpid()}"])
+         f"(TPU relay unavailable?)' >&2 && kill -9 {os.getpid()}"],
+        start_new_session=True)
+
+    def disarm():
+        try:
+            os.killpg(os.getpgid(watchdog.pid), _signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
 
     try:
         from gstbad_tpu.models import build, BENCHMARKS
 
-        if args.all:
-            for name in BENCHMARKS:
-                try:
-                    p = build(name)
-                    fps = time_pipeline(p, args.window, args.windows)
-                    print(f"{name}: {fps:.1f} frames/sec", file=sys.stderr)
-                except Exception as e:  # noqa: BLE001
-                    print(f"{name}: FAILED {e}", file=sys.stderr)
-
+        # headline config first: its compile+run proves the relay is
+        # alive, then the watchdog is disarmed for any longer sweep
         pipeline = build(args.config)
         fps = time_pipeline(pipeline, args.window, args.windows)
     finally:
-        watchdog.kill()  # measurement done; baseline runs on host numpy
+        disarm()
+
+    if args.all:
+        for name in BENCHMARKS:
+            try:
+                p = build(name)
+                f = time_pipeline(p, args.window, args.windows)
+                print(f"{name}: {f:.1f} frames/sec", file=sys.stderr)
+            except Exception as e:  # noqa: BLE001
+                print(f"{name}: FAILED {e}", file=sys.stderr)
     baseline = cpu_baseline_fps()
     print(json.dumps({
         "metric": "1080p_frames_per_sec_per_chip_10elem_graph",

@@ -148,13 +148,21 @@ class Pipeline:
             new_states = list(states)
             messages: Dict[str, Dict[str, Any]] = {}
             values: Dict[int, FrameBatch] = {}
+            feed_idx = 0
             for idx, n in enumerate(order):
                 el = n.element
                 if el.KIND == "source":
                     out = el.generate(params[idx], states[idx], window)
                 else:
                     if not n.inputs:
-                        batch = in_batch
+                        # multiple host-sources feed as a list, one entry
+                        # per input-less node in traversal order (matching
+                        # run()'s pull order); a single batch broadcasts
+                        if isinstance(in_batch, (list, tuple)):
+                            batch = in_batch[feed_idx]
+                            feed_idx += 1
+                        else:
+                            batch = in_batch
                     elif len(n.inputs) == 1:
                         batch = values[id(n.inputs[0])]
                     else:
@@ -231,10 +239,10 @@ class Pipeline:
             if host_sources:
                 windows = []
                 while True:
-                    w = host_sources[0].pull_window(window)
-                    if w is None:
+                    ws = [hs.pull_window(window) for hs in host_sources]
+                    if any(x is None for x in ws):
                         break
-                    windows.append(w)
+                    windows.append(ws if len(ws) > 1 else ws[0])
             else:
                 n_windows = -(-n_frames // window)
                 windows = [None] * n_windows
@@ -249,7 +257,8 @@ class Pipeline:
             if has_controls:
                 # stream-time sync (gst_object_sync_values analog)
                 if w is not None:
-                    pts = np.asarray(w.pts)
+                    pts = np.asarray((w[0] if isinstance(w, (list, tuple))
+                                      else w).pts)
                 else:
                     pts = (frame_counter
                            + np.arange(window, dtype=np.int64)) * dur

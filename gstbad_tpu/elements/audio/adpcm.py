@@ -69,7 +69,10 @@ class AdpcmDec(Element):
         blocks = np.frombuffer(self._buf[: n * bs],
                                np.uint8).reshape(n, bs)
         self._buf = self._buf[n * bs:]
-        dur = self._n_samples * 1_000_000_000 // self.props["rate"]
+        # _n_samples counts interleaved samples across channels (the
+        # reference's outsize count); duration is per-channel samples
+        dur = (self._n_samples // self.props["channels"]
+               ) * 1_000_000_000 // self.props["rate"]
         pts = (self._n + np.arange(n, dtype=np.int64)) * dur
         self._n += n
         return FrameBatch.make(jnp.asarray(blocks),

@@ -110,9 +110,17 @@ class AudioBufferSplit(AudioFilter):
         pts = first_pts + jnp.arange(n_out, dtype=jnp.int64) * dur
         next_pts = first_pts + n_full.astype(jnp.int64) * dur
         in_dur = (jnp.int64(b * s) * 1_000_000_000) // self.in_spec.rate
+        # expected input position accumulates from the aligned timeline;
+        # only a resync (or stream start) re-anchors it to the actual pts —
+        # otherwise a sustained jump would "self-heal" after one window and
+        # discont-wait could never elapse (GstAudioStreamAlign tracks the
+        # accumulated expected position the same way)
+        next_in = jnp.where(resync | ~state["have_pts"],
+                            in_pts + in_dur,
+                            state["next_in_pts"] + in_dur)
         new_state = {"rem": rem, "rem_fill": rem_fill.astype(jnp.int32),
                      "next_pts": next_pts, "have_pts": jnp.bool_(True),
-                     "next_in_pts": in_pts + in_dur,
+                     "next_in_pts": next_in,
                      "misaligned_since": since}
         flags = jnp.zeros(n_out, jnp.int32).at[0].set(
             jnp.where(resync, jnp.int32(FLAG_DISCONT), 0))

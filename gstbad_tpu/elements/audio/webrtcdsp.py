@@ -23,18 +23,22 @@ internals are an external library, not in-tree):
   threshold very-low/low/moderate/high -> -70/-60/-50/-40; posts the
   reference's "voice-activity" message with stream-has-voice on
   transitions (gstwebrtcdsp.cpp:445-473).
-- echo-cancel: when a webrtcechoprobe shares the same probe name, its
-  magnitude spectrum is subtracted per frame scaled by the suppression
-  level (spectral echo suppression; the reference's full adaptive AEC
-  lives in the external APM).  Without a probe the element warns and
-  skips, like the reference's "No echo probe found" path.
+- echo-cancel: the far-end (playback) stream arrives as a SECOND graph
+  input (`near ! dsp.  far ! webrtcechoprobe ! dsp.  webrtcdsp name=dsp`)
+  and its magnitude spectrum is subtracted per frame scaled by the
+  suppression level (spectral echo suppression; the reference's full
+  adaptive AEC lives in the external APM).  In the reference the probe
+  is an element on the playback pipeline feeding the DSP through a
+  shared object; here it is explicit dataflow, so the far block is a
+  traced input — never a trace-time constant.  Without a second input
+  the element skips cancellation, like the reference's "No echo probe
+  found" warning path; cross-pipeline probes route through the
+  inter/proxy bridges.
 """
 
 from __future__ import annotations
 
-import collections
 
-import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
@@ -51,32 +55,22 @@ VAD_THRESH_DB = {"very-low": -70.0, "low": -60.0, "moderate": -50.0,
                  "high": -40.0}
 ECHO_SUPPRESS = {"low": 0.5, "moderate": 1.0, "high": 2.0}
 
-_PROBES = {}  # probe name -> deque of far-end [N, C] float32 blocks
-
-
 @register
 class WebrtcEchoProbe(Element):
-    """webrtcechoprobe: tap the far-end (playback) stream so webrtcdsp can
-    cancel it (gstwebrtcechoprobe.cpp).  Passthrough; stores blocks in a
-    host-visible ring keyed by probe name."""
+    """webrtcechoprobe: marks the far-end (playback) branch feeding
+    webrtcdsp's second input (gstwebrtcechoprobe.cpp).  Pure passthrough —
+    the far-end samples flow to the DSP as explicit dataflow rather than
+    through the reference's shared-object side channel."""
 
     NAME = "webrtcechoprobe"
-    HOST = True
     PROPERTIES = (Property("probe", str, "webrtcdsp-probe", static=True),)
 
     def negotiate(self, in_spec: MediaSpec) -> MediaSpec:
         require(in_spec.kind == "audio", "webrtcechoprobe: needs audio")
-        _PROBES.setdefault(self.props["probe"],
-                           collections.deque(maxlen=64))
         return in_spec
 
     def process(self, params, state, batch: FrameBatch):
         return state, batch
-
-    def host_process(self, np_batch: FrameBatch, bus) -> None:
-        data = np_batch.data
-        _PROBES[self.props["probe"]].append(
-            np.asarray(data, np.float32).reshape(-1, data.shape[-1]))
 
 
 @register
@@ -103,6 +97,16 @@ class WebrtcDsp(AudioFilter):
     )
 
     def negotiate(self, in_spec: MediaSpec) -> MediaSpec:
+        if isinstance(in_spec, list):  # second input = the echo probe
+            require(len(in_spec) == 2, "webrtcdsp: at most 2 inputs "
+                    "(near-end + echo probe)")
+            near, far = in_spec
+            require(far.kind == "audio" and far.rate == near.rate,
+                    "webrtcdsp: probe stream must match the near-end rate")
+            self._has_probe = True
+            in_spec = near
+        else:
+            self._has_probe = False
         spec = super().negotiate(in_spec)
         require(spec.rate in RATES,
                 f"webrtcdsp: rate {spec.rate} not in {RATES}")
@@ -113,10 +117,11 @@ class WebrtcDsp(AudioFilter):
         self._frame = spec.rate // 100  # 10 ms
         self._hop = self._frame // 2
         self._bins = self._frame // 2 + 1
+        self._near_spec = spec  # in_spec may be the 2-input list
         return spec
 
     def init_state(self, batch: int):
-        c = self.in_spec.channels
+        c = self._near_spec.channels
         return {
             "hpf": jnp.zeros((2, c), jnp.float32),
             "stft_tail": jnp.zeros((self._hop, c), jnp.float32),
@@ -135,29 +140,10 @@ class WebrtcDsp(AudioFilter):
             "limiter": jnp.bool_(self.props["limiter"]),
         }
 
-    def _far_frames(self, n, c):
-        """Pull a far-end block matching this window from the probe ring
-        (synchronized-clock assumption; the reference pairs via its
-        adapter + delay estimate)."""
-        ring = _PROBES.get(self.props["probe"])
-        if not ring:
-            return None
-        chunks = []
-        total = 0
-        while ring and total < n:
-            chunk = ring.popleft()
-            chunks.append(chunk)
-            total += chunk.shape[0]
-        far = np.concatenate(chunks, axis=0) if chunks else None
-        if far is None:
-            return None
-        if far.shape[0] < n:
-            far = np.pad(far, ((0, n - far.shape[0]), (0, 0)))
-        if far.shape[1] != c:
-            far = np.broadcast_to(far[:, :1], (far.shape[0], c))
-        return jnp.asarray(far[:n], jnp.float32)
-
     def process(self, params, state, batch: FrameBatch):
+        far_batch = None
+        if isinstance(batch, list):
+            batch, far_batch = batch[0], batch[1]
         b, s, c = batch.data.shape
         n = b * s
         frame, hop = self._frame, self._hop
@@ -169,19 +155,25 @@ class WebrtcDsp(AudioFilter):
         # 1. high-pass filter (rumble/DC removal)
         hpf_state = state["hpf"]
         if self.props["high-pass-filter"]:
-            bq_b, bq_a = ops.butter_highpass(90.0, self.in_spec.rate)
+            bq_b, bq_a = ops.butter_highpass(90.0, self._near_spec.rate)
             x, hpf_state = ops.biquad(x, bq_b, bq_a, hpf_state)
 
         # 2/3. STFT chain: echo suppression + noise suppression
         frames, stft_tail = ops.stft_frames(x, state["stft_tail"], frame)
         noise = state["noise"]
         ns_on = self.props["noise-suppression"]
-        ec_on = self.props["echo-cancel"]
-        far = self._far_frames(n, c) if ec_on else None
-        if ec_on and far is None:
-            # reference: GST_WARNING + skip when no probe is found
-            ec_on = False
+        # reference: GST_WARNING + skip when no probe is found
+        ec_on = self.props["echo-cancel"] and far_batch is not None
         if ec_on:
+            fd = far_batch.data.reshape(-1, far_batch.data.shape[-1]
+                                        ).astype(jnp.float32)
+            if fd.shape[0] < n:  # pad a short probe window
+                fd = jnp.concatenate(
+                    [fd, jnp.zeros((n - fd.shape[0], fd.shape[1]),
+                                   jnp.float32)])
+            fd = fd[:n]
+            far = (jnp.broadcast_to(fd[:, :1], (n, c)) if fd.shape[1] != c
+                   else fd)
             far_frames, _ = ops.stft_frames(far, jnp.zeros((hop, c),
                                                            jnp.float32),
                                             frame)
@@ -201,9 +193,10 @@ class WebrtcDsp(AudioFilter):
         else:
             y, ola_acc = x, state["ola_acc"]
 
-        # 4. gain control on 10 ms frames
+        # 4. gain control on 10 ms frames (skipped when the window is
+        # shorter than one frame — nothing to measure)
         gain_db = state["gain_db"]
-        if self.props["gain-control"]:
+        if self.props["gain-control"] and n >= frame:
             f10 = y.reshape(n // frame, frame, c) if n % frame == 0 \
                 else y[: n - n % frame].reshape(n // frame, frame, c)
             rms = jnp.sqrt(jnp.mean(jnp.square(f10 / 32768.0),
@@ -234,7 +227,7 @@ class WebrtcDsp(AudioFilter):
 
         msgs = {}
         if self.props["voice-detection"]:
-            vf = (self.in_spec.rate
+            vf = (self._near_spec.rate
                   * self.props["voice-detection-frame-size-ms"]) // 1000
             nb = s // vf
             blocks = batch.data[:, :nb * vf].reshape(b, nb, vf, c)

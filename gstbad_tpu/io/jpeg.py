@@ -134,7 +134,11 @@ class JpegParse:
                         del self._buf[:start]
                         return None
                     m2 = buf[nxt + 1]
-                    if m2 == 0x00 or m2 in RST_RANGE or m2 == 0xFF:
+                    if m2 == 0xFF:
+                        # fill byte: the second ff may start the marker
+                        pos = nxt + 1
+                        continue
+                    if m2 == 0x00 or m2 in RST_RANGE:
                         pos = nxt + 2
                         continue
                     pos = nxt  # points at ff of the next marker

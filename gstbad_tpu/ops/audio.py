@@ -140,25 +140,30 @@ def freeverb_process(state, x: jnp.ndarray, params, rate: int, mono: bool):
 
 
 def _ring_read(line, d: int, start):
-    """BLOCK-long circular window of `line` starting at `start` (< d).
-    The line is doubled so one dynamic_slice handles the wrap — no
-    gather, which keeps Mosaic/XLA compile time sane (the original
-    advanced-index formulation compiled ~8 min through the TPU relay)."""
-    dbl = jnp.concatenate([line, line[:BLOCK]])
+    """BLOCK-long circular window of the d-length ring at the head of
+    `line`, starting at `start` (< d).  The RING (line[:d], not the
+    bank-padded line) is doubled so one dynamic_slice handles the wrap —
+    no gather, which keeps Mosaic/XLA compile time sane (the original
+    advanced-index formulation compiled ~8 min through the TPU relay).
+    d is a static host int, so all ring slicing below is static."""
+    ring = line[:d]
+    dbl = jnp.concatenate([ring, ring[:BLOCK]])
     return lax.dynamic_slice(dbl, (start,), (BLOCK,))
 
 
 def _ring_write(line, d: int, start, vals, valid):
     """Write `vals` (masked by `valid`) into the same circular window."""
-    dbl = jnp.concatenate([line, line[:BLOCK]])
+    ring = line[:d]
+    dbl = jnp.concatenate([ring, ring[:BLOCK]])
     cur = lax.dynamic_slice(dbl, (start,), (BLOCK,))
     dbl = lax.dynamic_update_slice(dbl, jnp.where(valid, vals, cur),
                                    (start,))
-    # fold the wrapped tail [d, d+BLOCK) back onto the head
+    # fold the wrapped tail [d, d+BLOCK) back onto the ring head
     wrap = jnp.maximum(start + BLOCK - d, 0)
     head = jnp.where(jnp.arange(BLOCK) < wrap, dbl[d:d + BLOCK],
                      dbl[:BLOCK])
-    return dbl[: line.shape[0]].at[:BLOCK].set(head)
+    ring = dbl[:d].at[:BLOCK].set(head)
+    return line.at[:d].set(ring)
 
 
 def _comb_bank_block(buf, store, t, sizes, inp, damp1, damp2, feedback,

@@ -72,7 +72,13 @@ class Camera:
         image-done.  MODE_VIDEO: begin accumulating frames."""
         if self.mode == MODE_IMAGE:
             batches = self._pull()
-            frame = np.asarray(batches[0].data)[0]
+            b = batches[0]
+            valid = np.asarray(b.valid)
+            idx = int(np.argmax(valid)) if valid.any() else 0
+            if isinstance(b.data, dict):  # planar (I420): snapshot luma
+                frame = np.asarray(b.data["y"])[idx]
+            else:
+                frame = np.asarray(b.data)[idx]
             loc = self._next_location()
             self._write_image(frame, loc)
             self.bus.post(Message("camerabin", "image-done", 0,

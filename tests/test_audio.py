@@ -375,28 +375,41 @@ def test_webrtcdsp_voice_detection_messages(rng):
 
 
 def test_webrtcdsp_echo_probe_suppression(rng):
+    """Echo cancellation via the 2-input graph form: the far-end branch
+    routes through webrtcechoprobe into the DSP's second input."""
     rate = 16000
     n = 3200
     far = _sine(rate, n, 1000, 12000)
-    kw = {"high-pass-filter": False, "noise-suppression": False,
-          "gain-control": False}
-    # without a probe: echo-cancel warns and passes through
-    h0 = Harness("webrtcdsp", **kw)
+    kw = ("high-pass-filter=false noise-suppression=false "
+          "gain-control=false")
+    # without a probe input: echo-cancel warns and passes through
+    h0 = Harness("webrtcdsp", **{"high-pass-filter": False,
+                                 "noise-suppression": False,
+                                 "gain-control": False})
     h0.set_src_spec(_spec(AudioFormat.S16, 1, rate))
     ref = h0.push_pull(far)
-    # with a probe fed the same far-end signal: the 1 kHz echo is cut
-    from gstbad_tpu.elements.audio.webrtcdsp import _PROBES
-    import collections
-    _PROBES["webrtcdsp-probe"] = collections.deque(maxlen=64)
-    _PROBES["webrtcdsp-probe"].append(
-        far.reshape(-1, 1).astype(np.float32))
-    h1 = Harness("webrtcdsp", **{**kw,
-                                 "echo-suppression-level": "high"})
-    h1.set_src_spec(_spec(AudioFormat.S16, 1, rate))
-    got = h1.push_pull(far)
-    _PROBES.clear()
+    # 2-input pipeline: near-end (the echo) + probe fed the same signal
+    p = gt.parse_launch(
+        "appsrc name=near kind=audio format=S16 rate=16000 channels=1 "
+        "! dsp.  "
+        "appsrc name=farsrc kind=audio format=S16 rate=16000 channels=1 "
+        "! webrtcechoprobe ! dsp.  "
+        f"webrtcdsp name=dsp {kw} echo-suppression-level=high ! fakesink")
+    p.negotiate()
+    p.get_by_name("near").push_frames(far)
+    p.get_by_name("farsrc").push_frames(far)
+    outs = p.run(window=1)
+    got = np.concatenate([np.asarray(o.data) for o in outs])
     assert (_band_db(ref[:, 400:], rate, 900, 1100)
             - _band_db(got[:, 400:], rate, 900, 1100)) > 10.0
+    # second window with a SILENT probe: no stale suppression
+    hush = np.zeros_like(far)
+    p.get_by_name("near").push_frames(far)
+    p.get_by_name("farsrc").push_frames(hush)
+    outs2 = p.run(window=1)
+    got2 = np.concatenate([np.asarray(o.data) for o in outs2])
+    assert (_band_db(ref[:, 400:], rate, 900, 1100)
+            - _band_db(got2[:, 400:], rate, 900, 1100)) < 3.0
 
 
 # ---------------------------------------------------------------------------
@@ -617,3 +630,54 @@ def test_adpcmenc_matches_golden_and_roundtrips(rng, channels):
     tail = slice(n, None)  # skip the adaptation ramp
     err = np.abs(dec[tail].astype(int) - sig[tail].astype(int))
     assert err.mean() < 200  # lossy 4-bit codec, but tracking
+
+
+def test_freeverb_past_ring_wrap(rng):
+    """Regression: ring reads must wrap at each line's own delay length,
+    not the bank-padded buffer (caught diverging after the shortest comb
+    delay, 1116 samples)."""
+    x = ((rng.random((1, 4096, 2)) - 0.5) * 0.8).astype(np.float32)
+    h = Harness("freeverb")
+    h.set_src_spec(_spec(AudioFormat.F32, 2, 44100))
+    got = h.push_pull(x)[0]
+    fv = golden.Freeverb(44100)
+    want = fv.process_stereo_float(x[0])
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_audiobuffersplit_resync_after_discont_wait():
+    """Regression: a sustained PTS jump must trigger resync once
+    discont-wait elapses (the expected timeline must not self-heal)."""
+    from gstbad_tpu.core.frame import FLAG_DISCONT
+    h = Harness("audiobuffersplit",
+                **{"output-buffer-duration": "1/100",
+                   "discont-wait": 25_000_000})  # 25 ms
+    h.set_src_spec(_spec(AudioFormat.F32, 1))
+    x = np.zeros((2, 480, 1), np.float32)
+    dur = 480 * 10**9 // 48000  # 10 ms
+    h.push(x, pts=np.array([0, dur]))
+    jump = 5 * 10**9
+    flags_seen = []
+    pts_first = []
+    for w in range(4):  # sustained jumped timeline, 20 ms per window
+        base = jump + (2 + 2 * w) * dur
+        outs = h.push(x, pts=np.array([base, base + dur]))
+        flags_seen += [np.asarray(o.flags) for o in outs]
+        pts_first += [np.asarray(o.pts)[0] for o in outs]
+    flags = np.concatenate(flags_seen)
+    assert (flags & FLAG_DISCONT).any()   # resync fired
+    assert pts_first[-1] >= jump          # output timeline re-anchored
+
+
+def test_adpcmdec_stereo_pts_per_channel(rng):
+    """Regression: stereo block duration counts per-channel samples."""
+    blocks = [_ima_block(rng, 2) for _ in range(2)]
+    bs = len(blocks[0])
+    p = gt.parse_launch(
+        f"adpcmdec layout=dvi blocksize={bs} rate=22050 channels=2 "
+        "! fakesink")
+    p.elements[0].push_bytes(b"".join(blocks))
+    outs = p.run(window=2)
+    pts = np.concatenate([np.asarray(o.pts) for o in outs])
+    per_ch = outs[0].data.shape[1]  # samples per channel per block
+    assert pts[1] - pts[0] == per_ch * 10**9 // 22050

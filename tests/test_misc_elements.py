@@ -311,3 +311,14 @@ def test_jifmux_marker_rewrite():
     i_exif = out.find(b"Exif\x00\x00")
     i_com = out.find(b"test image")
     assert 0 < i_exif < i_com
+
+
+def test_jpegparse_fill_bytes_before_eoi():
+    """Regression: a fill 0xFF before EOI (legal padding) must not stall
+    the scan."""
+    from gstbad_tpu.io.jpeg import JpegParse
+    blob = _fake_jpeg(32, 32)
+    # inject a fill byte right before the EOI marker
+    padded = blob[:-2] + b"\xff" + blob[-2:]
+    imgs = JpegParse().push(padded + _fake_jpeg(16, 16))
+    assert [(im.width, im.height) for im in imgs] == [(32, 32), (16, 16)]

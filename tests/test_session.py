@@ -125,3 +125,15 @@ def test_camera_image_and_video_capture(tmp_path):
     spec2, planes = y4m.read_y4m(loc)
     assert planes["y"].shape == (8, 48, 64)
     assert cam2.bus.pop(name="video-done")
+
+
+def test_camera_image_capture_planar(tmp_path):
+    from gstbad_tpu.session.camera import Camera
+    from gstbad_tpu.io import pnm
+    import os
+    os.chdir(tmp_path)
+    cam = Camera(source="videotestsrc pattern=gradient width=64 height=48 "
+                 "format=I420")
+    loc = cam.start_capture()
+    spec, img = pnm.read_pnm(loc)
+    assert img.shape == (48, 64)  # luma snapshot
