@@ -141,3 +141,27 @@ def test_pipeline_tracer():
     p.run(n_frames=4, window=4)
     rep = tracer.report()
     assert rep["frames"] == 4 and rep["wall_s"] > 0
+
+
+def test_multiple_host_sources_route_independently(rng):
+    """Regression (core): each input-less node must receive ITS OWN
+    host-source window — previously every branch got source[0]'s batch."""
+    import gstbad_tpu as gt
+    a = rng.integers(0, 256, (4, 8, 8, 4), np.uint8)
+    b = rng.integers(0, 256, (4, 8, 8, 4), np.uint8)
+    p = gt.parse_launch(
+        "appsrc name=s1 width=8 height=8 format=BGRx ! cmp.  "
+        "appsrc name=s2 width=8 height=8 format=BGRx ! cmp.  "
+        "compare name=cmp method=max ! fakesink")
+    p.negotiate()
+    p.get_by_name("s1").push_frames(a)
+    p.get_by_name("s2").push_frames(b)
+    outs = p.run(window=4)
+    # compare's output stream is the second input; its delta message is
+    # |s2 - s1| per frame
+    got = np.concatenate([np.asarray(o.data) for o in outs])
+    np.testing.assert_array_equal(got, b)
+    msgs = p.bus.pop(element="compare")
+    want = [np.abs(b[i].astype(int) - a[i].astype(int)).max()
+            for i in range(4)]
+    assert [int(m["delta"]) for m in msgs] == want
