@@ -143,6 +143,22 @@ class Pipeline:
         order = self._order
         leaves = self._leaves()
 
+        # HOST elements (host_process sinks/taps) receive the batch flowing
+        # through THEIR node, not every leaf's (a tee fan-out must not feed
+        # branch A's frames to branch B's filesink).  Host nodes that are
+        # leaves reuse the leaf output; mid-graph host nodes (e.g. accurip)
+        # get their node value appended after the leaves.
+        host_nodes = [n for n in order if getattr(n.element, "HOST", False)]
+        leaf_index = {id(n): i for i, n in enumerate(leaves)}
+        extra_nodes = [n for n in host_nodes if id(n) not in leaf_index]
+        self._host_route = []
+        for n in host_nodes:
+            if id(n) in leaf_index:
+                self._host_route.append((n.element, leaf_index[id(n)]))
+            else:
+                self._host_route.append(
+                    (n.element, len(leaves) + extra_nodes.index(n)))
+
         def step(params: List[Dict[str, Any]], states: List[Any],
                  in_batch: Optional[FrameBatch]):
             new_states = list(states)
@@ -176,7 +192,8 @@ class Pipeline:
                     st, val = out
                 new_states[idx] = st
                 values[id(n)] = val
-            leaf_out = [values[id(n)] for n in leaves]
+            leaf_out = ([values[id(n)] for n in leaves]
+                        + [values[id(n)] for n in extra_nodes])
             return new_states, leaf_out, messages
 
         if mesh is not None and out_shardings is None:
@@ -188,7 +205,10 @@ class Pipeline:
             meta_s = NamedSharding(mesh, P("dp"))
             batch_s = FrameBatch(data=data_s, pts=meta_s, flags=meta_s,
                                  valid=meta_s)
-            out_shardings = (None, [batch_s for _ in leaves], None)
+            out_shardings = (
+                None,
+                [batch_s for _ in range(len(leaves) + len(extra_nodes))],
+                None)
         if jit:
             donate = (1,) if donate_state else ()
             step = jax.jit(step, donate_argnums=donate,
@@ -229,25 +249,36 @@ class Pipeline:
         leaves = self._leaves()
         outs: Dict[int, List[FrameBatch]] = {i: [] for i in
                                              range(len(leaves))}
-        if inputs is not None:
-            windows = [jax.tree_util.tree_map(
-                lambda x: x[i:i + window], inputs)
-                for i in range(0, inputs.batch, window)]
-        else:
+        # Windows are pulled LAZILY and interleaved with execution so a
+        # live host-source's ring backpressure applies end-to-end (no
+        # unbounded pre-pull) and output is emitted incrementally.  A pull
+        # timeout is a recoverable stall: already-processed output is kept,
+        # a warning is posted, and the run ends cleanly.
+        def window_iter():
+            if inputs is not None:
+                for i in range(0, inputs.batch, window):
+                    yield jax.tree_util.tree_map(
+                        lambda x, i=i: x[i:i + window], inputs)
+                return
             host_sources = [n.element for n in order
                             if n.element.KIND == "host-source"]
             if host_sources:
-                windows = []
                 while True:
-                    ws = [hs.pull_window(window) for hs in host_sources]
+                    try:
+                        ws = [hs.pull_window(window) for hs in host_sources]
+                    except TimeoutError as e:
+                        self.bus.post(Message(
+                            "pipeline", "stall", 0,
+                            {"reason": f"source pull timed out: {e}"}))
+                        return
                     if any(x is None for x in ws):
-                        break
-                    windows.append(ws if len(ws) > 1 else ws[0])
+                        return
+                    yield ws if len(ws) > 1 else ws[0]
             else:
-                n_windows = -(-n_frames // window)
-                windows = [None] * n_windows
-        host_elements = [n.element for n in order
-                         if getattr(n.element, "HOST", False)]
+                for _ in range(-(-n_frames // window)):
+                    yield None
+
+        windows = window_iter()
         has_controls = any(n.element._controls for n in order)
         src_spec = order[0].spec
         dur = (src_spec.frame_duration_ns if src_spec
@@ -267,19 +298,34 @@ class Pipeline:
                           else n.element.dynamic_params() for n in order]
                 frame_counter += window
             states, leaf_batches, messages = self._step(params, states, w)
-            self._drain_messages(leaf_batches[-1], messages)
-            for li, batch in enumerate(leaf_batches):
-                np_batch = batch.to_numpy()
-                mask = np.asarray(np_batch.valid)
-                if not mask.all():
-                    if not mask.any():
-                        continue
-                    np_batch = jax.tree_util.tree_map(
-                        lambda x: x[mask] if getattr(x, "ndim", 0) >= 1
-                        and x.shape[0] == mask.shape[0] else x, np_batch)
-                for el in host_elements:
+            self._drain_messages(leaf_batches[len(leaves) - 1], messages)
+            np_batches: Dict[int, Optional[FrameBatch]] = {}
+
+            def compacted(oi: int) -> Optional[FrameBatch]:
+                if oi not in np_batches:
+                    np_batch = leaf_batches[oi].to_numpy()
+                    mask = np.asarray(np_batch.valid)
+                    if not mask.all():
+                        if not mask.any():
+                            np_batch = None
+                        else:
+                            np_batch = jax.tree_util.tree_map(
+                                lambda x: x[mask]
+                                if getattr(x, "ndim", 0) >= 1
+                                and x.shape[0] == mask.shape[0] else x,
+                                np_batch)
+                    np_batches[oi] = np_batch
+                return np_batches[oi]
+
+            for li in range(len(leaves)):
+                np_batch = compacted(li)
+                if np_batch is not None:
+                    outs[li].append(np_batch)
+            # each HOST element sees only its own node's stream
+            for el, oi in self._host_route:
+                np_batch = compacted(oi)
+                if np_batch is not None:
                     el.host_process(np_batch, self.bus)
-                outs[li].append(np_batch)
         self._states = states
         if len(leaves) == 1:
             return outs[0]
@@ -297,8 +343,26 @@ class Pipeline:
         order = self._order or self._toposort()
         if self._states is None:
             return drained
-        host_elements = [n.element for n in order
-                         if getattr(n.element, "HOST", False)]
+        # drained frames flow to host elements DOWNSTREAM of the drained
+        # node only (a tee branch's flush must not hit the other branch)
+        children: Dict[int, List[Node]] = {}
+        for n in order:
+            for i in n.inputs:
+                children.setdefault(id(i), []).append(n)
+
+        def downstream_hosts(node: Node) -> List[Element]:
+            out, stack, seen = [], [node], set()
+            while stack:
+                cur = stack.pop()
+                for ch in children.get(id(cur), []):
+                    if id(ch) in seen:
+                        continue
+                    seen.add(id(ch))
+                    if getattr(ch.element, "HOST", False):
+                        out.append(ch.element)
+                    stack.append(ch)
+            return out
+
         for idx, n in enumerate(order):
             el = n.element
             if not hasattr(el, "drain"):
@@ -307,7 +371,7 @@ class Pipeline:
             self._states[idx] = st
             if batch is not None:
                 np_batch = batch.to_numpy()
-                for h in host_elements:
+                for h in downstream_hosts(n):
                     h.host_process(np_batch, self.bus)
                 drained.setdefault(el.NAME, []).append(np_batch)
         return drained
@@ -321,11 +385,19 @@ class Pipeline:
         if self._states is None:
             raise SpecError("nothing to checkpoint; run a window first")
         states_np = jax.tree_util.tree_map(np.asarray, self._states)
-        host_counters = {i: n.element._pts for i, n in enumerate(self.nodes)
-                         if hasattr(n.element, "_pts")}
+        # host-source stream positions (file offsets / frame indices) via
+        # the save_position hook, so resume does not replay the input; live
+        # sources (shmsrc, ipcpipelinesrc) have no position and are skipped
+        positions = {i: n.element.save_position()
+                     for i, n in enumerate(self.nodes)
+                     if hasattr(n.element, "save_position")}
+        unresumable = [n.element.NAME for n in self.nodes
+                       if n.element.KIND == "host-source"
+                       and not hasattr(n.element, "save_position")]
         with open(path, "wb") as f:
             pickle.dump({"states": states_np, "window": self._window,
-                         "host_counters": host_counters}, f)
+                         "positions": positions,
+                         "unresumable_sources": unresumable}, f)
 
     def load_checkpoint(self, path: str) -> None:
         import pickle
@@ -334,8 +406,13 @@ class Pipeline:
         if self._order is None:
             self.negotiate()
         self._states = jax.tree_util.tree_map(jnp.asarray, ck["states"])
-        for i, v in ck["host_counters"].items():
-            self.nodes[i].element._pts = v
+        for i, v in ck.get("positions", {}).items():
+            self.nodes[i].element.restore_position(v)
+        for name in ck.get("unresumable_sources", ()):
+            self.bus.post(Message(
+                "pipeline", "resume-warning", 0,
+                {"reason": f"{name} is a live source; its stream resumes "
+                           "from the current producer position"}))
 
     def _drain_messages(self, batch: FrameBatch, messages) -> None:
         if not messages:

@@ -104,6 +104,14 @@ class AppSrc(Element):
                      if isinstance(data, dict) else data[i])
             self._frames.append((frame, int(pts[i]), int(flags[i])))
 
+    # checkpoint/resume: the frame-index counter; the host-fed queue itself
+    # cannot be serialized (the feeder re-pushes after restore)
+    def save_position(self):
+        return self._pts
+
+    def restore_position(self, pos) -> None:
+        self._pts = pos
+
     def pull_window(self, window: int) -> Optional[FrameBatch]:
         """Called by the runner; pads short windows with invalid frames."""
         if not self._frames:

@@ -125,6 +125,7 @@ class GdpFileSrc(Element):
 
     def negotiate(self, in_spec):
         self._fh = open(self.props["location"], "rb")
+        self._pending_off = 0
         self._pending, self._spec = self._read_packet()
         if self._pending is None:
             raise EOFError("gdpfilesrc: empty stream")
@@ -141,8 +142,22 @@ class GdpFileSrc(Element):
         if self._pending is not None:
             batch, self._pending = self._pending, None
             return batch
+        self._pending_off = self._fh.tell()
         batch, _ = self._read_packet()
         return batch
+
+    # checkpoint/resume (Pipeline.save_checkpoint): file byte offset of the
+    # next unconsumed packet
+    def save_position(self):
+        if self._pending is not None:
+            return self._pending_off
+        return self._fh.tell()
+
+    def restore_position(self, pos) -> None:
+        if self._fh is None:
+            self._fh = open(self.props["location"], "rb")
+        self._fh.seek(pos)
+        self._pending = None
 
     def process(self, params, state, batch):
         return state, batch
@@ -181,6 +196,12 @@ class Y4mFileSrc(Element):
         pts = (self._pos + np.arange(n, dtype=np.int64)) * self._dur
         self._pos += n
         return FrameBatch.make(data, pts=jnp.asarray(pts))
+
+    def save_position(self):
+        return self._pos
+
+    def restore_position(self, pos) -> None:
+        self._pos = pos
 
     def process(self, params, state, batch):
         return state, batch

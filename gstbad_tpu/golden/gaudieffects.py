@@ -16,17 +16,21 @@ def burn(img: np.ndarray, adjustment: int = 175) -> np.ndarray:
     """gaudi_orc_burn (gst/gaudieffects/gstgaudieffectsorc.orc:1-26).
 
     Per byte c (all four, including the fill byte):
-      a = (c + adjustment) >> 1            (16-bit)
-      q = ((255 - c) << 7) / a             (unsigned 16-bit divide;
-                                            divide-by-zero yields 0xffff)
-      out = low byte of (255 - q)          (16-bit wraparound, convwb)
+      a = ((c + adjustment) >> 1) & 0xff   (shruw; divluw uses the low byte)
+      q = ((255 - c) << 7) / a             (ORC divluw: quotient SATURATES
+                                            to 255; divide-by-zero -> 255)
+      out = 255 - q                        (in [0,255]; convwb low byte)
+
+    divluw semantics verified against the compiled reference backup
+    (gstgaudieffectsorc-dist.c "/* 10: divluw */": ((a & 0xff) == 0) ? 255 :
+    ORC_CLAMP_UB(t / (a & 0xff)) — the round-1 transcription wrongly kept a
+    full 16-bit quotient with wraparound, which diverges for dark pixels).
     """
     c = img.astype(np.int32)
-    a = (c + int(adjustment)) >> 1
+    a = ((c + int(adjustment)) >> 1) & 0xFF
     t = (255 - c) << 7
-    q = np.where(a == 0, 0xFFFF, t // np.maximum(a, 1))
-    out = (255 - q) & 0xFF
-    return out.astype(np.uint8)
+    q = np.where(a == 0, 255, np.minimum(t // np.maximum(a, 1), 255))
+    return (255 - q).astype(np.uint8)
 
 
 _COS_TABLE = None

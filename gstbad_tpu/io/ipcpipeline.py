@@ -202,9 +202,13 @@ class IpcPipelineSink(Element):
 
     def prepare(self):
         if self.master is None:
+            # shm-size = total area (reference shmsink semantics,
+            # gstshmsink.c:402-405); per-slot share below
+            slot = self.props["shm-size"] // self.props["num-slots"]
+            if slot <= 0:
+                raise ValueError("shm-size smaller than num-slots")
             self.master = IpcMaster(self.props["name-prefix"],
-                                    self.props["shm-size"],
-                                    self.props["num-slots"])
+                                    slot, self.props["num-slots"])
 
     def process(self, params, state, batch: FrameBatch):
         return state, batch

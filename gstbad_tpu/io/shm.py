@@ -24,18 +24,28 @@ _LIB = None
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO, "native", "shmring.cpp")
-_SO = os.path.join(_REPO, "native", "libshmring.so")
+
+
+def _so_path() -> str:
+    """Content-hash-named build artifact: always built from the checked-in
+    source, never a committed binary (a stale mtime on a fresh clone must
+    not dlopen an unverifiable blob)."""
+    import hashlib
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_REPO, "native", "build", f"libshmring-{digest}.so")
 
 
 def _load():
     global _LIB
     if _LIB is not None:
         return _LIB
-    if (not os.path.exists(_SO)
-            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+    so = _so_path()
+    if not os.path.exists(so):
+        os.makedirs(os.path.dirname(so), exist_ok=True)
         subprocess.check_call(
-            ["g++", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC, "-lpthread"])
-    lib = ctypes.CDLL(_SO)
+            ["g++", "-O2", "-shared", "-fPIC", "-o", so, _SRC, "-lpthread"])
+    lib = ctypes.CDLL(so)
     lib.shmring_create.restype = ctypes.c_void_p
     lib.shmring_create.argtypes = [ctypes.c_char_p, ctypes.c_uint32,
                                    ctypes.c_uint32]
@@ -126,9 +136,25 @@ class ShmSink(Element):
 
     def prepare(self):
         if self._ring is None:
+            # shm-size is the TOTAL shared-memory area, matching the
+            # reference shmsink (gstshmsink.c:402-405); each of the
+            # num-slots ring slots gets an equal share.
+            total = self.props["shm-size"]
+            slot = total // self.props["num-slots"]
+            if slot <= 0:
+                raise ValueError("shm-size smaller than num-slots")
+            try:
+                st = os.statvfs("/dev/shm")
+                free = st.f_bavail * st.f_frsize
+                if total > free:
+                    raise OSError(
+                        f"shmsink: shm-size {total} exceeds /dev/shm free "
+                        f"space {free}; a sparse ftruncate would SIGBUS on "
+                        "first write — lower shm-size or num-slots")
+            except FileNotFoundError:
+                pass
             self._ring = ShmRing.create(self.props["socket-path"],
-                                        self.props["shm-size"],
-                                        self.props["num-slots"])
+                                        slot, self.props["num-slots"])
 
     def process(self, params, state, batch: FrameBatch):
         return state, batch

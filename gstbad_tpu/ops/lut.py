@@ -75,10 +75,13 @@ def burn_table(adjustment: jnp.ndarray) -> jnp.ndarray:
     adj = adjustment.astype(jnp.int32)
     if adj.ndim:
         adj = adj[..., None]  # per-frame curve -> [B, 256] table
-    a = (c + adj) >> 1
+    # divluw saturates the quotient to 255 and yields 255 on /0 — verified
+    # against the compiled reference backup (gstgaudieffectsorc-dist.c,
+    # "/* 10: divluw */"); the divisor is the low byte of the shifted word.
+    a = ((c + adj) >> 1) & 0xFF
     t = (255 - c) << 7
-    q = jnp.where(a == 0, 0xFFFF, t // jnp.maximum(a, 1))
-    return ((255 - q) & 0xFF).astype(jnp.uint8)
+    q = jnp.where(a == 0, 255, jnp.minimum(t // jnp.maximum(a, 1), 255))
+    return (255 - q).astype(jnp.uint8)
 
 
 def chromium_table(edge_a: jnp.ndarray, edge_b: jnp.ndarray,

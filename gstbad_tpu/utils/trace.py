@@ -33,8 +33,6 @@ class PipelineTracer:
         orig_run = self.pipeline.run
 
         def run(*a, **kw):
-            if self.pipeline._step is None or True:
-                pass
             t_outer = time.perf_counter()
             out = orig_run(*a, **kw)
             self.window_times.append(time.perf_counter() - t_outer)

@@ -114,6 +114,53 @@ def test_dag_multi_leaf(rng):
     assert isinstance(outs, dict) and len(outs) == 2
 
 
+def test_multi_leaf_host_sinks_see_only_their_branch(rng):
+    """A tee fan-out with two HOST sinks: each checksumsink must hash only
+    its own branch's frames, not a cross-product of both leaves."""
+    p = gt.parse_launch(
+        "videotestsrc pattern=bars width=16 height=16 format=BGRx name=s "
+        "! burn ! checksumsink name=a "
+        "s. ! dodge ! checksumsink name=b")
+    p.run(n_frames=4, window=2)
+    a = p.get_by_name("a")
+    b = p.get_by_name("b")
+    assert len(a.checksums) == 4
+    assert len(b.checksums) == 4
+    assert a.checksums != b.checksums
+
+    # each branch's checksums equal the standalone single-branch run
+    pa = gt.parse_launch(
+        "videotestsrc pattern=bars width=16 height=16 format=BGRx "
+        "! burn ! checksumsink name=a")
+    pa.run(n_frames=4, window=2)
+    assert pa.get_by_name("a").checksums == a.checksums
+    pb = gt.parse_launch(
+        "videotestsrc pattern=bars width=16 height=16 format=BGRx "
+        "! dodge ! checksumsink name=b")
+    pb.run(n_frames=4, window=2)
+    assert pb.get_by_name("b").checksums == b.checksums
+
+
+def test_midgraph_host_element_gets_own_stream(rng):
+    """A mid-graph HOST element (accurip) must see ITS node's batches even
+    when a downstream filter changes the data before the leaf."""
+    import gstbad_tpu.core.pipeline as pl
+
+    p = gt.parse_launch(
+        "audiotestsrc wave=sine channels=2 format=S16 samplesperbuffer=256 "
+        "! accurip name=rip ! audiochannelmix left-to-left=0.5 ! fakesink")
+    p.run(n_frames=2, window=2)
+    crc_through_filter = (p.get_by_name("rip")._crc_v1,
+                          p.get_by_name("rip")._crc_v2)
+
+    p2 = gt.parse_launch(
+        "audiotestsrc wave=sine channels=2 format=S16 samplesperbuffer=256 "
+        "! accurip name=rip ! fakesink")
+    p2.run(n_frames=2, window=2)
+    assert (p2.get_by_name("rip")._crc_v1,
+            p2.get_by_name("rip")._crc_v2) == crc_through_filter
+
+
 def test_control_curves(rng):
     """GST_PARAM_CONTROLLABLE analog: per-frame property automation."""
     from gstbad_tpu.golden.gaudieffects import burn as g_burn
