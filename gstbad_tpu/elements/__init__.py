@@ -12,5 +12,6 @@ from gstbad_tpu.io import shm as _shm_elements  # noqa: F401
 from gstbad_tpu.io import ipcpipeline as _ipc_elements  # noqa: F401
 from gstbad_tpu.elements import misc  # noqa: F401
 from gstbad_tpu.elements import jaxfilter  # noqa: F401
+from gstbad_tpu.elements import cv  # noqa: F401
 from gstbad_tpu.elements import files  # noqa: F401
 from gstbad_tpu.elements.audio import visualizers  # noqa: F401

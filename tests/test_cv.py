@@ -1,0 +1,196 @@
+"""Fidelity: the opencv element family vs OpenCV itself (cv2 is in this
+environment and is exactly the library the reference wraps).
+
+Tolerance policy (golden/cv.py): bit-exact everywhere except GaussianBlur
+with explicit sigma (±1, cv's softdouble kernel) and bilateral
+(approximate, documented divergence).
+"""
+
+import numpy as np
+import pytest
+
+from gstbad_tpu.core.harness import Harness
+from gstbad_tpu.core.spec import MediaSpec, VideoFormat
+from gstbad_tpu.golden import cv as golden
+
+
+def _rgb(rng, h=48, w=64):
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    img[0, 0] = 0
+    img[0, 1] = 255
+    return img
+
+
+def _run(name, img, fmt=VideoFormat.RGB, **props):
+    h = Harness(name, **props)
+    h.set_src_spec(MediaSpec(kind="video", format=fmt,
+                             width=img.shape[1], height=img.shape[0]))
+    return h.push_pull(img[None])[0]
+
+
+@pytest.mark.parametrize("xo,yo,ap,mask", [
+    (1, 0, 3, True), (0, 1, 3, False), (1, 1, 5, True), (2, 0, 7, False),
+])
+def test_cvsobel(rng, xo, yo, ap, mask):
+    img = _rgb(rng)
+    got = _run("cvsobel", img, **{"x-order": xo, "y-order": yo,
+                                  "aperture-size": ap, "mask": mask})
+    np.testing.assert_array_equal(got, golden.cvsobel(img, xo, yo, ap, mask))
+
+
+@pytest.mark.parametrize("ap,scale,shift,mask", [
+    (3, 1.0, 0.0, True), (3, 2.0, 10.0, False), (5, 0.5, 128.0, False),
+])
+def test_cvlaplace(rng, ap, scale, shift, mask):
+    img = _rgb(rng)
+    got = _run("cvlaplace", img, **{"aperture-size": ap, "scale": scale,
+                                    "shift": shift, "mask": mask})
+    np.testing.assert_array_equal(
+        got, golden.cvlaplace(img, ap, scale, shift, mask))
+
+
+@pytest.mark.parametrize("kind,kw,kh,color,tol", [
+    ("blur", 3, 3, 0.0, 0),
+    ("blur", 5, 7, 0.0, 0),
+    ("gaussian", 3, 3, 0.0, 0),
+    ("gaussian", 7, 7, 0.0, 0),
+    ("gaussian", 9, 9, 2.0, 1),
+    ("median", 3, 3, 0.0, 0),
+    ("median", 5, 5, 0.0, 0),
+    ("bilateral", 3, 3, 30.0, 16),  # documented approximate divergence:
+    # ours follows the classic OpenCV<=4 bilateral (radius=round(1.5*sigma)
+    # disk, gaussian space/color weights); cv2 5.0 ships a reworked
+    # implementation whose exact quantization is not reproduced
+])
+def test_cvsmooth(rng, kind, kw, kh, color, tol):
+    img = _rgb(rng)
+    got = _run("cvsmooth", img, **{"type": kind, "kernel-width": kw,
+                                   "kernel-height": kh, "color": color})
+    want = golden.cvsmooth(img, kind, kw, kh, color)
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= tol, diff.max()
+    if kind == "bilateral":
+        assert diff.mean() <= 1.0, diff.mean()
+
+
+def test_cvsmooth_roi(rng):
+    """The reference smooths only the position/width/height ROI in place."""
+    img = _rgb(rng)
+    got = _run("cvsmooth", img, **{"type": "gaussian", "position-x": 8,
+                                   "position-y": 4, "width": 20,
+                                   "height": 16})
+    want = golden.cvsmooth(img, "gaussian", 3, 3, 0.0, px=8, py=4,
+                           rw=20, rh=16)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cvsmooth_roi_outside(rng):
+    img = _rgb(rng)
+    got = _run("cvsmooth", img, **{"position-x": 1000})
+    np.testing.assert_array_equal(got, img)
+
+
+@pytest.mark.parametrize("it", [1, 3])
+def test_cvdilate_cverode(rng, it):
+    img = _rgb(rng)
+    np.testing.assert_array_equal(
+        _run("cvdilate", img, iterations=it), golden.cvdilate(img, it))
+    np.testing.assert_array_equal(
+        _run("cverode", img, iterations=it), golden.cverode(img, it))
+
+
+def test_cvdilate_gray(rng):
+    img = rng.integers(0, 256, (32, 40), dtype=np.uint8)
+    got = _run("cvdilate", img, fmt=VideoFormat.GRAY8)
+    np.testing.assert_array_equal(got, golden.cvdilate(img))
+
+
+def test_cvequalizehist(rng):
+    img = rng.integers(0, 200, (40, 56), dtype=np.uint8)
+    got = _run("cvequalizehist", img, fmt=VideoFormat.GRAY8)
+    np.testing.assert_array_equal(got, golden.cvequalizehist(img))
+
+
+def test_cvequalizehist_constant(rng):
+    img = np.full((16, 16), 42, np.uint8)
+    got = _run("cvequalizehist", img, fmt=VideoFormat.GRAY8)
+    np.testing.assert_array_equal(got, golden.cvequalizehist(img))
+
+
+@pytest.mark.parametrize("t1,t2,ap,mask", [
+    (50, 150, 3, True), (30, 90, 3, False), (150, 50, 5, True),
+])
+def test_edgedetect(rng, t1, t2, ap, mask):
+    # smooth first so there are real edge chains to trace
+    import cv2
+    img = _rgb(rng)
+    img = cv2.GaussianBlur(img, (5, 5), 1.5)
+    got = _run("edgedetect", img, **{"threshold1": t1, "threshold2": t2,
+                                     "aperture-size": ap, "mask": mask})
+    np.testing.assert_array_equal(
+        got, golden.edgedetect(img, t1, t2, ap, mask))
+
+
+@pytest.mark.parametrize("method,kw", [
+    ("basic", {"sigma": 3.0}),
+    ("multiscale", {"scales": 2}),
+])
+def test_retinex(rng, method, kw):
+    img = _rgb(rng, h=64, w=72)
+    got = _run("retinex", img, method=method, **kw)
+    if method == "basic":
+        want = golden.retinex_basic(img, sigma=kw["sigma"])
+    else:
+        want = golden.retinex_multiscale(img, scales=kw["scales"])
+    diff = np.abs(got.astype(int) - want.astype(int))
+    # f32 log + blur: ±1 LSB at rounding boundaries
+    assert diff.max() <= 1, diff.max()
+
+
+@pytest.mark.parametrize("method", ["sqdiff", "sqdiff-normed", "ccorr",
+                                    "ccorr-normed", "ccoeff",
+                                    "ccoeff-normed"])
+def test_templatematch(rng, method):
+    from gstbad_tpu.core.pipeline import parse_launch
+    from gstbad_tpu.core.frame import FrameBatch
+    import jax.numpy as jnp
+
+    img = _rgb(rng, h=40, w=56)
+    templ = img[12:24, 30:46].copy()
+    h = Harness("templatematch", method=method, display=False)
+    h.element.set_template(templ)
+    h.set_src_spec(MediaSpec(kind="video", format=VideoFormat.RGB,
+                             width=img.shape[1], height=img.shape[0]))
+    out = h.push_pull(img[None])
+    msgs = h.bus.pop(name="template_match")
+    assert len(msgs) == 1
+    want_res, (wx, wy) = golden.template_match(img, templ, method)
+    m = msgs[0].fields
+    assert (m["x"], m["y"]) == (wx, wy)
+    assert m["width"] == templ.shape[1] and m["height"] == templ.shape[0]
+    np.testing.assert_allclose(m["result"], want_res, rtol=1e-4, atol=1e-5)
+    # exact template: the match must be where we cut it from
+    assert (wx, wy) == (30, 12)
+
+
+def test_templatematch_display_draws_rectangle(rng):
+    img = _rgb(rng, h=40, w=56)
+    templ = img[8:20, 10:26].copy()
+    h = Harness("templatematch", method="ccorr-normed", display=True)
+    h.element.set_template(templ)
+    h.set_src_spec(MediaSpec(kind="video", format=VideoFormat.RGB,
+                             width=img.shape[1], height=img.shape[0]))
+    out = h.push_pull(img[None])[0]
+    assert not np.array_equal(out, img)  # rectangle drawn
+    # red-ish border pixel on the rectangle top edge
+    assert out[8, 12, 0] == 255
+
+
+def test_cv_elements_in_launch_string(rng):
+    """Launch-string integration: videotestsrc RGB -> cv chain."""
+    import gstbad_tpu as gt
+    p = gt.parse_launch(
+        "videotestsrc pattern=gradient width=64 height=48 format=RGB "
+        "! cvsmooth type=blur ! cvsobel ! fakesink")
+    outs = p.run(n_frames=2, window=2)
+    assert outs[0].data.shape == (2, 48, 64, 3)
