@@ -1,1 +1,3 @@
 from gstbad_tpu.elements.cv import filters  # noqa: F401
+from gstbad_tpu.elements.cv import warp  # noqa: F401
+from gstbad_tpu.elements.cv import detect  # noqa: F401

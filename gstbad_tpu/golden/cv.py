@@ -133,3 +133,66 @@ def template_match(rgb, templ, method="ccorr-normed"):
     else:
         res, pos = mx, mxp
     return res, pos
+
+
+def skindetect(rgb, method="hsv", postprocess=True):
+    """gstskindetect.cpp:299-396 composed from cv2 calls."""
+    if method == "hsv":
+        hsv = cv2.cvtColor(rgb, cv2.COLOR_RGB2HSV)
+        h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+        _, h2 = cv2.threshold(h, 10, 255, cv2.THRESH_BINARY)
+        _, hm = cv2.threshold(h, 20, 255, cv2.THRESH_BINARY_INV)
+        _, sm = cv2.threshold(s, 48, 255, cv2.THRESH_BINARY)
+        _, vm = cv2.threshold(v, 80, 255, cv2.THRESH_BINARY)
+        hm = cv2.erode(hm, None, iterations=1)
+        mask = cv2.bitwise_and(cv2.bitwise_and(cv2.bitwise_and(hm, sm), h2),
+                               vm)
+    else:
+        r = rgb[..., 0].astype(np.float32)
+        g = rgb[..., 1].astype(np.float32)
+        b = rgb[..., 2].astype(np.float32)
+        allc = r + g + b
+        with np.errstate(invalid="ignore"):
+            rp = np.where(allc > 0, r / allc, 0)
+            gp = np.where(allc > 0, g / allc, 0)
+        m = (r > 60) & (rp > 0.42) & (rp <= 0.6) & (gp > 0.28) & (gp <= 0.4)
+        mask = np.where(m, 255, 0).astype(np.uint8)
+    if postprocess:
+        el = cv2.getStructuringElement(cv2.MORPH_RECT, (3, 3), (1, 1))
+        mask = cv2.erode(mask, el, iterations=1)
+        mask = cv2.dilate(mask, el, iterations=2)
+        mask = cv2.erode(mask, el, iterations=1)
+    return cv2.cvtColor(mask, cv2.COLOR_GRAY2RGB)
+
+
+def cameraundistort(rgb, K, dist, alpha=0.0):
+    """camera_undistort_init_undistort_rectify_map + remap
+    (gstcameraundistort.cpp:310-357), CV_16SC2 maps like the reference."""
+    size = (rgb.shape[1], rgb.shape[0])
+    newK, _roi = cv2.getOptimalNewCameraMatrix(np.asarray(K),
+                                               np.asarray(dist), size, alpha)
+    m1, m2 = cv2.initUndistortRectifyMap(np.asarray(K), np.asarray(dist),
+                                         None, newK, size, cv2.CV_16SC2)
+    return cv2.remap(rgb, m1, m2, cv2.INTER_LINEAR)
+
+
+def dewarp_panorama(rgba, x_center, y_center, inner, outer,
+                    corr_x=1.0, corr_y=1.0):
+    """gst_dewarp_update_map + panorama remap (gstdewarp.cpp:438-478,
+    663-666) with the reference's output dimensions (:501-511)."""
+    in_h, in_w = rgba.shape[:2]
+    r1 = in_w * inner
+    r2 = in_w * outer
+    out_w = (int((2.0 * np.pi) * ((r2 + r1) / 2.0)) + 7) & ~7
+    out_h = (int(r2 - r1) + 7) & ~7
+    cx, cy = x_center * in_w, y_center * in_h
+    y, x = np.meshgrid(np.arange(out_h, dtype=np.float32),
+                       np.arange(out_w, dtype=np.float32), indexing="ij")
+    r = (y / np.float32(out_h)) * np.float32(r2 - r1) + np.float32(r1)
+    theta = (x / np.float32(out_w)) * np.float32(2.0 * np.pi)
+    map_x = (np.float32(cx) + r * np.sin(theta) * np.float32(corr_x)
+             ).astype(np.float32)
+    map_y = (np.float32(cy) + r * np.cos(theta) * np.float32(corr_y)
+             ).astype(np.float32)
+    m1, m2 = cv2.convertMaps(map_x, map_y, cv2.CV_16SC2)
+    return cv2.remap(rgba, m1, m2, cv2.INTER_LINEAR)

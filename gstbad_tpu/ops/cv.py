@@ -516,3 +516,85 @@ def match_template(img: jnp.ndarray, templ: jnp.ndarray, method: str
         return (num / jnp.sqrt(jnp.maximum(img_var * t_var, 0) + 1e-30)
                 ).astype(jnp.float32)
     raise ValueError(f"unknown matchTemplate method {method!r}")
+
+
+# ---------------------------------------------------------------------------
+# skindetect / motioncells building blocks
+# ---------------------------------------------------------------------------
+
+
+def rgb2hsv_u8(rgb: jnp.ndarray) -> jnp.ndarray:
+    """cv::cvtColor COLOR_RGB2HSV u8 fixed point (H in 0..180):
+    hsv_shift=12, sdiv/hdiv LUTs — verified bit-exact vs cv2 5.0."""
+    r = rgb[..., 0].astype(jnp.int32)
+    g = rgb[..., 1].astype(jnp.int32)
+    b = rgb[..., 2].astype(jnp.int32)
+    v = jnp.maximum(jnp.maximum(r, g), b)
+    m = jnp.minimum(jnp.minimum(r, g), b)
+    c = v - m
+    shift = 12
+    idx = np.arange(256)
+    sdiv_t = np.zeros(256, np.int64)
+    sdiv_t[1:] = np.rint(255 * (1 << shift) / idx[1:])
+    hdiv_t = np.zeros(256, np.int64)
+    hdiv_t[1:] = np.rint((180 << shift) / (6 * idx[1:]))
+    sdiv = jnp.asarray(sdiv_t, jnp.int64)
+    hdiv = jnp.asarray(hdiv_t, jnp.int64)
+    # 256-entry tables on int values: bit-plane LUTs hold u8 only; these
+    # are 20-bit values, so select via where-chains is out — use the packed
+    # byte planes trick: split into 3 u8 LUTs
+    def lut32(tab, i):
+        out = jnp.zeros(i.shape, jnp.int64)
+        for byte in range(3):
+            t8 = ((tab >> (8 * byte)) & 0xFF).astype(jnp.uint8)
+            packed = lut_ops.pack_table(t8)
+            out = out | (lut_ops.apply_lut(i, packed).astype(jnp.int64)
+                         << (8 * byte))
+        return out
+
+    s = (c * lut32(sdiv, v) + (1 << (shift - 1))) >> shift
+    hd = lut32(hdiv, c)
+    h = jnp.where(v == r, (g - b) * hd,
+                  jnp.where(v == g, ((b - r) + 2 * c) * hd,
+                            ((r - g) + 4 * c) * hd))
+    h = (h + (1 << (shift - 1))) >> shift
+    h = jnp.where(h < 0, h + 180, h)
+    return jnp.stack([h.astype(jnp.uint8), s.astype(jnp.uint8),
+                      v.astype(jnp.uint8)], axis=-1)
+
+
+def pyr_down_u8(img: jnp.ndarray) -> jnp.ndarray:
+    """cv::pyrDown u8: [1,4,6,4,1]/16 separable (fixed point /256 with
+    +128 rounding), reflect101, decimate even rows/cols."""
+    k = [1, 4, 6, 4, 1]
+    x = _pad_hw(img.astype(jnp.int32), 0, 2, "reflect")
+    w = img.shape[2]
+    acc = jnp.zeros(img.shape, jnp.int32)
+    for t, c in enumerate(k):
+        acc = acc + c * lax.slice_in_dim(x, t, t + w, axis=2)
+    x = _pad_hw(acc, 2, 0, "reflect")
+    h = img.shape[1]
+    acc = jnp.zeros(img.shape, jnp.int32)
+    for t, c in enumerate(k):
+        acc = acc + c * lax.slice_in_dim(x, t, t + h, axis=1)
+    out = (acc + 128) >> 8
+    return jnp.clip(out[:, ::2, ::2], 0, 255).astype(jnp.uint8)
+
+
+def adaptive_threshold_gaussian_inv(gray: jnp.ndarray, block: int,
+                                    c: int, maxval: int = 255) -> jnp.ndarray:
+    """cv::adaptiveThreshold(ADAPTIVE_THRESH_GAUSSIAN_C, THRESH_BINARY_INV):
+    T = bit-exact u8 gaussian(block, sigma<=0) - c; dst = src > T ? 0 :
+    maxval."""
+    t = gaussian_blur_u8(gray[..., None], block, block, 0.0)[..., 0]
+    keep = gray.astype(jnp.int32) > (t.astype(jnp.int32) - c)
+    return jnp.where(keep, jnp.uint8(0), jnp.uint8(maxval))
+
+
+def threshold_binary(x: jnp.ndarray, thresh, maxval: int = 255,
+                     inverse: bool = False) -> jnp.ndarray:
+    """cv::threshold THRESH_BINARY / _INV: (x > thresh) selects."""
+    above = x.astype(jnp.float32) > jnp.float32(thresh)
+    if inverse:
+        above = ~above
+    return jnp.where(above, jnp.uint8(maxval), jnp.uint8(0))

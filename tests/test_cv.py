@@ -194,3 +194,108 @@ def test_cv_elements_in_launch_string(rng):
         "! cvsmooth type=blur ! cvsobel ! fakesink")
     outs = p.run(n_frames=2, window=2)
     assert outs[0].data.shape == (2, 48, 64, 3)
+
+
+@pytest.mark.parametrize("method,post", [
+    ("hsv", True), ("hsv", False), ("rgb", True), ("rgb", False),
+])
+def test_skindetect(rng, method, post):
+    # skin-ish colors mixed with noise so both branches fire
+    img = _rgb(rng)
+    img[10:20, 10:20] = (200, 120, 90)  # skin-tone patch
+    got = _run("skindetect", img, method=method, postprocess=post)
+    np.testing.assert_array_equal(got, golden.skindetect(img, method, post))
+
+
+def test_cameraundistort(rng):
+    img = _rgb(rng, h=48, w=64)
+    K = [[60.0, 0, 32], [0, 60, 24], [0, 0, 1]]
+    dist = [-0.2, 0.05, 0.001, -0.001, 0.0]
+    km = " ".join(str(v) for row in K for v in row)
+    dm = " ".join(str(v) for v in dist)
+    got = _run("cameraundistort", img,
+               **{"camera-matrix": km, "distortion-coeffs": dm,
+                  "alpha": 0.0})
+    want = golden.cameraundistort(img, K, dist, 0.0)
+    # the map is float-identical to cv2's within 1e-5 px; quantized to 1/32
+    # the same way — bit-exact except where a coordinate falls within that
+    # 1e-5 of a 1/64 rounding boundary
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert (diff > 0).mean() < 0.01
+    assert np.percentile(diff, 99.9) <= 1
+
+
+def test_cameraundistort_passthrough(rng):
+    img = _rgb(rng)
+    got = _run("cameraundistort", img)  # no calibration set
+    np.testing.assert_array_equal(got, img)
+
+
+def test_dewarp_panorama(rng):
+    img = rng.integers(0, 256, (64, 96, 4), dtype=np.uint8)
+    got = _run("dewarp", img, fmt=VideoFormat.RGBA,
+               **{"inner-radius": 0.1, "outer-radius": 0.35})
+    want = golden.dewarp_panorama(img, 0.5, 0.5, 0.1, 0.35)
+    assert got.shape == want.shape
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert (diff > 0).mean() < 0.01 and diff.max() <= 16  # f32 map-build ulps
+    # at 1/32-boundaries
+
+
+def test_dewarp_display_modes(rng):
+    img = rng.integers(0, 256, (64, 96, 4), dtype=np.uint8)
+    pano = _run("dewarp", img, fmt=VideoFormat.RGBA,
+                **{"inner-radius": 0.1, "outer-radius": 0.35})
+    dbl = _run("dewarp", img, fmt=VideoFormat.RGBA,
+               **{"inner-radius": 0.1, "outer-radius": 0.35,
+                  "display-mode": "double-panorama"})
+    # double-panorama = panorama split in half and stacked
+    # (gstdewarp.cpp:667-681); map dims differ (out_w*2 x out_h/2), so just
+    # shape-check plus the quad variant
+    assert dbl.shape[0] == pano.shape[0] * 2 or dbl.size == pano.size
+    quad = _run("dewarp", img, fmt=VideoFormat.RGBA,
+                **{"inner-radius": 0.1, "outer-radius": 0.35,
+                   "display-mode": "quad-view"})
+    assert quad.size == dbl.size
+
+
+def test_dewarp_passthrough(rng):
+    img = rng.integers(0, 256, (32, 32, 4), dtype=np.uint8)
+    got = _run("dewarp", img, fmt=VideoFormat.RGBA)  # radii equal -> pass
+    np.testing.assert_array_equal(got, img)
+
+
+def test_motioncells_detects_moving_block(rng):
+    import gstbad_tpu as gt
+    from gstbad_tpu.core.frame import FrameBatch
+    import jax.numpy as jnp
+    from gstbad_tpu.core.registry import make
+
+    h, w = 80, 80
+    frames = np.zeros((6, h, w, 3), np.uint8)
+    for i in range(6):
+        frames[i, 8 + 8 * i:24 + 8 * i, 8:24] = 255  # block moving down
+
+    el = make("motioncells", display=False)
+    hns = Harness(el)
+    hns.set_src_spec(MediaSpec(kind="video", format=VideoFormat.RGB,
+                               width=w, height=h))
+    hns.push_pull(frames)
+    msgs = hns.bus.pop(name="motion")
+    assert msgs, "moving block must post motion messages"
+    grid = np.asarray(msgs[-1]["cells"])
+    assert grid.shape == (10, 10)
+    assert grid.any()
+    # motion is confined to the left-ish columns of the grid
+    assert not grid[:, 6:].any()
+    idx = el.indices_string(grid)
+    assert ":" in idx
+
+    # static frames -> no motion messages
+    el2 = make("motioncells", display=False)
+    hns2 = Harness(el2)
+    hns2.set_src_spec(MediaSpec(kind="video", format=VideoFormat.RGB,
+                                width=w, height=h))
+    static = np.broadcast_to(frames[0], frames.shape).copy()
+    hns2.push_pull(static)
+    assert not hns2.bus.pop(name="motion")
