@@ -141,9 +141,13 @@ class Iqa(_TwoStreamElement):
     (aggregate_frames, iqa.c:336-400); the IQA message carries one dssim
     per pad (iqa.c:48-56,392-399).  Optionally writes the SSIM map into
     the output frame (do_dssim, iqa.c:195-290) and flags frames whose
-    dssim exceeds ssim-error-threshold (iqa.c:265-275).  DSSIM here is
-    (1-SSIM)/2 from the in-tree SSIM oracle, not libdssim's multiscale
-    metric (documented divergence, ROADMAP.md)."""
+    dssim exceeds ssim-error-threshold (iqa.c:265-275).
+
+    DSSIM is the true multiscale metric (ops/dssim.py, the kornelski/dssim
+    algorithm the reference links: Lab-pyramid MS-SSIM, score = 1/ssim - 1,
+    0 = identical); AYUV inputs are matrixed to RGB first like the
+    reference's RGBA-only dssim path (iqa.c:248-258).  The in-tree
+    single-scale SSIM oracle is still reported in the `ssim` field."""
 
     NAME = "iqa"
     PROPERTIES = (
@@ -160,7 +164,32 @@ class Iqa(_TwoStreamElement):
         return sum(w * ssim_ops.ssim_plane(a, b)
                    for w, a, b in zip(weights, planes_a, planes_b))
 
+    def _as_rgb(self, data):
+        """u8 RGB view + offsets for the dssim path; AYUV goes through the
+        fixed-point YCbCr->RGB matrix, GRAY8/planar luma replicates."""
+        import jax.numpy as jnp
+        fmt = self.out_spec.format
+        if fmt in VideoFormat._RGB_OFFSETS:
+            offs = VideoFormat._RGB_OFFSETS[fmt]
+            return data, (offs[0], offs[1], offs[2])
+        if fmt == VideoFormat.AYUV:
+            from gstbad_tpu.ops.pointops import _apply_matrix, _YCBCR2RGB
+            y = data[..., 1].astype(jnp.int64)
+            u = data[..., 2].astype(jnp.int64)
+            v = data[..., 3].astype(jnp.int64)
+            r, g, b = _apply_matrix(_YCBCR2RGB, y, u, v)
+            rgb = jnp.stack([jnp.clip(r, 0, 255), jnp.clip(g, 0, 255),
+                             jnp.clip(b, 0, 255)], -1).astype(jnp.uint8)
+            return rgb, (0, 1, 2)
+        plane = data["y"] if isinstance(data, dict) else data
+        if plane.ndim == 3:
+            return jnp.repeat(plane[..., None], 3, axis=-1), (0, 1, 2)
+        return None, None
+
     def process(self, params, state, batch):
+        import jax.numpy as jnp
+        from gstbad_tpu.ops import dssim as dssim_ops
+
         if isinstance(batch, list):
             ref, streams = batch[0].data, batch[1:]
         else:
@@ -169,9 +198,17 @@ class Iqa(_TwoStreamElement):
         thr = params["ssim-error-threshold"]
         fields = {}
         exceeded = None
+        ref_rgb, offs = self._as_rgb(ref)
+        fmap = None
         for i, sb in enumerate(streams):
             ssim = self._score(sb.data, ref)
-            dssim = (1.0 - ssim) / 2.0
+            if self.props["do-dssim"] and ref_rgb is not None:
+                cmp_rgb, _ = self._as_rgb(sb.data)
+                dssim, m = dssim_ops.dssim_rgb(cmp_rgb, ref_rgb, offs)
+                if i == 0:
+                    fmap = m
+            else:
+                dssim = (1.0 - ssim) / 2.0
             exc = (thr > 0.0) & (dssim > thr)
             exceeded = exc if exceeded is None else (exceeded | exc)
             if i == 0:  # first compared pad keeps the flat field names
@@ -180,7 +217,12 @@ class Iqa(_TwoStreamElement):
         fields["exceeded"] = exceeded
         out = streams[0]
         if self.props["output-map"] and not isinstance(out.data, dict):
-            if self.out_spec.format == VideoFormat.AYUV:
+            if fmap is not None:
+                mp = jnp.clip(jnp.round(jnp.clip(fmap, 0, 1) * 255),
+                              0, 255).astype(jnp.uint8)
+                ch = 1 if self.out_spec.format == VideoFormat.AYUV else 0
+                out = out.with_data(out.data.at[..., ch].set(mp))
+            elif self.out_spec.format == VideoFormat.AYUV:
                 y_a, y_b = out.data[..., 1], ref[..., 1]
                 mp = ssim_ops.ssim_map(y_a, y_b)
                 out = out.with_data(out.data.at[..., 1].set(mp))

@@ -86,3 +86,67 @@ def test_iqa_n_pad_aggregation(rng):
     assert f["dssim-pad-1"] < 1e-9
     assert f["dssim-pad-2"] > f["dssim-pad-1"] + 1e-4
     assert f["dssim"] == f["dssim-pad-1"]
+
+
+# ---------------------------------------------------------------------------
+# multiscale DSSIM (ops/dssim.py, the kornelski/dssim algorithm behind
+# ext/iqa/iqa.c:195-290)
+# ---------------------------------------------------------------------------
+
+
+def test_dssim_identical_is_zero(rng):
+    import jax.numpy as jnp
+    from gstbad_tpu.ops import dssim as d
+    img = jnp.asarray(rng.integers(0, 256, (2, 96, 128, 3), dtype=np.uint8))
+    score, fmap = d.dssim_rgb(img, img)
+    assert np.asarray(score).max() < 1e-4
+    assert fmap.shape == (2, 96, 128)
+    assert np.asarray(fmap).min() > 0.99
+
+
+def test_dssim_orders_degradations(rng):
+    """More degradation -> larger dssim; 0 = identical (1/ssim - 1)."""
+    import jax.numpy as jnp
+    from gstbad_tpu.ops import dssim as d
+    img = rng.integers(0, 256, (1, 96, 128, 3), dtype=np.uint8)
+    mild = np.clip(img.astype(int)
+                   + rng.normal(0, 4, img.shape), 0, 255).astype(np.uint8)
+    harsh = np.clip(img.astype(int)
+                    + rng.normal(0, 40, img.shape), 0, 255).astype(np.uint8)
+    s0, _ = d.dssim_rgb(jnp.asarray(img), jnp.asarray(img))
+    s1, _ = d.dssim_rgb(jnp.asarray(mild), jnp.asarray(img))
+    s2, _ = d.dssim_rgb(jnp.asarray(harsh), jnp.asarray(img))
+    assert float(s0[0]) < float(s1[0]) < float(s2[0])
+
+
+def test_dssim_multiscale_sees_lowfreq(rng):
+    """A low-frequency luminance shift must register (single-scale SSIM on
+    tiny windows underweights it; the coarse pyramid scales catch it)."""
+    import jax.numpy as jnp
+    from gstbad_tpu.ops import dssim as d
+    img = rng.integers(64, 192, (1, 128, 128, 3), dtype=np.uint8)
+    grad = (np.linspace(0, 30, 128)[None, :, None, None]
+            .transpose(0, 1, 2, 3))
+    shifted = np.clip(img + grad.astype(int), 0, 255).astype(np.uint8)
+    s, _ = d.dssim_rgb(jnp.asarray(shifted), jnp.asarray(img))
+    assert float(s[0]) > 1e-3
+
+
+def test_iqa_multiscale_dssim_in_pipeline(rng):
+    import gstbad_tpu as gt
+    p2 = gt.parse_launch(
+        "videotestsrc pattern=gradient width=64 height=48 format=GRAY8 "
+        "! tee name=t  t. ! iqa_el.  t. ! smooth ! iqa_el. "
+        "iqa name=iqa_el ! fakesink")
+    p2.run(n_frames=2, window=2)
+    msgs = p2.bus.pop(element="iqa")
+    assert len(msgs) == 2
+    assert msgs[0]["dssim"] >= 0.0
+    # identical branches -> ~0
+    p3 = gt.parse_launch(
+        "videotestsrc pattern=gradient width=64 height=48 format=RGBA "
+        "! tee name=t  t. ! iqa_el.  t. ! identity ! iqa_el. "
+        "iqa name=iqa_el ! fakesink")
+    p3.run(n_frames=2, window=2)
+    m3 = p3.bus.pop(element="iqa")
+    assert m3[0]["dssim"] < 1e-4

@@ -299,3 +299,79 @@ def test_motioncells_detects_moving_block(rng):
     static = np.broadcast_to(frames[0], frames.shape).copy()
     hns2.push_pull(static)
     assert not hns2.bus.pop(name="motion")
+
+
+# ---------------------------------------------------------------------------
+# lcms (ext/colormanagement) — oracle: lcms2 itself via PIL.ImageCms
+# ---------------------------------------------------------------------------
+
+
+def _pil_transform(img_rgb, src_bytes, dst_bytes, intent=0):
+    import io as _io
+    from PIL import Image, ImageCms
+    t = ImageCms.buildTransform(_io.BytesIO(src_bytes), _io.BytesIO(dst_bytes),
+                                "RGB", "RGB", renderingIntent=intent)
+    return np.asarray(ImageCms.applyTransform(
+        Image.fromarray(img_rgb, "RGB"), t))
+
+
+def _wide_profile_bytes():
+    from gstbad_tpu.io import icc
+    wide = icc.IccProfile(
+        matrix=np.array([[0.60974, 0.20528, 0.14919],
+                         [0.31111, 0.62567, 0.06322],
+                         [0.01947, 0.06087, 0.74457]]),
+        trc=[icc.Curve("gamma", gamma=2.19921875)] * 3,
+        white=np.array([0.9642, 1.0, 0.8249]))
+    return icc.write_icc(wide, "wide-test")
+
+
+def test_lcms_identity_srgb(rng):
+    """Default profiles are sRGB on both ends -> near-identity."""
+    img = _rgb(rng)
+    got = _run("lcms", img)
+    diff = np.abs(got.astype(int) - img.astype(int))
+    assert diff.max() <= 1
+
+
+def test_lcms_srgb_to_wide_matches_lcms2(rng, tmp_path):
+    from PIL import ImageCms
+    img = _rgb(rng)
+    wide = _wide_profile_bytes()
+    srgb = ImageCms.ImageCmsProfile(ImageCms.createProfile("sRGB")).tobytes()
+    p = tmp_path / "wide.icc"
+    p.write_bytes(wide)
+    got = _run("lcms", img, **{"dest-profile": str(p)})
+    want = _pil_transform(img, srgb, wide)
+    diff = np.abs(got.astype(int) - want.astype(int))
+    # lcms2 runs 16-bit fixed point internally
+    assert diff.max() <= 2, diff.max()
+    assert (diff > 1).mean() < 0.01
+
+
+def test_lcms_wide_to_srgb_matches_lcms2(rng, tmp_path):
+    from PIL import ImageCms
+    img = _rgb(rng)
+    wide = _wide_profile_bytes()
+    srgb = ImageCms.ImageCmsProfile(ImageCms.createProfile("sRGB")).tobytes()
+    p = tmp_path / "wide.icc"
+    p.write_bytes(wide)
+    got = _run("lcms", img, **{"input-profile": str(p)})
+    want = _pil_transform(img, wide, srgb)
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 2, diff.max()
+
+
+def test_lcms_preserve_black(rng):
+    img = _rgb(rng)
+    img[0, 0] = 0
+    got = _run("lcms", img, **{"preserve-black": True})
+    assert (got[0, 0] == 0).all()
+
+
+def test_lcms_parses_own_roundtrip(tmp_path):
+    from gstbad_tpu.io import icc
+    wide = _wide_profile_bytes()
+    prof = icc.parse_icc(wide)
+    assert prof.trc[0].kind == "gamma"
+    np.testing.assert_allclose(prof.trc[0].gamma, 2.19921875, atol=1e-2)
