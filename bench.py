@@ -121,6 +121,20 @@ def main():
     print(f"bench: baseline {baseline:.2f} fps ({baseline_kind})",
           file=sys.stderr)
 
+    # Provisional evidence BEFORE any TPU touch: if the relay is down the
+    # watchdog SIGKILLs this process with no cleanup, and this line is then
+    # the only (and last) stdout record — value 0 + status says why.
+    emit({
+        "metric": "1080p_frames_per_sec_per_chip_10elem_graph",
+        "value": 0.0,
+        "unit": "frames/s",
+        "vs_baseline": 0.0,
+        "baseline": baseline_kind,
+        "baseline_fps": round(baseline, 2),
+        "status": ("provisional: TPU run pending — superseded by the later "
+                   "measured line unless the TPU relay was unreachable"),
+    })
+
     # The axon relay can wedge inside PJRT init, which holds the GIL — an
     # in-process SIGALRM handler never runs then.  A watchdog SUBPROCESS
     # delivers SIGKILL regardless, so a dead relay fails loudly instead of

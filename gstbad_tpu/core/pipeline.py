@@ -131,11 +131,19 @@ class Pipeline:
     # -- compilation ---------------------------------------------------------
     def compile(self, window: int, in_spec: Optional[MediaSpec] = None,
                 jit: bool = True, donate_state: bool = True,
-                out_shardings=None, mesh=None):
+                out_shardings=None, mesh=None,
+                taps: Sequence[str] = ()):
         """Build the fused window function over the whole DAG.
 
         step(params, states, in_batch_or_None)
             -> (states, leaf_batches, messages)
+
+        taps: element/node names whose intermediate output batches should be
+        materialized (SURVEY.md §7 hard-part 5 — fusion vs verifiability).
+        Tapped values are appended to leaf_batches as extra XLA outputs: the
+        fused program's numerics are unchanged (XLA is deterministic per
+        compilation; the tap only adds an output buffer).  Retrieve them
+        with `taps_of(leaf_batches)` -> {name: FrameBatch}.
         """
         if self._order is None or (in_spec is not None):
             self.negotiate(in_spec)
@@ -158,6 +166,27 @@ class Pipeline:
             else:
                 self._host_route.append(
                     (n.element, len(leaves) + extra_nodes.index(n)))
+
+        # debug taps: materialize named nodes' outputs as extra leaf slots
+        def node_named(name: str) -> Node:
+            for n in order:
+                if n.name == name or n.element.NAME == name:
+                    return n
+            raise KeyError(f"tap: no element named {name!r}")
+
+        tap_nodes = [node_named(t) for t in taps]
+        tap_extra: List[Node] = []
+        self._tap_route = {}
+        for t, n in zip(taps, tap_nodes):
+            if id(n) in leaf_index:
+                self._tap_route[t] = leaf_index[id(n)]
+            elif n in extra_nodes:
+                self._tap_route[t] = len(leaves) + extra_nodes.index(n)
+            else:
+                if n not in tap_extra:
+                    tap_extra.append(n)
+                self._tap_route[t] = (len(leaves) + len(extra_nodes)
+                                      + tap_extra.index(n))
 
         def step(params: List[Dict[str, Any]], states: List[Any],
                  in_batch: Optional[FrameBatch]):
@@ -193,7 +222,8 @@ class Pipeline:
                 new_states[idx] = st
                 values[id(n)] = val
             leaf_out = ([values[id(n)] for n in leaves]
-                        + [values[id(n)] for n in extra_nodes])
+                        + [values[id(n)] for n in extra_nodes]
+                        + [values[id(n)] for n in tap_extra])
             return new_states, leaf_out, messages
 
         if mesh is not None and out_shardings is None:
@@ -207,7 +237,8 @@ class Pipeline:
                                  valid=meta_s)
             out_shardings = (
                 None,
-                [batch_s for _ in range(len(leaves) + len(extra_nodes))],
+                [batch_s for _ in range(len(leaves) + len(extra_nodes)
+                                        + len(tap_extra))],
                 None)
         if jit:
             donate = (1,) if donate_state else ()
@@ -218,6 +249,11 @@ class Pipeline:
         if self._states is None:
             self._states = [n.element.init_state(window) for n in order]
         return step
+
+    def taps_of(self, leaf_batches) -> Dict[str, FrameBatch]:
+        """Extract tapped intermediates from a step's leaf_batches."""
+        return {name: leaf_batches[i]
+                for name, i in getattr(self, "_tap_route", {}).items()}
 
     def init_states(self, window: int):
         order = self._order or self._toposort()

@@ -59,6 +59,48 @@ class PipelineTracer:
             "messages": len(self.pipeline.bus.messages),
         }
 
+    def profile_elements(self, window: int = 4, reps: int = 3
+                         ) -> Dict[str, float]:
+        """Per-element cost attribution inside the fused program
+        (SURVEY.md §7 hard-part 5): compile each topo-prefix of the graph
+        as its own program (XLA dead-code-eliminates everything past the
+        prefix's last node) and report the marginal milliseconds each
+        element adds.  Marginals can go slightly negative on noisy hosts
+        or when XLA fuses an element away entirely; they are clamped at 0.
+        """
+        import jax
+
+        p = self.pipeline
+        if p._order is None:
+            p.negotiate()
+        order = p._order
+        params = p.params()
+        times = []
+        for i, node in enumerate(order):
+            # topo order guarantees every input of a prefix node is inside
+            # the prefix; works for source-driven graphs (host-source
+            # pipelines need real input windows and aren't profiled here)
+            sub = type(p)(nodes=order[:i + 1])
+            sub._order = order[:i + 1]
+            step = sub.compile(window, jit=True, donate_state=False)
+            sub_params = params[:i + 1]
+            states = sub.init_states(window)
+            _, out, _ = step(sub_params, states, None)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                _, out, _ = step(sub_params, states, None)
+            jax.block_until_ready(out)
+            times.append((time.perf_counter() - t0) / reps)
+        report = {}
+        prev = 0.0
+        for node, t in zip(order, times):
+            name = node.name or node.element.NAME
+            report[name] = round(max(t - prev, 0.0) * 1000, 4)
+            prev = t
+        report["_total_ms"] = round(times[-1] * 1000, 4)
+        return report
+
 
 @contextlib.contextmanager
 def trace_to(logdir: Optional[str]):

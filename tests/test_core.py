@@ -212,3 +212,53 @@ def test_multiple_host_sources_route_independently(rng):
     want = [np.abs(b[i].astype(int) - a[i].astype(int)).max()
             for i in range(4)]
     assert [int(m["delta"]) for m in msgs] == want
+
+
+def test_debug_taps_match_standalone(rng):
+    """Pipeline.compile(taps=...) materializes an intermediate element's
+    output from the FUSED program; it must equal the standalone element's
+    output on the same input (SURVEY.md §7 hard-part 5)."""
+    import gstbad_tpu as gt
+    from gstbad_tpu.core.harness import Harness
+    from gstbad_tpu.core.spec import MediaSpec, VideoFormat
+
+    p = gt.parse_launch(
+        "videotestsrc pattern=bars width=32 height=16 format=BGRx "
+        "! burn name=b ! dodge ! solarize ! fakesink")
+    p.negotiate()
+    step = p.compile(2, taps=["b"], donate_state=False)
+    _, leaf, _ = step(p.params(), p.init_states(2), None)
+    taps = p.taps_of(leaf)
+    assert set(taps) == {"b"}
+    tapped = np.asarray(taps["b"].data)
+
+    # standalone: videotestsrc ! burn only
+    p2 = gt.parse_launch(
+        "videotestsrc pattern=bars width=32 height=16 format=BGRx "
+        "! burn ! fakesink")
+    outs = p2.run(n_frames=2, window=2)
+    np.testing.assert_array_equal(tapped, np.asarray(outs[0].data))
+
+    # final leaf numerics unchanged by tapping
+    p3 = gt.parse_launch(
+        "videotestsrc pattern=bars width=32 height=16 format=BGRx "
+        "! burn ! dodge ! solarize ! fakesink")
+    p3.negotiate()
+    step3 = p3.compile(2, donate_state=False)
+    _, leaf3, _ = step3(p3.params(), p3.init_states(2), None)
+    np.testing.assert_array_equal(np.asarray(leaf[0].data),
+                                  np.asarray(leaf3[0].data))
+
+
+def test_tracer_per_element_profile(rng):
+    import gstbad_tpu as gt
+    from gstbad_tpu.utils.trace import PipelineTracer
+
+    p = gt.parse_launch(
+        "videotestsrc pattern=bars width=64 height=32 format=BGRx "
+        "! burn ! dodge ! fakesink")
+    tracer = PipelineTracer(p)
+    rep = tracer.profile_elements(window=2, reps=2)
+    assert "_total_ms" in rep and rep["_total_ms"] > 0
+    assert "burn" in rep and "dodge" in rep
+    assert all(v >= 0 for v in rep.values())

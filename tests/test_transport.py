@@ -415,3 +415,79 @@ def test_y4m_file_elements_roundtrip(tmp_path, rng):
     assert spec2.width == 64 and spec2.format == "I420"
     for k in planes:
         np.testing.assert_array_equal(planes[k], planes2[k])
+
+
+def test_shm_pipeline_two_real_processes(rng, tmp_path):
+    """A REAL second process: the child opens the shm ring, runs its own
+    pipeline (shmsrc ! burn ! shmsink), and the parent consumes the result
+    over a second ring — end-to-end cross-process transport with live
+    backpressure, unlike the single-process ipcpipeline-style tests."""
+    import subprocess
+    import sys
+
+    frames = rng.integers(0, 256, (6, 16, 24, 4), dtype=np.uint8)
+
+    # unique ring names per run: a stale /dev/shm segment from a previous
+    # test would otherwise satisfy the readiness poll with an EOS'd ring
+    import os
+    import uuid
+    tag = uuid.uuid4().hex[:8]
+    ring_in, ring_out = f"gstbad-2pin-{tag}", f"gstbad-2pout-{tag}"
+
+    child_code = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import gstbad_tpu as gt
+
+p = gt.parse_launch(
+    "shmsrc socket-path=RING_IN timeout-ms=10000 "
+    "! burn ! shmsink socket-path=RING_OUT shm-size=2097152")
+p.run(window=2)
+p.get_by_name -- if False else None
+p.elements[-1].eos()
+print("child done", flush=True)
+"""
+    child_code = child_code.replace(
+        "p.get_by_name -- if False else None\n", "").replace(
+        "RING_IN", ring_in).replace("RING_OUT", ring_out)
+
+    # parent owns the INPUT ring (shmsink); child creates the OUTPUT ring
+    p1 = gt.parse_launch(
+        "appsrc width=24 height=16 format=BGRx "
+        f"! shmsink socket-path={ring_in} shm-size=2097152")
+    p1.negotiate()
+    p1.elements[0].push_frames(frames)
+
+    env = dict(__import__("os").environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH="/root/repo")
+    child = subprocess.Popen([sys.executable, "-c", child_code], env=env,
+                             stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                             text=True)
+    try:
+        # interleaved: feed windows while the child is live (ring
+        # backpressure applies across the process boundary)
+        p1.run(window=2)
+        p1.elements[-1].eos()
+
+        # wait for the child to create its output ring
+        import time
+        deadline = time.monotonic() + 60
+        while (not os.path.exists(f"/dev/shm/{ring_out}")
+               and time.monotonic() < deadline):
+            time.sleep(0.05)
+
+        p3 = gt.parse_launch(
+            f"shmsrc socket-path={ring_out} timeout-ms=15000 "
+            "! fakesink")
+        outs = p3.run(window=2)
+        got = np.concatenate([np.asarray(o.data) for o in outs])
+        rc = child.wait(timeout=60)
+        assert rc == 0, child.stderr.read()
+    finally:
+        if child.poll() is None:
+            child.kill()
+
+    from gstbad_tpu.golden.gaudieffects import burn
+    assert got.shape[0] == 6
+    for i in range(6):
+        np.testing.assert_array_equal(got[i], burn(frames[i]))
