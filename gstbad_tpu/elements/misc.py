@@ -94,28 +94,38 @@ class VideoSegmentClip(Element):
 
 @register
 class Speed(AudioFilter):
-    """speed (gst/speed/gstspeed.c): rate change via linear resampling within
-    each block; PTS rescaled by 1/speed."""
+    """speed (gst/speed/gstspeed.c:433-511, :580-640): per-buffer linear
+    resample walk.  The reference restarts i_float = 0.5*(speed-1) on every
+    buffer (no carried phase) and blends the previously SELECTED sample with
+    in[ceil(i_float)]; the walk is static per (block size, speed), so the
+    gather indices + gfloat weights are baked on the host and the per-window
+    work is two gathers and one FMA.  Output PTS follows the reference's
+    perfect-stream rule: timestamp = scale(out_offset, GST_SECOND, rate)
+    accumulated across buffers (carried in state)."""
 
     NAME = "speed"
     FORMATS = (AudioFormat.F32, AudioFormat.S16)
     PROPERTIES = (Property("speed", float, 1.0, 0.1, 40.0, static=True),)
 
+    def init_state(self, batch: int):
+        return {"offset": jnp.zeros((), jnp.int64)}
+
     def process(self, params, state, batch: FrameBatch):
+        from gstbad_tpu.golden.audio import speed_resample_indices
         speed = self.props["speed"]
         x = batch.data.astype(jnp.float32)
         b, s, c = x.shape
-        pos = jnp.arange(s, dtype=jnp.float32) * speed
-        i0 = jnp.clip(pos.astype(jnp.int32), 0, s - 1)
-        i1 = jnp.clip(i0 + 1, 0, s - 1)
-        frac = (pos - i0.astype(jnp.float32))[None, :, None]
-        y = x[:, i0] * (1 - frac) + x[:, i1] * frac
-        # samples beyond the source block repeat the last sample; mask them
-        valid_s = pos < s
-        y = jnp.where(valid_s[None, :, None], y, 0)
+        prev_idx, idx, interp = speed_resample_indices(s, speed)
+        w1 = jnp.asarray(interp)[None, :, None]
+        w0 = jnp.asarray(np.float32(1) - interp)[None, :, None]
+        y = x[:, prev_idx] * w0 + x[:, idx] * w1
         if self.in_spec.format == AudioFormat.S16:
-            y = jnp.clip(y, -32768, 32767).astype(jnp.int16)
-        pts = (batch.pts.astype(jnp.float64) / speed).astype(jnp.int64)
+            y = jnp.trunc(y).astype(jnp.int16)  # C gfloat->gint16 cast
+        j = len(idx)
+        rate = self.in_spec.rate
+        offs = state["offset"] + jnp.arange(b, dtype=jnp.int64) * j
+        pts = offs * 1_000_000_000 // rate
+        state = {"offset": state["offset"] + b * j}
         return state, batch.replace(data=y, pts=pts)
 
 

@@ -483,3 +483,40 @@ class AdpcmEncIma:
                     wp += 1
             rp += 8
         return bytes(out)
+
+
+def speed_resample_indices(in_samples: int, speed: float):
+    """The speed element's per-buffer resample walk
+    (gst/speed/gstspeed.c:433-474 speed_chain_int16, :474-511 _float32).
+
+    The reference restarts the walk on EVERY input buffer: i_float begins at
+    0.5*(speed-1) and accumulates `+= speed` in gfloat; each output takes
+    i = ceil(i_float), interp = i_float - floor(i_float), and blends
+    `lower` (the previously selected input sample, in[0] initially) with
+    in[i].  Returns (prev_idx, idx, interp_f32) arrays of the static output
+    length for this buffer size."""
+    i_float = np.float32(0.5 * (speed - 1.0))
+    speed32 = np.float32(speed)
+    i = int(np.ceil(np.float64(i_float)))
+    prev_idx, idx, interp = [], [], []
+    prev = 0
+    while i < in_samples:
+        interp.append(np.float32(np.float64(i_float)
+                                 - np.floor(np.float64(i_float))))
+        prev_idx.append(prev)
+        idx.append(i)
+        prev = i
+        i_float = np.float32(i_float + speed32)
+        i = int(np.ceil(np.float64(i_float)))
+    return (np.array(prev_idx, np.int32), np.array(idx, np.int32),
+            np.array(interp, np.float32))
+
+
+def speed_resample(x: np.ndarray, speed: float) -> np.ndarray:
+    """One buffer [S, C] through the speed walk; float32 in, float32 out
+    (the int16 path casts the same gfloat result, C truncation)."""
+    prev_idx, idx, interp = speed_resample_indices(x.shape[0], speed)
+    xf = x.astype(np.float32)
+    one = np.float32(1)
+    return (xf[prev_idx] * (one - interp)[:, None]
+            + xf[idx] * interp[:, None])

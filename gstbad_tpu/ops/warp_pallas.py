@@ -1,21 +1,30 @@
-"""Pallas warp kernel — tile-windowed gather for the geometric warps.
+"""Pallas warp engine — tile-classed windowed gather for the geometric warps.
 
-XLA lowers the remap gather to ~1 G-row/s on v5e; this kernel exploits the
-STATIC inverse map: for every 8x128 output tile the source bounding window
-is known at build time, so the kernel DMAs that window into VMEM (scalar-
-prefetched offsets) and resolves per-pixel sources with the one dynamic
-addressing primitive the VPU does have — a 128-lane `take_along_axis`
-shuffle — plus row/column-block mask-selects.  Pixels are u32-packed
-(4xu8), so one gather moves a whole pixel.
+XLA lowers the remap gather to ~0.1-1 Gelem/s on v5e; this engine exploits
+the STATIC inverse map (gstgeometrictransform.c:80-128 precomputes it once
+per caps change): for every 8x128 output tile the source bounding window is
+known at plan time, so a kernel DMAs that window into VMEM and resolves the
+per-pixel sources with the one dynamic addressing primitive the VPU has — a
+128-lane `take_along_axis` shuffle — plus fully static row/column-block
+selects.  Pixels are u32-packed (4xu8) so one gather moves a whole pixel.
 
-Maps whose tiles exceed the window caps (strong magnification, wrap modes)
-fall back to the XLA gather — decided per map on the host (plan()).
+Window sizes vary wildly across tiles (fisheye 1080p: mean 16x78, max
+123x308), so a single worst-case static window wastes both DMA and unrolled
+compute.  plan() buckets tiles into <=3 (rows, cols) window CLASSES and
+emits one fully-static pallas_call per class over just that class's tiles
+(scalar-prefetched tile lists drive the BlockSpec index maps); the calls
+chain through `input_output_aliases` so each writes only its own tiles.
+Tiles whose window exceeds the caps (strong magnification, wrap modes) are
+fixed up afterwards with one small XLA gather+scatter over just their
+pixels.  Mosaic constraints honored (all verified on v5e): DMA origins
+aligned to the (8, 128) i32 tile grid, no dynamic VMEM loads (static unroll
+per class), 32-bit everything (the package enables global x64).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
@@ -26,24 +35,45 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_H = 8
 TILE_W = 128
+SR_CAP = 128     # max window rows a class may have
+SC_CAP = 512     # max window cols
+MAX_CLASSES = 5
+MAX_FIX_FRAC = 0.25   # beyond this outlier-tile fraction the XLA gather wins
+
+
+class ClassPlan(NamedTuple):
+    sr: int                # window rows (static, multiple of 8)
+    sc: int                # window cols (static, multiple of 128)
+    offsets: np.ndarray    # [4, T] int32: r0, c0, out_tile_i, out_tile_j
+    # (transposed so the SMEM lane padding to 128 hits the size-4 axis,
+    # not the tile axis — a [T, 4] table is padded 32x and blows the 1 MiB
+    # SMEM budget at 4K tile counts)
 
 
 class WarpPlan(NamedTuple):
-    offsets: np.ndarray   # [n_tiles, 2] int32 (r0, c0)
-    lr: np.ndarray        # [H, W] int32 local source row
-    lc: np.ndarray        # [H, W] int32 local source col
-    sr: int               # window rows (static)
-    sc: int               # window cols (static, multiple of 128)
-    n_th: int
-    n_tw: int
+    classes: Tuple[ClassPlan, ...]
+    lr: np.ndarray         # [H, W] int32 source row local to own tile window
+    lc: np.ndarray         # [H, W] int32 source col local to own tile window
+    fix_src: np.ndarray    # [K] int32 flat src index for outlier-tile pixels
+    fix_dst: np.ndarray    # [K] int32 flat dst index
+
+
+def _class_menu(h: int, w: int):
+    srs = [s for s in (8, 16, 24, 32, 40, 48, 64, 80, 96, 112, 128)
+           if s <= min(h, SR_CAP)]
+    scs = [s for s in (128, 256, 384, 512) if s <= min(w, SC_CAP)]
+    return srs, scs
 
 
 def plan(mp: np.ndarray, width: int, height: int, off_edge: str,
-         sr_cap: int = 128, sc_cap: int = 512) -> Optional[WarpPlan]:
-    """Build the per-tile window plan from an inverse map, or None when the
-    map exceeds the window caps (caller uses the XLA gather)."""
+         max_classes: int = MAX_CLASSES) -> Optional[WarpPlan]:
+    """Build the tile-class plan from an inverse map, or None when the map
+    isn't tileable / is gather-bound anyway (caller uses the XLA gather)."""
     from gstbad_tpu.ops.remap import fix_map
     if height % TILE_H or width % TILE_W:
+        return None
+    srs, scs = _class_menu(height, width)
+    if not srs or not scs:
         return None
     flat, valid = fix_map(mp, width, height, off_edge)
     ty = (flat // width).reshape(height, width).astype(np.int64)
@@ -55,124 +85,162 @@ def plan(mp: np.ndarray, width: int, height: int, off_edge: str,
         return a.reshape(n_th, TILE_H, n_tw, TILE_W).transpose(0, 2, 1, 3)
 
     ty_t, tx_t, v_t = tiles(ty), tiles(tx), tiles(v2d)
+    any_v = v_t.any((2, 3))
     # off-edge pixels are overwritten by the background after the kernel;
     # exclude them from the window spans (they'd otherwise drag every edge
     # tile's window to (0,0))
-    big, small = np.where(v_t, ty_t, 1 << 30), np.where(v_t, ty_t, -1)
-    rmin = np.where(v_t.any((2, 3)), big.min(axis=(2, 3)), 0)
-    rmax = np.where(v_t.any((2, 3)), small.max(axis=(2, 3)), 0)
-    bigc, smallc = np.where(v_t, tx_t, 1 << 30), np.where(v_t, tx_t, -1)
-    cmin = np.where(v_t.any((2, 3)), bigc.min(axis=(2, 3)), 0)
-    cmax = np.where(v_t.any((2, 3)), smallc.max(axis=(2, 3)), 0)
-    # invalid pixels gather from the window origin (harmless, in-bounds)
-    ty = np.where(v2d, ty, np.repeat(np.repeat(rmin, TILE_H, 0), TILE_W, 1))
-    tx = np.where(v2d, tx, np.repeat(np.repeat(cmin, TILE_H, 0), TILE_W, 1))
-    sr = int((rmax - rmin).max()) + 1
-    sc = int((cmax - cmin).max()) + 1
-    if sr > sr_cap or sc > sc_cap:
+    rmin = np.where(any_v, np.where(v_t, ty_t, 1 << 30).min((2, 3)), 0)
+    rmax = np.where(any_v, np.where(v_t, ty_t, -1).max((2, 3)), 0)
+    cmin = np.where(any_v, np.where(v_t, tx_t, 1 << 30).min((2, 3)), 0)
+    cmax = np.where(any_v, np.where(v_t, tx_t, -1).max((2, 3)), 0)
+    # invalid pixels gather from their tile's window origin (in-bounds, the
+    # value is masked to the background afterwards)
+    r0u = (rmin // 8) * 8
+    c0u = (cmin // TILE_W) * TILE_W
+    need_r = rmax - r0u + 1            # window rows if origin not clipped
+    need_c = cmax - c0u + 1
+    ok = (need_r <= srs[-1]) & (need_c <= scs[-1])
+    n_fix = int((~ok).sum())
+    if n_fix > MAX_FIX_FRAC * ok.size:
         return None
-    # DMA slice origins must align to the (8, 128) HBM tile grid; widen the
-    # window by one alignment step to absorb the round-down (capped at the
-    # frame itself, which is already tile-aligned)
-    sr = min(max(8, -(-(sr + 7) // 8) * 8), height)
-    sc = min(max(TILE_W, -(-(sc + TILE_W - 1) // TILE_W) * TILE_W), width)
-    if height % 8 or width % TILE_W:
-        return None
-    r0 = (np.clip(rmin, 0, height - sr) // 8) * 8
-    c0 = (np.clip(cmin, 0, width - sc) // TILE_W) * TILE_W
-    lr = (ty - np.repeat(np.repeat(r0, TILE_H, 0), TILE_W, 1)
-          ).astype(np.int32)
-    lc = (tx - np.repeat(np.repeat(c0, TILE_H, 0), TILE_W, 1)
-          ).astype(np.int32)
-    # per-tile actual row/column-block counts so the kernel loops only over
-    # the rows a tile really touches (the static worst case is ~40x larger)
-    nrows = np.maximum(rmax - r0 + 1, 1).astype(np.int32)
-    nblk = ((np.maximum(cmax - c0 + 1, 1) + TILE_W - 1)
-            // TILE_W).astype(np.int32)
-    offsets = np.stack([r0.reshape(-1), c0.reshape(-1), nrows.reshape(-1),
-                        nblk.reshape(-1)], -1).astype(np.int32)
-    return WarpPlan(offsets, lr, lc, sr, sc, n_th, n_tw)
+
+    # bucket each coverable tile to the smallest fitting menu entry
+    sr_arr = np.array(srs)
+    sc_arr = np.array(scs)
+    bi_r = np.searchsorted(sr_arr, np.clip(need_r, 1, srs[-1]))
+    bi_c = np.searchsorted(sc_arr, np.clip(need_c, 1, scs[-1]))
+    buckets = {}
+    for (i, j) in zip(*np.nonzero(ok)):
+        key = (int(sr_arr[bi_r[i, j]]), int(sc_arr[bi_c[i, j]]))
+        buckets.setdefault(key, []).append((int(i), int(j)))
+    # greedy merge to <= max_classes: fold the bucket with the least total
+    # upgrade cost into its cheapest dominating bucket (the join always
+    # exists: (max sr, max sc) of the two)
+    while len(buckets) > max_classes:
+        best = None
+        for k1, t1 in buckets.items():
+            for k2 in buckets:
+                if k2 == k1:
+                    continue
+                join = (max(k1[0], k2[0]), max(k1[1], k2[1]))
+                # cost of moving k1 (and k2 if the join is new) to `join`
+                cost = len(t1) * (join[0] * join[1] - k1[0] * k1[1])
+                if join != k2:
+                    cost += len(buckets[k2]) * (join[0] * join[1]
+                                                - k2[0] * k2[1])
+                if best is None or cost < best[0]:
+                    best = (cost, k1, k2, join)
+        _, k1, k2, join = best
+        merged = buckets.pop(k1) + buckets.pop(k2)
+        buckets.setdefault(join, []).extend(merged)
+
+    lr = np.zeros((height, width), np.int32)
+    lc = np.zeros((height, width), np.int32)
+    classes = []
+    for (sr, sc), tlist in sorted(buckets.items()):
+        offs = np.zeros((len(tlist), 4), np.int32)
+        for t, (i, j) in enumerate(tlist):
+            r0 = max(0, min(int(r0u[i, j]), height - sr))
+            c0 = max(0, min(int(c0u[i, j]), width - sc))
+            sl = np.s_[i * TILE_H:(i + 1) * TILE_H,
+                       j * TILE_W:(j + 1) * TILE_W]
+            lr[sl] = np.where(v2d[sl], ty[sl] - r0, 0)
+            lc[sl] = np.where(v2d[sl], tx[sl] - c0, 0)
+            offs[t] = (r0, c0, i, j)
+        classes.append(ClassPlan(sr, sc, np.ascontiguousarray(offs.T)))
+
+    # outlier tiles: their pixels go through one flat gather + scatter
+    if n_fix:
+        mask = np.zeros((n_th, n_tw), bool)
+        mask[~ok] = True
+        pix = np.repeat(np.repeat(mask, TILE_H, 0), TILE_W, 1)
+        fix_dst = np.nonzero(pix.reshape(-1))[0].astype(np.int32)
+        fix_src = flat[fix_dst].astype(np.int32)
+    else:
+        fix_dst = np.zeros(0, np.int32)
+        fix_src = np.zeros(0, np.int32)
+    return WarpPlan(tuple(classes), lr, lc, fix_src, fix_dst)
 
 
-def _kernel(offsets_ref, img_ref, lr_ref, lc_ref, out_ref, win, sem,
-            *, sr: int, sc: int, n_tw: int):
-    bi = pl.program_id(0)
-    tid = pl.program_id(1) * n_tw + pl.program_id(2)
-    r0 = pl.multiple_of(offsets_ref[tid, 0], 8)
-    c0 = pl.multiple_of(offsets_ref[tid, 1], TILE_W)
-    n_rows = offsets_ref[tid, 2]
-    n_blk = offsets_ref[tid, 3]
+def _kernel(offsets_ref, img_ref, out_init_ref, lr_ref, lc_ref, out_ref,
+            win, sem, *, sr: int, sc: int):
+    del out_init_ref  # aliased with out_ref; untouched tiles pass through
+    bi, t = pl.program_id(0), pl.program_id(1)
+    r0 = pl.multiple_of(offsets_ref[0, t], 8)
+    c0 = pl.multiple_of(offsets_ref[1, t], TILE_W)
     cp = pltpu.make_async_copy(
         img_ref.at[bi, pl.ds(r0, sr), pl.ds(c0, sc)], win, sem)
     cp.start()
     cp.wait()
-
+    n_blk = sc // TILE_W
     lr = lr_ref[:]
     lc = lc_ref[:]
+    code = lr * n_blk + (lc >> 7)
     rem = lc & (TILE_W - 1)
-    blk = lc >> 7
-    acc = jnp.zeros((TILE_H, TILE_W), jnp.int32)
-
-    # take_along_axis promotes indices to int64 under the global x64 config;
-    # issue the batched lane-gather (the one Mosaic lowers to a VPU shuffle)
-    # directly with int32 indices
+    # the batched 128-lane gather Mosaic lowers to a VPU shuffle; issued raw
+    # so the indices stay int32 under the global x64 config
     dnums = lax.GatherDimensionNumbers(
         offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
         operand_batching_dims=(0,), start_indices_batching_dims=(0,))
-
-    def blk_body(b, carry):
-        s, acc = carry
-        b = jnp.int32(b)
-        off = pl.multiple_of(b * TILE_W, TILE_W)
-        seg = pltpu.repeat(win[pl.ds(s, 1), pl.ds(off, TILE_W)],
-                           TILE_H, axis=0)
-        vals = lax.gather(seg, rem[..., None], dnums,
-                          slice_sizes=(1, 1),
-                          mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
-        acc = jnp.where((lr == s) & (blk == b), vals, acc)
-        return s, acc
-
-    def row_body(s, acc):
-        s = jnp.int32(s)  # keep the kernel 32-bit under global x64
-        _, acc = lax.fori_loop(jnp.int32(0), n_blk, blk_body, (s, acc))
-        return acc
-
-    acc = lax.fori_loop(jnp.int32(0), n_rows, row_body, acc)
+    acc = jnp.zeros((TILE_H, TILE_W), jnp.int32)
+    for r in range(sr):
+        for b in range(n_blk):
+            seg = pltpu.repeat(win[r:r + 1, b * TILE_W:(b + 1) * TILE_W],
+                               TILE_H, axis=0)
+            vals = lax.gather(seg, rem[..., None], dnums, slice_sizes=(1, 1),
+                              mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+            acc = jnp.where(code == r * n_blk + b, vals, acc)
     out_ref[0] = acc
+
+
+def _class_call(img_u32, out, cls: ClassPlan, lr, lc, interpret: bool):
+    b, h, w = img_u32.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, cls.offsets.shape[1]),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # img stays in HBM
+            pl.BlockSpec((1, TILE_H, TILE_W),
+                         lambda bi, t, offs: (bi, offs[2, t], offs[3, t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W),
+                         lambda bi, t, offs: (offs[2, t], offs[3, t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, TILE_W),
+                         lambda bi, t, offs: (offs[2, t], offs[3, t]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE_H, TILE_W),
+                               lambda bi, t, offs: (bi, offs[2, t],
+                                                    offs[3, t]),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((cls.sr, cls.sc), jnp.int32),
+                        pltpu.SemaphoreType.DMA],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, sr=cls.sr, sc=cls.sc),
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        grid_spec=grid_spec,
+        input_output_aliases={2: 0},   # operand 2 = out (after scalars+img)
+        interpret=interpret,
+    )(jnp.asarray(cls.offsets), img_u32, out, jnp.asarray(lr),
+      jnp.asarray(lc))
 
 
 def warp_u32(img_u32: jnp.ndarray, plan_: WarpPlan,
              interpret: bool = False) -> jnp.ndarray:
     """[B, H, W] int32 (u32-packed pixels) -> warped [B, H, W] int32."""
     b, h, w = img_u32.shape
-    grid = (b, plan_.n_th, plan_.n_tw)
-    kernel = functools.partial(_kernel, sr=plan_.sr, sc=plan_.sc,
-                               n_tw=plan_.n_tw)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # img stays in HBM
-            pl.BlockSpec((TILE_H, TILE_W), lambda bi, i, j, *_: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, TILE_W), lambda bi, i, j, *_: (i, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, TILE_H, TILE_W),
-                               lambda bi, i, j, *_: (bi, i, j),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((plan_.sr, plan_.sc), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(jnp.asarray(plan_.offsets), img_u32, jnp.asarray(plan_.lr),
-      jnp.asarray(plan_.lc))
+    out = jnp.zeros((b, h, w), jnp.int32)
+    for cls in plan_.classes:
+        out = _class_call(img_u32, out, cls, plan_.lr, plan_.lc, interpret)
+    if len(plan_.fix_dst):
+        vals = jnp.take(img_u32.reshape(b, h * w),
+                        jnp.asarray(plan_.fix_src), axis=1)
+        out = (out.reshape(b, h * w)
+               .at[:, jnp.asarray(plan_.fix_dst)].set(vals)
+               .reshape(b, h, w))
+    return out
 
 
 def warp_batch(img: jnp.ndarray, plan_: WarpPlan, valid: jnp.ndarray,

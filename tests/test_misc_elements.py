@@ -2,6 +2,7 @@
 autoconvert/switchbin, rawparse."""
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 import gstbad_tpu as gt
@@ -56,10 +57,53 @@ def test_segmentclip():
 
 
 def test_speed():
+    from gstbad_tpu.golden.audio import speed_resample, speed_resample_indices
+
     p = gt.parse_launch("audiotestsrc wave=sine samplesperbuffer=480 "
                         "! speed speed=2.0 ! fakesink")
     outs = p.run(n_frames=2, window=2)
-    assert outs[0].data.shape[1] == 480  # block shape kept, content resampled
+    # the reference walk restarts per buffer: i_float=0.5*(speed-1), i=ceil,
+    # blend of last-selected sample with in[i] (gstspeed.c:474-511)
+    _, idx, _ = speed_resample_indices(480, 2.0)
+    assert outs[0].data.shape[1] == len(idx)
+    # PTS follow the perfect-stream rule ts = scale(out_offset, 1e9, rate)
+    pts = np.asarray(outs[0].pts)
+    rate = 48000  # audiotestsrc default
+    assert pts[0] == 0 and pts[1] == len(idx) * 10**9 // rate
+
+
+def test_speed_matches_golden_walk(rng):
+    from gstbad_tpu.golden.audio import speed_resample
+
+    x = (rng.random((2, 256, 2), np.float64) * 2 - 1).astype(np.float32)
+    for speed in (0.5, 1.0, 1.7, 2.0, 3.3):
+        el = gt.make("speed", speed=speed)
+        from gstbad_tpu.core.pipeline import Pipeline
+        from gstbad_tpu.core.spec import MediaSpec
+        from gstbad_tpu.core.frame import FrameBatch
+        p = Pipeline([el])
+        p.negotiate(MediaSpec(kind="audio", format="F32", rate=48000,
+                              channels=2))
+        outs = p.run(inputs=FrameBatch.make(jnp.asarray(x)))
+        got = np.asarray(outs[0].data)
+        want = np.stack([speed_resample(x[i], speed) for i in range(2)])
+        np.testing.assert_allclose(got, want, rtol=0, atol=1.2e-7)
+
+
+def test_speed_s16_truncates_like_c_cast(rng):
+    from gstbad_tpu.golden.audio import speed_resample
+
+    x = rng.integers(-32768, 32768, (1, 128, 1), dtype=np.int16)
+    el = gt.make("speed", speed=1.5)
+    from gstbad_tpu.core.pipeline import Pipeline
+    from gstbad_tpu.core.spec import MediaSpec
+    from gstbad_tpu.core.frame import FrameBatch
+    p = Pipeline([el])
+    p.negotiate(MediaSpec(kind="audio", format="S16", rate=44100, channels=1))
+    outs = p.run(inputs=FrameBatch.make(jnp.asarray(x)))
+    got = np.asarray(outs[0].data)
+    want = np.trunc(speed_resample(x[0], 1.5)).astype(np.int16)[None]
+    assert np.abs(got.astype(np.int32) - want.astype(np.int32)).max() <= 1
 
 
 def test_timecodestamper():

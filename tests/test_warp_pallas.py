@@ -34,6 +34,45 @@ def test_plan_rejects_wild_maps(rng):
     assert wp.plan(mp, w2, h2, "ignore") is None
 
 
+def test_element_pallas_engine_matches_gather(rng):
+    """fisheye engine=pallas (interpret off-TPU) == engine=gather."""
+    import gstbad_tpu as gt
+    from gstbad_tpu.core.frame import FrameBatch
+    from gstbad_tpu.core.pipeline import Pipeline
+    from gstbad_tpu.core.spec import MediaSpec
+
+    img = rng.integers(0, 256, (2, H, W, 4), dtype=np.uint8)
+    outs = {}
+    for engine in ("pallas", "gather"):
+        el = gt.make("fisheye", engine=engine)
+        p = Pipeline([el])
+        p.negotiate(MediaSpec(kind="video", format="RGBA", width=W, height=H))
+        assert (el._warp_plan is not None) == (engine == "pallas")
+        res = p.run(inputs=FrameBatch.make(jnp.asarray(img)))
+        outs[engine] = np.asarray(res[0].data)
+    np.testing.assert_array_equal(outs["pallas"], outs["gather"])
+
+
+def test_warp_outlier_fixup(rng):
+    """A map with a violently magnifying patch exercises the XLA
+    gather+scatter fixup path for outlier tiles (row span > SR_CAP)."""
+    h2, w2 = 256, 512
+    mp = golden.MAP_BUILDERS["rotate"](w2, h2, angle=0.1)
+    # make the top-left tile read rows spread across the whole frame
+    mp = mp.copy()
+    mp[:8, :128, 0] = np.arange(128)[None, :].astype(np.float64)
+    mp[:8, :128, 1] = (np.arange(8 * 128).reshape(8, 128) * 7.9) % h2
+    p = wp.plan(mp, w2, h2, "ignore")
+    assert p is not None and len(p.fix_dst) == 8 * 128
+    img = rng.integers(0, 256, (2, h2, w2, 4), dtype=np.uint8)
+    _, valid = fix_map(mp, w2, h2, "ignore")
+    bg = jnp.zeros(4, jnp.uint8)
+    out = np.asarray(wp.warp_batch(jnp.asarray(img), p, jnp.asarray(valid),
+                                   bg, interpret=True))
+    want = np.stack([golden.remap(img[i], mp, "ignore") for i in range(2)])
+    np.testing.assert_array_equal(out, want)
+
+
 def test_jaxfilter_element(rng):
     import gstbad_tpu as gt
     from gstbad_tpu.core.pipeline import Pipeline
