@@ -83,6 +83,18 @@ def config4_warp(width=3840, height=2160) -> Pipeline:
         "! fisheye ! twirl ! fakesink")
 
 
+def warp_1080p(width=1920, height=1080) -> Pipeline:
+    """Single fisheye warp, 1080p (Pallas tile-class engine on TPU)."""
+    return parse_launch(
+        f"videotestsrc pattern=bars width={width} height={height} "
+        "format=BGRx ! fisheye ! fakesink")
+
+
+def warp_4k(width=3840, height=2160) -> Pipeline:
+    """Single fisheye warp at 4K."""
+    return warp_1080p(width, height)
+
+
 def config5_ivtc(width=1280, height=720) -> Pipeline:
     """interlace (2:3 telecine) -> ivtc round trip (BASELINE config 5)."""
     return parse_launch(
@@ -107,6 +119,8 @@ BENCHMARKS: Dict[str, Callable[[], Pipeline]] = {
     "config2_blur": config2_blur,
     "config3_audio": config3_audio,
     "config4_warp": config4_warp,
+    "warp_1080p": warp_1080p,
+    "warp_4k": warp_4k,
     "config5_ivtc": config5_ivtc,
     "ten_element": ten_element_graph,
 }

@@ -681,3 +681,76 @@ def test_adpcmdec_stereo_pts_per_channel(rng):
     pts = np.concatenate([np.asarray(o.pts) for o in outs])
     per_ch = outs[0].data.shape[1]  # samples per channel per block
     assert pts[1] - pts[0] == per_ch * 10**9 // 22050
+
+
+def test_audiobuffersplit_gapless_silence_fill():
+    """gapless=true: a forward PTS gap within max-silence-time is filled
+    with silence and the output timeline stays continuous, no DISCONT
+    (gstaudiobuffersplit.c:543-610)."""
+    from gstbad_tpu.core.frame import FLAG_DISCONT
+    h = Harness("audiobuffersplit",
+                **{"output-buffer-duration": "1/100",
+                   "gapless": True,
+                   "max-silence-time": 200_000_000})
+    h.set_src_spec(_spec(AudioFormat.F32, 1))
+    x = np.full((2, 480, 1), 0.5, np.float32)
+    dur = 480 * 10**9 // 48000  # 10 ms
+    h.push(x, pts=np.array([0, dur]))
+    # next window arrives 100 ms late -> 4800 samples of silence
+    base = 12 * dur
+    outs = h.push(x, pts=np.array([base, base + dur]))
+    data = np.concatenate([np.asarray(o.data) for o in outs]).reshape(-1)
+    pts = np.concatenate([np.asarray(o.pts) for o in outs])
+    flags = np.concatenate([np.asarray(o.flags) for o in outs])
+    assert len(data) == 4800 + 960            # silence + this window's data
+    np.testing.assert_array_equal(data[:4800], 0.0)
+    np.testing.assert_array_equal(data[4800:], 0.5)
+    assert pts[0] == 2 * dur                  # continuous, no resync
+    assert np.all(np.diff(pts) == dur)
+    assert not (flags & FLAG_DISCONT).any()
+
+
+def test_audiobuffersplit_gapless_too_big_gap_resyncs():
+    """gapless=true but gap > max-silence-time: falls through to the
+    discont path like the reference (gstaudiobuffersplit.c:574-580)."""
+    from gstbad_tpu.core.frame import FLAG_DISCONT
+    h = Harness("audiobuffersplit",
+                **{"output-buffer-duration": "1/100",
+                   "gapless": True,
+                   "max-silence-time": 50_000_000,
+                   "discont-wait": 0})
+    h.set_src_spec(_spec(AudioFormat.F32, 1))
+    x = np.full((2, 480, 1), 0.5, np.float32)
+    dur = 480 * 10**9 // 48000
+    h.push(x, pts=np.array([0, dur]))
+    base = 5 * 10**9  # 5 s gap >> 50 ms budget
+    outs = h.push(x, pts=np.array([base, base + dur]))
+    pts = np.concatenate([np.asarray(o.pts) for o in outs])
+    flags = np.concatenate([np.asarray(o.flags) for o in outs])
+    assert pts[0] == base                     # resynced
+    assert (flags & FLAG_DISCONT).any()
+
+
+def test_audiobuffersplit_gapless_drop_overlap():
+    """gapless=true: a backward PTS jump (overlap) drops the overlapping
+    samples from the front of the input instead of resyncing
+    (gstaudiobuffersplit.c:610-618, clip_buffer_start_for_gapless)."""
+    from gstbad_tpu.core.frame import FLAG_DISCONT
+    h = Harness("audiobuffersplit",
+                **{"output-buffer-duration": "1/100", "gapless": True,
+                   "alignment-threshold": 5_000_000})
+    h.set_src_spec(_spec(AudioFormat.F32, 1))
+    dur = 480 * 10**9 // 48000
+    x1 = np.full((2, 480, 1), 0.25, np.float32)
+    h.push(x1, pts=np.array([0, dur]))
+    # next window overlaps by one buffer (10 ms = 480 samples)
+    x2 = np.concatenate([np.full((1, 480, 1), 0.75, np.float32),
+                         np.full((1, 480, 1), 1.0, np.float32)])
+    outs = h.push(x2, pts=np.array([dur, 2 * dur]))
+    data = np.concatenate([np.asarray(o.data) for o in outs]).reshape(-1)
+    pts = np.concatenate([np.asarray(o.pts) for o in outs])
+    flags = np.concatenate([np.asarray(o.flags) for o in outs])
+    assert len(data) == 480                   # one buffer's worth dropped
+    np.testing.assert_array_equal(data, 1.0)  # the overlapping 0.75 went
+    assert pts[0] == 2 * dur
+    assert not (flags & FLAG_DISCONT).any()
