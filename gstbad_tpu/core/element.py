@@ -164,6 +164,35 @@ class Element:
         """
         raise NotImplementedError
 
+    # -- live recompile (runtime graph edits / static-property changes) -----
+    def carry_state(self, old_state, window: int):
+        """Migrate a live carry across a pipeline recompile (insertbin-style
+        graph edit or set_static_property).  Kept verbatim when the pytree
+        structure, shapes and dtypes still match the fresh init; otherwise
+        delegated to migrate_state (fresh init unless overridden)."""
+        import jax
+
+        fresh = self.init_state(window)
+        try:
+            ok = (jax.tree_util.tree_structure(fresh)
+                  == jax.tree_util.tree_structure(old_state))
+            if ok:
+                for a, b in zip(jax.tree_util.tree_leaves(fresh),
+                                jax.tree_util.tree_leaves(old_state)):
+                    if (getattr(a, "shape", None) != getattr(b, "shape",
+                                                             None)
+                            or getattr(a, "dtype", None)
+                            != getattr(b, "dtype", None)):
+                        ok = False
+                        break
+        except Exception:  # noqa: BLE001 - malformed old state -> reinit
+            ok = False
+        return old_state if ok else self.migrate_state(old_state, window)
+
+    def migrate_state(self, old_state, window: int):
+        """Shape-changing state migration hook; default starts fresh."""
+        return self.init_state(window)
+
     # convenience for tests / direct use
     def __call__(self, batch: FrameBatch, state=None):
         if self.in_spec is None:

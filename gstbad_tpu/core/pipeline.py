@@ -108,6 +108,8 @@ class Pipeline:
     # -- negotiation ---------------------------------------------------------
     def negotiate(self, in_spec: Optional[MediaSpec] = None) -> MediaSpec:
         """Spec fixation in topological order (caps negotiation analog)."""
+        if in_spec is not None or not hasattr(self, "_in_spec"):
+            self._in_spec = in_spec
         self._order = self._toposort()
         for n in self._order:
             el = n.element
@@ -411,6 +413,92 @@ class Pipeline:
                     h.host_process(np_batch, self.bus)
                 drained.setdefault(el.NAME, []).append(np_batch)
         return drained
+
+    # -- runtime graph editing (insertbin analog) ------------------------------
+    # gst-libs/gst/insertbin/gstinsertbin.c exposes insert_before/after and
+    # remove on a RUNNING bin, draining pads around the edit.  Here the graph
+    # is a compiled program, so an edit = mutate the DAG, renegotiate, and
+    # recompile on the next run — with live element states carried across by
+    # node identity (Element.carry_state handles shape migrations).  The
+    # same machinery makes STATIC properties live-settable
+    # (set_static_property), e.g. pitch tempo mid-stream (gstpitch.cc:248).
+
+    def _node_named(self, name: str) -> Node:
+        for n in self.nodes:
+            if n.name == name or n.element.NAME == name:
+                return n
+        raise KeyError(f"no element named {name!r}")
+
+    def _snapshot_states(self) -> Dict[int, Any]:
+        if self._states is None or self._order is None:
+            return {}
+        return {id(n): s for n, s in zip(self._order, self._states)}
+
+    def _rebuild(self, saved: Dict[int, Any]) -> None:
+        self._step = None
+        self._order = None
+        self.negotiate(self._in_spec)
+        if saved and self._window:
+            self._states = [
+                n.element.carry_state(saved[id(n)], self._window)
+                if id(n) in saved else n.element.init_state(self._window)
+                for n in self._order]
+        else:
+            self._states = None
+
+    def insert_after(self, name: str, element: Element,
+                     new_name: Optional[str] = None) -> None:
+        """Insert `element` after node `name`; every consumer of that node
+        (all tee branches) is rerouted through the new element."""
+        saved = self._snapshot_states()
+        anchor = self._node_named(name)
+        node = Node(element, new_name)
+        node.inputs.append(anchor)
+        for n in self.nodes:
+            if n is not node:
+                n.inputs = [node if i is anchor else i for i in n.inputs]
+        self.nodes.insert(self.nodes.index(anchor) + 1, node)
+        self._rebuild(saved)
+
+    def insert_before(self, name: str, element: Element,
+                      new_name: Optional[str] = None) -> None:
+        """Insert `element` on every input edge of node `name` (the linear
+        chain's single edge in the common case)."""
+        saved = self._snapshot_states()
+        anchor = self._node_named(name)
+        node = Node(element, new_name)
+        node.inputs = list(anchor.inputs)
+        anchor.inputs = [node]
+        self.nodes.insert(self.nodes.index(anchor), node)
+        self._rebuild(saved)
+
+    def remove(self, name: str) -> Element:
+        """Remove node `name`, splicing its (single) input to its
+        consumers; its carried state is dropped, everyone else's kept."""
+        saved = self._snapshot_states()
+        node = self._node_named(name)
+        if len(node.inputs) > 1:
+            raise SpecError(
+                f"remove({name!r}): aggregation points cannot be spliced "
+                "out (insertbin handles linear segments)")
+        repl = node.inputs[0] if node.inputs else None
+        for n in self.nodes:
+            if node in n.inputs:
+                n.inputs = [x for x in
+                            (repl if i is node else i for i in n.inputs)
+                            if x is not None]
+        self.nodes.remove(node)
+        saved.pop(id(node), None)
+        self._rebuild(saved)
+        return node.element
+
+    def set_static_property(self, name: str, prop: str, value) -> None:
+        """Change a STATIC (compile-baked) property on a running pipeline:
+        renegotiate + recompile, carrying every element's state across
+        (shape-affected states go through the element's migrate_state)."""
+        saved = self._snapshot_states()
+        self._node_named(name).element.set_property(prop, value)
+        self._rebuild(saved)
 
     # -- checkpoint/resume ----------------------------------------------------
     # SURVEY.md section 5.4: element state is an explicit pytree carry, so

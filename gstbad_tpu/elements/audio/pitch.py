@@ -10,8 +10,10 @@ TPU rebuild: a Hann phase vocoder (ops/audio.phase_vocoder) — analysis hop
 resample by 1/(pitch·rate) — FFTs batch across frames; only the phase
 accumulator is sequential (a small scan).  The realized stretch quantizes
 to the integer synthesis hop, like SoundTouch's internal sequence
-quantization.  Props are static here (output length depends on them), a
-documented divergence from the reference's controllable properties.
+quantization.  Props are compile-static (output length depends on them),
+but LIVE changes work through Pipeline.set_static_property — the pipeline
+recompiles and migrate_state carries the vocoder state across, matching
+the reference's mid-stream setTempo/setRate (gstpitch.cc:248-258).
 """
 
 from __future__ import annotations
@@ -53,6 +55,21 @@ class Pitch(AudioFilter):
     def init_state(self, batch: int):
         return ops.pv_init_state(FRAME, HA, self._hs,
                                  self.in_spec.channels)
+
+    def migrate_state(self, old_state, window: int):
+        """Live tempo/rate change (gstpitch.cc:248-258 mutates the engine
+        mid-stream via Pipeline.set_static_property here): the carried
+        analysis tail and phase accumulators are hop-independent and kept;
+        the OLA tail's length is frame-hs, so it is cropped/zero-padded to
+        the new hop — a one-frame synthesis transient, like SoundTouch's
+        internal sequence re-quantization."""
+        fresh = ops.pv_init_state(FRAME, HA, self._hs, self.in_spec.channels)
+        out = dict(old_state)
+        old_ola = old_state["ola"]
+        new_len = fresh["ola"].shape[0]
+        keep = min(new_len, old_ola.shape[0])
+        out["ola"] = fresh["ola"].at[:keep].set(old_ola[:keep])
+        return out
 
     def process(self, params, state, batch: FrameBatch):
         b, s, c = batch.data.shape

@@ -262,3 +262,74 @@ def test_tracer_per_element_profile(rng):
     assert "_total_ms" in rep and rep["_total_ms"] > 0
     assert "burn" in rep and "dodge" in rep
     assert all(v >= 0 for v in rep.values())
+
+
+# ---------------------------------------------------------------------------
+# runtime graph editing (insertbin analog, gst-libs/gst/insertbin/)
+# ---------------------------------------------------------------------------
+
+
+def test_insert_after_live():
+    """Insert a filter into a RUNNING pipeline: the edit recompiles, the
+    source's frame counter carries across (window 2 continues the stream),
+    and the inserted element takes effect."""
+    from gstbad_tpu.golden import gaudieffects as g
+
+    p = gt.parse_launch("videotestsrc name=src pattern=bars width=128 "
+                        "height=16 format=BGRx ! burn name=b ! fakesink")
+    ref = gt.parse_launch("videotestsrc pattern=bars width=128 height=16 "
+                          "format=BGRx ! burn ! fakesink")
+    o1 = p.run(n_frames=2, window=2)
+    r1 = ref.run(n_frames=2, window=2)
+    np.testing.assert_array_equal(np.asarray(o1[0].data),
+                                  np.asarray(r1[0].data))
+    p.insert_after("b", gt.make("solarize"), "sol")
+    o2 = p.run(n_frames=2, window=2)
+    r2 = ref.run(n_frames=2, window=2)  # same source position: carried
+    want = np.stack([g.solarize(f) for f in np.asarray(r2[0].data)])
+    np.testing.assert_array_equal(np.asarray(o2[0].data), want)
+    # and remove it again
+    el = p.remove("sol")
+    assert el.NAME == "solarize"
+    o3 = p.run(n_frames=2, window=2)
+    r3 = ref.run(n_frames=2, window=2)
+    np.testing.assert_array_equal(np.asarray(o3[0].data),
+                                  np.asarray(r3[0].data))
+
+
+def test_insert_before_and_state_carry():
+    """insert_before reroutes the input edge; stateful downstream elements
+    (scenechange's 5-frame ring) keep their carry across the edit."""
+    p = gt.parse_launch("videotestsrc pattern=ball width=64 height=32 "
+                        "format=GRAY8 framerate=30/1 "
+                        "! scenechange name=sc ! fakesink")
+    p.run(n_frames=4, window=4)
+    st_before = p._snapshot_states()
+    p.insert_before("sc", gt.make("identity"), "id0")
+    # the scenechange node's state object survived the rebuild
+    order_els = [n.element.NAME for n in p._order]
+    assert "identity" in order_els
+    p.run(n_frames=4, window=4)  # recompiles cleanly and keeps running
+    assert st_before  # sanity: there was live state to carry
+
+
+def test_set_static_property_live_pitch():
+    """Live tempo change mid-stream (gstpitch.cc:248-258): the pipeline
+    recompiles, pitch's vocoder state migrates (OLA tail re-shaped), and
+    the output block length changes accordingly."""
+    p = gt.parse_launch("audiotestsrc wave=sine samplesperbuffer=1024 "
+                        "format=F32 ! pitch name=pt tempo=1.0 ! fakesink")
+    o1 = p.run(n_frames=2, window=2)
+    n1 = o1[0].data.shape[1]
+    p.set_static_property("pt", "tempo", 2.0)
+    o2 = p.run(n_frames=2, window=2)
+    n2 = o2[0].data.shape[1]
+    # tempo 2 halves the duration (+- hop quantization)
+    assert 0.4 * n1 <= n2 <= 0.6 * n1
+
+
+def test_remove_aggregation_point_rejected():
+    p = gt.parse_launch("videotestsrc name=src width=16 height=16 ! cmp.  "
+                        "src. ! cmp.  compare name=cmp ! fakesink")
+    with pytest.raises(SpecError):
+        p.remove("cmp")
