@@ -167,59 +167,147 @@ class AvWait(Element):
         return state, batch.replace(valid=batch.valid & (batch.pts >= tgt))
 
 
-class _SelectorBin(Element):
-    """Shared logic for autoconvert/switchbin: pick the first child chain
-    whose negotiation accepts the input spec (gstautoconvert.c:23-29,
-    gstswitchbin.c:23-29 — runtime caps-driven path selection happens at
-    our graph-build time)."""
+def _make_chain(desc: str):
+    """Build a list of elements from `name prop=v [! name ...]` syntax."""
+    import shlex
+    chain = []
+    for seg in desc.split("!"):
+        toks = shlex.split(seg.strip())
+        if not toks:
+            continue
+        props = dict(t.split("=", 1) for t in toks[1:])
+        chain.append(make(toks[0], **props))
+    return chain
 
-    CANDIDATES = ()
 
-    def __init__(self, **props):
-        self._elements_prop = props.pop("elements", None)
-        super().__init__(**props)
-        self._chosen = None
+class _ChildChain(Element):
+    """Shared child-chain hosting for autoconvert/switchbin: the selected
+    chain's elements compose into this node's process (a bin whose choice
+    is re-evaluated at every (re)negotiation — the caps-change re-selection
+    path of the references runs through Pipeline's recompile machinery)."""
+
+    def _select(self, in_spec: MediaSpec):
+        raise NotImplementedError
 
     def negotiate(self, in_spec: MediaSpec) -> MediaSpec:
-        names = (self._elements_prop.split(",") if self._elements_prop
-                 else list(self.CANDIDATES))
-        errors = []
-        for name in names:
-            el = make(name.strip())
-            try:
-                out = el.set_info(in_spec)
-            except Exception as e:  # noqa: BLE001
-                errors.append(f"{name}: {e}")
-                continue
-            self._chosen = el
-            return out
-        raise ValueError(f"{self.NAME}: no candidate accepted {in_spec}: "
-                         f"{errors}")
+        self._chain = self._select(in_spec)
+        spec = in_spec
+        for el in self._chain:
+            spec = el.set_info(spec)
+        return spec
 
     @property
     def chosen(self):
-        return self._chosen
+        return self._chain[0] if len(self._chain) == 1 else self._chain
 
     def init_state(self, batch: int):
-        return self._chosen.init_state(batch)
+        return [el.init_state(batch) for el in self._chain]
 
     def dynamic_params(self):
-        return self._chosen.dynamic_params()
+        return [el.dynamic_params() for el in self._chain]
 
     def process(self, params, state, batch: FrameBatch):
-        return self._chosen.process(params, state, batch)
+        new_state = list(state)
+        messages = {}
+        for i, el in enumerate(self._chain):
+            out = el.process(params[i], state[i], batch)
+            if len(out) == 3:
+                new_state[i], batch, msgs = out
+                messages.update(msgs)
+            else:
+                new_state[i], batch = out
+        return (new_state, batch, messages) if messages \
+            else (new_state, batch)
 
 
 @register
-class AutoConvert(_SelectorBin):
+class AutoConvert(_ChildChain):
+    """autoconvert (gst/autoconvert/gstautoconvert.c:23-35): pick the first
+    element from `factories` whose negotiation accepts the input spec
+    (the reference's caps-on-both-sides check; with our forward-only
+    negotiation the no-factories default resolves to the passthrough).
+    When caps change (a live recompile renegotiates), the choice is
+    re-made — the reference's "may change the selected element" path."""
+
     NAME = "autoconvert"
-    CANDIDATES = ("identity",)
+    PROPERTIES = (Property("factories", str, "", static=True,
+                           doc="comma-separated candidate element names "
+                               "(empty = scan the registry)"),)
+
+    def __init__(self, **props):
+        if "elements" in props:  # back-compat alias
+            props["factories"] = props.pop("elements")
+        super().__init__(**props)
+
+    def _select(self, in_spec: MediaSpec):
+        factories = [s.strip() for s in
+                     self.props["factories"].split(",") if s.strip()]
+        if not factories:
+            # no factories = "look at all available elements" picking one
+            # matching the caps on both sides; with forward-only
+            # negotiation the downstream constraint IS the input spec, so
+            # the rank-correct pick is the passthrough
+            factories = ["identity"]
+        errors = []
+        for name in factories:
+            el = make(name)
+            try:
+                el.set_info(in_spec)
+                return [make(name)]  # fresh instance (set_info is 1-shot)
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"{name}: {e}")
+        raise ValueError(f"{self.NAME}: no candidate accepted {in_spec}: "
+                         f"{errors}")
 
 
 @register
-class SwitchBin(_SelectorBin):
+class SwitchBin(_ChildChain):
+    """switchbin (gst/switchbin/gstswitchbin.c:26-55): N (caps, element)
+    paths; the FIRST path whose caps intersect the input spec is picked,
+    ANY is the catch-all.  Flat launch syntax stands in for the reference's
+    path0::caps/path0::element child properties:
+
+        switchbin paths="video/x-raw,format=GRAY8 : edgedetect ;
+                         ANY : identity"
+    """
+
     NAME = "switchbin"
-    CANDIDATES = ("identity",)
+    PROPERTIES = (Property("paths", str, "ANY : identity", static=True,
+                           doc="semicolon-separated `caps : element-chain` "
+                               "paths, checked in order"),)
+
+    @staticmethod
+    def _caps_match(caps: str, spec: MediaSpec) -> bool:
+        caps = caps.strip()
+        if caps in ("ANY", "*", ""):
+            return True
+        media, _, rest = caps.partition(",")
+        kind = {"video/x-raw": "video", "audio/x-raw": "audio"}.get(
+            media.strip())
+        if kind and spec.kind != kind:
+            return False
+        for cond in filter(None, (c.strip() for c in rest.split(","))):
+            k, _, v = cond.partition("=")
+            k, v = k.strip(), v.strip()
+            have = getattr(spec, k, None)
+            if have is None:
+                return False
+            if str(have) != v and have != type(have)(v):
+                return False
+        return True
+
+    def _select(self, in_spec: MediaSpec):
+        errors = []
+        for path in self.props["paths"].split(";"):
+            caps, _, chain = path.partition(":")
+            if not chain:
+                raise ValueError(f"switchbin: path {path!r} needs "
+                                 "`caps : element`")
+            if self._caps_match(caps, in_spec):
+                return _make_chain(chain)
+            errors.append(caps.strip())
+        raise ValueError(f"{self.NAME}: no path caps matched {in_spec} "
+                         f"(tried {errors})")
 
 
 @register

@@ -122,15 +122,49 @@ def test_autoconvert_picks_identity():
     assert outs[0].data.shape[0] == 2
 
 
-def test_switchbin_elements_prop(rng):
-    import shlex
-    el = gt.make("switchbin", elements="burn,identity")
-    spec = MediaSpec(kind="video", format="BGRx", width=16, height=16)
-    el.set_info(spec)
-    assert el.chosen.NAME == "burn"
-    el2 = gt.make("switchbin", elements="burn,identity")
-    el2.set_info(MediaSpec(kind="video", format="GRAY8", width=16, height=16))
-    assert el2.chosen.NAME == "identity"
+def test_autoconvert_factories_caps_selection():
+    """Real caps-driven selection between two non-trivial converters
+    (gstautoconvert.c:23-35): gaussianblur only negotiates AYUV, solarize
+    only the BGRx family — the input format decides which one runs."""
+    el = gt.make("autoconvert", factories="gaussianblur,solarize")
+    el.set_info(MediaSpec(kind="video", format="BGRx", width=16, height=16))
+    assert el.chosen.NAME == "solarize"
+    el2 = gt.make("autoconvert", factories="gaussianblur,solarize")
+    el2.set_info(MediaSpec(kind="video", format="AYUV", width=16, height=16))
+    assert el2.chosen.NAME == "gaussianblur"
+    # end to end: the chosen converter actually transforms the stream
+    from gstbad_tpu.golden import gaudieffects as g
+    p = gt.parse_launch(
+        "videotestsrc pattern=ball width=16 height=16 format=BGRx "
+        "! autoconvert factories=gaussianblur,solarize ! fakesink")
+    outs = p.run(n_frames=2, window=2)
+    ref = gt.parse_launch("videotestsrc pattern=ball width=16 height=16 "
+                          "format=BGRx ! fakesink").run(n_frames=2, window=2)
+    want = np.stack([g.solarize(f) for f in np.asarray(ref[0].data)])
+    np.testing.assert_array_equal(np.asarray(outs[0].data), want)
+
+
+def test_switchbin_paths_caps_selection(rng):
+    """switchbin picks the FIRST path whose caps match (gstswitchbin.c:
+    26-55), ANY as catch-all; a path may hold an element chain."""
+    paths = ("video/x-raw,format=GRAY8 : zebrastripe threshold=90 ; "
+             "video/x-raw : solarize ! burn ; ANY : identity")
+    el = gt.make("switchbin", paths=paths)
+    el.set_info(MediaSpec(kind="video", format="GRAY8", width=16, height=16,
+                          framerate=__import__("fractions").Fraction(30)))
+    assert el.chosen.NAME == "zebrastripe"
+    el2 = gt.make("switchbin", paths=paths)
+    el2.set_info(MediaSpec(kind="video", format="BGRx", width=16, height=16))
+    assert [e.NAME for e in el2.chosen] == ["solarize", "burn"]
+    el3 = gt.make("switchbin", paths=paths)
+    el3.set_info(MediaSpec(kind="audio", format="F32", rate=48000,
+                           channels=2))
+    assert el3.chosen.NAME == "identity"
+    # no match -> loud error
+    el4 = gt.make("switchbin", paths="video/x-raw,format=AYUV : identity")
+    with pytest.raises(ValueError):
+        el4.set_info(MediaSpec(kind="audio", format="F32", rate=48000,
+                               channels=2))
 
 
 def test_videoparse(rng):
