@@ -164,6 +164,16 @@ class Element:
         """
         raise NotImplementedError
 
+    # -- LUT-chain fusion hook ----------------------------------------------
+    def byte_map(self, params):
+        """If this element's whole action on packed-4 video is a per-channel
+        byte map, return it as [*, 4, 256] int32 (leading * = per-frame
+        controllable tables); else None.  The Pipeline composes adjacent
+        byte-map elements' tables (256-entry math, free) and applies ONE
+        LUT pass for the whole run — whole-graph fusion beyond what XLA
+        can see through the per-pixel ops."""
+        return None
+
     # -- live recompile (runtime graph edits / static-property changes) -----
     def carry_state(self, old_state, window: int):
         """Migrate a live carry across a pipeline recompile (insertbin-style

@@ -134,7 +134,7 @@ class Pipeline:
     def compile(self, window: int, in_spec: Optional[MediaSpec] = None,
                 jit: bool = True, donate_state: bool = True,
                 out_shardings=None, mesh=None,
-                taps: Sequence[str] = ()):
+                taps: Sequence[str] = (), fuse_luts: bool = True):
         """Build the fused window function over the whole DAG.
 
         step(params, states, in_batch_or_None)
@@ -190,14 +190,64 @@ class Pipeline:
                 self._tap_route[t] = (len(leaves) + len(extra_nodes)
                                       + tap_extra.index(n))
 
+        # LUT-chain fusion (see Element.byte_map): nodes whose whole action
+        # is a per-channel byte map get their tables COMPOSED (256-entry
+        # math) with the previous such node instead of each applying its
+        # own per-pixel LUT pass.  A run extends only through nodes whose
+        # sole consumer is the next run member and that nothing else
+        # observes (leaves, host sinks, taps); everything else flushes.
+        consumers: Dict[int, List[Node]] = {}
+        for n in order:
+            for i in n.inputs:
+                consumers.setdefault(id(i), []).append(n)
+        protected = ({id(n) for n in leaves} | {id(n) for n in extra_nodes}
+                     | {id(n) for n in tap_nodes})
+
         def step(params: List[Dict[str, Any]], states: List[Any],
                  in_batch: Optional[FrameBatch]):
             new_states = list(states)
             messages: Dict[str, Dict[str, Any]] = {}
             values: Dict[int, FrameBatch] = {}
+            # id(node) -> (src_batch, [(idx, el), ...], composed_tables)
+            pending: Dict[int, Any] = {}
+
+            def flush(nid: int) -> None:
+                from gstbad_tpu.ops import pointops
+                src, members, tables = pending.pop(nid)
+                if len(members) == 1:
+                    # a lone byte-map node keeps its own (cheaper) process
+                    idx, el = members[0]
+                    new_states[idx], val = el.process(params[idx],
+                                                      states[idx], src)
+                else:
+                    val = src.with_data(
+                        pointops.apply_byte_tables(src.data, tables))
+                values[nid] = val
+
+            def value_of(node: Node) -> FrameBatch:
+                if id(node) in pending:
+                    flush(id(node))
+                return values[id(node)]
+
             feed_idx = 0
             for idx, n in enumerate(order):
                 el = n.element
+                if fuse_luts and len(n.inputs) == 1 and el.KIND != "source":
+                    tb = el.byte_map(params[idx])
+                    if tb is not None:
+                        from gstbad_tpu.ops import pointops
+                        inp = n.inputs[0]
+                        new_states[idx] = states[idx]
+                        if (id(inp) in pending
+                                and id(inp) not in protected
+                                and consumers.get(id(inp)) == [n]):
+                            src, members, tables = pending.pop(id(inp))
+                            tables = pointops.compose_byte_tables(tables, tb)
+                            pending[id(n)] = (src, members + [(idx, el)],
+                                              tables)
+                        else:
+                            pending[id(n)] = (value_of(inp), [(idx, el)], tb)
+                        continue
                 if el.KIND == "source":
                     out = el.generate(params[idx], states[idx], window)
                 else:
@@ -211,9 +261,9 @@ class Pipeline:
                         else:
                             batch = in_batch
                     elif len(n.inputs) == 1:
-                        batch = values[id(n.inputs[0])]
+                        batch = value_of(n.inputs[0])
                     else:
-                        batch = [values[id(i)] for i in n.inputs]
+                        batch = [value_of(i) for i in n.inputs]
                     out = el.process(params[idx], states[idx], batch)
                 if len(out) == 3:
                     st, val, msgs = out
@@ -223,9 +273,9 @@ class Pipeline:
                     st, val = out
                 new_states[idx] = st
                 values[id(n)] = val
-            leaf_out = ([values[id(n)] for n in leaves]
-                        + [values[id(n)] for n in extra_nodes]
-                        + [values[id(n)] for n in tap_extra])
+            leaf_out = ([value_of(n) for n in leaves]
+                        + [value_of(n) for n in extra_nodes]
+                        + [value_of(n) for n in tap_extra])
             return new_states, leaf_out, messages
 
         if mesh is not None and out_shardings is None:

@@ -129,42 +129,217 @@ class Speed(AudioFilter):
         return state, batch.replace(data=y, pts=pts)
 
 
+def _parse_tc(s: str):
+    """'HH:MM:SS:FF' (or ';' separators, the drop-frame convention)."""
+    parts = s.replace(";", ":").split(":")
+    if len(parts) != 4:
+        raise ValueError(f"timecode {s!r} must be HH:MM:SS:FF")
+    return tuple(int(p) for p in parts)
+
+
+def tc_frames_since_daily_jam(h: int, m: int, s: int, f: int,
+                              nominal: int, drop: bool) -> int:
+    """gst_video_time_code_frames_since_daily_jam: timecode -> frame count.
+    Drop-frame skips `nominal//15` frame numbers each minute except every
+    tenth (SMPTE 12M)."""
+    if not drop:
+        return ((h * 60 + m) * 60 + s) * nominal + f
+    dropped = nominal // 15
+    total_min = h * 60 + m
+    return (((h * 60 + m) * 60 + s) * nominal + f
+            - dropped * (total_min - total_min // 10))
+
+
+def frames_to_tc(fc, nominal: int, drop: bool):
+    """Frame count -> (h, m, s, f) arrays; inverse of the above (SMPTE
+    drop-frame re-insertion, cf. gstvideotimecode.c add_frames)."""
+    if drop:
+        dropped = nominal // 15
+        fp10 = nominal * 600 - dropped * 9   # frames per 10 minutes
+        fpm = nominal * 60 - dropped         # frames per (dropped) minute
+        d = fc // fp10
+        m = fc % fp10
+        extra = dropped * 9 * d + dropped * jnp.maximum(
+            (m - dropped) // fpm, 0)
+        fc = fc + extra
+    f = fc % nominal
+    total_sec = fc // nominal
+    return (total_sec // 3600, (total_sec // 60) % 60, total_sec % 60, f)
+
+
 @register
 class TimecodeStamper(Element):
-    """timecodestamper (gst/timecode/): attach SMPTE timecode per frame,
-    posted as messages (our buffers carry no meta list; the message stream
-    is the metadata channel)."""
+    """timecodestamper (gst/timecode/gsttimecodestamper.c): attach SMPTE
+    timecode per frame, posted as messages (our buffers carry no meta
+    list; the message stream is the metadata channel).
+
+    Reference properties covered: source (internal|zero|last-known|
+    last-known-or-zero), set (always|keep|never), drop-frame (SMPTE 12M
+    drop-frame counting for 1001-denominator rates), post-messages,
+    set-internal-timecode (HH:MM:SS:FF), timecode-offset.  The LTC/RTC
+    sources and timeout/auto-resync knobs bind to hardware jam-sync
+    inputs and the pipeline clock (gsttimecodestamper.c:254-311) — no
+    analog exists in the window model; requesting them raises."""
 
     NAME = "timecodestamper"
-    PROPERTIES = (Property("fps-numerator-override", int, 0, static=True),)
+    PROPERTIES = (
+        Property("source", str, "internal", static=True),
+        Property("set", str, "always", static=True),
+        Property("drop-frame", bool, False, static=True),
+        Property("post-messages", bool, True, static=True),
+        Property("set-internal-timecode", str, "", static=True),
+        Property("timecode-offset", int, 0, static=True),
+        Property("fps-numerator-override", int, 0, static=True),
+    )
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        if self.props["source"] in ("ltc", "rtc"):
+            raise ValueError(
+                "timecodestamper: ltc/rtc sources need hardware jam-sync "
+                "inputs; use source=internal or zero")
+
+    def negotiate(self, in_spec):
+        require(in_spec.kind == "video", "timecodestamper: needs video")
+        fr = in_spec.framerate
+        self._nominal = int(np.ceil(float(fr)))
+        # drop-frame only exists for fractional (1001-denominator) rates
+        self._drop = bool(self.props["drop-frame"]) and fr.denominator != 1
+        start = self.props["set-internal-timecode"]
+        self._start_frames = 0
+        if start:
+            self._start_frames = tc_frames_since_daily_jam(
+                *_parse_tc(start), self._nominal, self._drop)
+        return in_spec
+
+    def init_state(self, batch: int):
+        return {"count": jnp.int64(0)}
 
     def process(self, params, state, batch: FrameBatch):
-        fr = self.out_spec.framerate
-        fps = float(fr)
-        frame_idx = (batch.pts.astype(jnp.float64) * fps / 1e9
-                     + 0.5).astype(jnp.int64)
-        frames = frame_idx % int(round(fps))
-        total_sec = frame_idx // int(round(fps))
-        msgs = {"timecode": {
-            "hours": total_sec // 3600,
-            "minutes": (total_sec // 60) % 60,
-            "seconds": total_sec % 60,
-            "frames": frames,
-        }}
+        b = batch.batch
+        base = state["count"] + self._start_frames \
+            + self.props["timecode-offset"]
+        if self.props["source"] == "zero":
+            base = jnp.int64(self._start_frames
+                             + self.props["timecode-offset"])
+        fc = jnp.maximum(base + jnp.arange(b, dtype=jnp.int64), 0)
+        h, m, s, f = frames_to_tc(fc, self._nominal, self._drop)
+        state = {"count": state["count"] + b}
+        if self.props["set"] == "never" or not self.props["post-messages"]:
+            return state, batch
+        msgs = {"timecode": {"hours": h, "minutes": m, "seconds": s,
+                             "frames": f,
+                             "drop_frame": jnp.full(b, self._drop)}}
         return state, batch, msgs
 
 
 @register
+class Pad(Element):
+    """Output-pad picker for multi-output elements (avwait's vsrc/asrc):
+    `avwait name=w ...  w. ! pad index=0 ! ...  w. ! pad index=1 ! ...`."""
+
+    NAME = "pad"
+    PROPERTIES = (Property("index", int, 0, static=True),)
+
+    def negotiate(self, in_spec):
+        if isinstance(in_spec, (list, tuple)):
+            return in_spec[self.props["index"]]
+        return in_spec
+
+    def process(self, params, state, batch):
+        if isinstance(batch, (list, tuple)):
+            return state, batch[self.props["index"]]
+        return state, batch
+
+
+@register
 class AvWait(Element):
-    """avwait (gst/timecode/): pass frames only from `target-running-time`
-    on (mode=1 analog)."""
+    """avwait (gst/timecode/gstavwait.c:24-45): drop everything until a
+    target timecode / running time is reached, then pass through — audio
+    starting with (never before) the video.  Inputs: video alone, or
+    [video, audio] (launch fan-in `... ! w.`); with audio the output is a
+    2-slot batch list routed through `pad index=` pickers.
+
+    Modes (gstavwait.c:194-201): `timecode` (target-timecode-string against
+    the frame timecode derived from PTS x framerate), `running-time`
+    (PTS >= target-running-time), `video-first` (video passes immediately,
+    audio waits for it).  `recording` acts as the master valve; toggling it
+    back on re-arms the wait (gstavwait.c:216-222).  end-timecode-string /
+    end-running-time close the gate.  Audio gating is block-granular (the
+    reference clips buffers sample-exact): a block passes when its PTS has
+    reached the video start."""
 
     NAME = "avwait"
-    PROPERTIES = (Property("target-running-time", int, 0),)
+    PROPERTIES = (
+        Property("mode", str, "timecode", static=True,
+                 doc="timecode | running-time | video-first"),
+        Property("target-timecode-string", str, "00:00:00:00", static=True),
+        Property("target-running-time", int, 0),
+        Property("end-timecode-string", str, "", static=True),
+        Property("end-running-time", int, -1),
+        Property("recording", bool, True),
+    )
 
-    def process(self, params, state, batch: FrameBatch):
-        tgt = params["target-running-time"].astype(jnp.int64)
-        return state, batch.replace(valid=batch.valid & (batch.pts >= tgt))
+    def negotiate(self, in_spec):
+        specs = in_spec if isinstance(in_spec, (list, tuple)) else [in_spec]
+        vspec = specs[0]
+        require(vspec.kind == "video", "avwait: first input must be video")
+        self._two = len(specs) > 1
+        mode = self.props["mode"]
+        require(mode in ("timecode", "running-time", "video-first"),
+                f"avwait: unknown mode {mode!r}")
+        fr = vspec.framerate
+        nominal = int(np.ceil(float(fr)))
+
+        def tc_ns(s: str) -> int:
+            frames = tc_frames_since_daily_jam(*_parse_tc(s), nominal,
+                                               False)
+            return frames * 10**9 * fr.denominator // fr.numerator
+
+        self._tc_target = (tc_ns(self.props["target-timecode-string"])
+                           if mode == "timecode" else 0)
+        end_s = self.props["end-timecode-string"]
+        self._tc_end = tc_ns(end_s) if (mode == "timecode" and end_s) else -1
+        return list(specs) if self._two else vspec
+
+    def init_state(self, batch: int):
+        return {"vstart": jnp.int64(-1), "was_rec": jnp.bool_(True)}
+
+    def process(self, params, state, batch):
+        v = batch[0] if self._two else batch
+        a = batch[1] if self._two else None
+        rec = params["recording"]
+        mode = self.props["mode"]
+        # re-arm on a recording rising edge (gstavwait.c:216-222)
+        vstart = jnp.where(rec & ~state["was_rec"], jnp.int64(-1),
+                           state["vstart"])
+        if mode == "running-time":
+            tgt = params["target-running-time"].astype(jnp.int64)
+            end = params["end-running-time"].astype(jnp.int64)
+        elif mode == "timecode":
+            tgt = jnp.int64(self._tc_target)
+            end = jnp.int64(self._tc_end)
+        else:  # video-first
+            tgt = jnp.int64(-(2**62))
+            end = params["end-running-time"].astype(jnp.int64)
+        vpass = v.valid & rec & (v.pts >= tgt) & ((end < 0) | (v.pts < end))
+        big = jnp.int64(2**62)
+        first = jnp.min(jnp.where(vpass, v.pts, big))
+        vstart = jnp.where(vstart >= 0, vstart,
+                           jnp.where(vpass.any(), first, jnp.int64(-1)))
+        opened = (state["vstart"] < 0) & (vstart >= 0)
+        new_state = {"vstart": vstart, "was_rec": rec | jnp.bool_(False)}
+        msgs = {"avwait-status": {
+            "running_time": vstart[None],
+            "dropping": (~(vstart >= 0))[None],
+            "_emit": opened[None],
+            "_pts": jnp.where(vstart >= 0, vstart, 0)[None]}}
+        vout = v.replace(valid=vpass)
+        if not self._two:
+            return new_state, vout, msgs
+        apass = a.valid & rec & (vstart >= 0) & (a.pts >= vstart) & \
+            ((end < 0) | (a.pts < end))
+        return new_state, [vout, a.replace(valid=apass)], msgs
 
 
 def _make_chain(desc: str):

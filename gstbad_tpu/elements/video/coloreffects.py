@@ -53,6 +53,19 @@ class ColorEffects(VideoFilter):
                                    self._rgb)
         return state, batch.with_data(out)
 
+    def byte_map(self, params):
+        # luma presets read ALL channels per pixel (cross-channel), AYUV
+        # goes through the SDTV matrices, RGB3 isn't a packed word — only
+        # the per-channel RGB4 path is a byte map
+        if (self._table is None or self._is_ayuv or self._map_luma
+                or self.out_spec.format not in VideoFormat.PACKED_RGB4):
+            return None
+        import jax.numpy as jnp
+        chans = [pointops.identity_table()] * 4
+        for i, c in enumerate(self._rgb):
+            chans[c] = self._table[:, i].astype(jnp.int32)
+        return jnp.stack(chans, axis=-2)
+
 
 @register
 class ChromaHold(VideoFilter):

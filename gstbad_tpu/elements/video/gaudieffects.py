@@ -40,6 +40,11 @@ class Burn(_GuintWordFilter):
         return state, batch.with_data(
             pointops.burn(batch.data, params["adjustment"]))
 
+    def byte_map(self, params):
+        from gstbad_tpu.ops import lut
+        t = lut.burn_table(params["adjustment"]).astype(jnp.int32)
+        return jnp.stack([t, t, t, t], axis=-2)  # all 4 bytes processed
+
 
 @register
 class Chromium(_GuintWordFilter):
@@ -59,6 +64,13 @@ class Chromium(_GuintWordFilter):
                                 params["edge-b"], self._table,
                                 _WORD_RGB, _WORD_FILL)
         return state, batch.with_data(out)
+
+    def byte_map(self, params):
+        from gstbad_tpu.ops import lut
+        t = lut.chromium_table(params["edge-a"], params["edge-b"],
+                               self._table).astype(jnp.int32)
+        z = jnp.zeros_like(t)  # fill byte rebuilt as 0 (gstchromium.c word)
+        return jnp.stack([t, t, t, z], axis=-2)
 
 
 @register
@@ -82,6 +94,12 @@ class Dodge(_GuintWordFilter):
     def process(self, params, state, batch: FrameBatch):
         return state, batch.with_data(
             pointops.dodge(batch.data, _WORD_RGB, _WORD_FILL))
+
+    def byte_map(self, params):
+        from gstbad_tpu.ops import lut
+        t = lut.dodge_table().astype(jnp.int32)
+        z = jnp.zeros_like(t)
+        return jnp.stack([t, t, t, z], axis=-2)
 
 
 @register
@@ -113,6 +131,13 @@ class Solarize(_GuintWordFilter):
                                 params["start"], params["end"],
                                 _WORD_RGB, _WORD_FILL)
         return state, batch.with_data(out)
+
+    def byte_map(self, params):
+        from gstbad_tpu.ops import lut
+        t = lut.solarize_table(params["threshold"], params["start"],
+                               params["end"]).astype(jnp.int32)
+        z = jnp.zeros_like(t)
+        return jnp.stack([t, t, t, z], axis=-2)
 
 
 @register

@@ -77,6 +77,31 @@ def idiv_pos(a: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
     return q + jnp.where(r < 0, -1, 0) + jnp.where(r >= f, 1, 0)
 
 
+def compose_byte_tables(t1: jnp.ndarray, t2: jnp.ndarray) -> jnp.ndarray:
+    """Compose two per-channel byte maps [*, 4, 256]: result = t2 after t1.
+    256-entry table composition replaces a whole extra per-pixel LUT pass —
+    the LUT-chain fusion the Pipeline performs on adjacent byte-map
+    elements."""
+    t1b, t2b = jnp.broadcast_arrays(t1.astype(jnp.int32),
+                                    t2.astype(jnp.int32))
+    return jnp.take_along_axis(t2b, t1b, axis=-1)
+
+
+def apply_byte_tables(img: jnp.ndarray, tables: jnp.ndarray) -> jnp.ndarray:
+    """Apply per-channel byte maps [*, 4, 256] to [..., 4] uint8 pixels
+    (leading * broadcasts per frame for controllable-curve tables)."""
+    from gstbad_tpu.ops import lut
+    p = pack32(img)
+    out = repack({c: lut.apply_lut(byte_of(p, c),
+                                   lut.pack_table(tables[..., c, :]))
+                  for c in range(4)})
+    return unpack32(out)
+
+
+def identity_table() -> jnp.ndarray:
+    return jnp.arange(256, dtype=jnp.int32)
+
+
 def burn(img: jnp.ndarray, adjustment: jnp.ndarray) -> jnp.ndarray:
     """gaudi_orc_burn (gstgaudieffectsorc.orc:1-26); all 4 bytes processed.
     Evaluated as a composed byte LUT (ops/lut.py) — gather-free."""

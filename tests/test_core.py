@@ -333,3 +333,40 @@ def test_remove_aggregation_point_rejected():
                         "src. ! cmp.  compare name=cmp ! fakesink")
     with pytest.raises(SpecError):
         p.remove("cmp")
+
+
+def test_lut_chain_fusion_bitexact(rng):
+    """solarize!chromium!dodge!burn composes to ONE byte-LUT pass
+    (Element.byte_map); output must be bit-identical to fuse_luts=False."""
+    import jax.numpy as jnp
+    from gstbad_tpu.core.frame import FrameBatch
+
+    img = rng.integers(0, 256, (4, 16, 128, 4), dtype=np.uint8)
+    outs = {}
+    for fuse in (True, False):
+        p = gt.parse_launch("solarize ! chromium ! dodge ! burn ! fakesink")
+        p.negotiate(MediaSpec(kind="video", format="BGRx", width=128,
+                              height=16))
+        p.compile(4, fuse_luts=fuse)
+        res = p.run(inputs=FrameBatch.make(jnp.asarray(img)))
+        outs[fuse] = np.asarray(res[0].data)
+    np.testing.assert_array_equal(outs[True], outs[False])
+
+
+def test_lut_chain_fusion_respects_taps(rng):
+    """A debug tap on an interior LUT node must still see that node's own
+    output (the run breaks at protected nodes)."""
+    import jax.numpy as jnp
+    from gstbad_tpu.core.frame import FrameBatch
+    from gstbad_tpu.golden import gaudieffects as g
+
+    img = rng.integers(0, 256, (2, 16, 128, 4), dtype=np.uint8)
+    p = gt.parse_launch("solarize ! dodge ! burn ! fakesink")
+    p.negotiate(MediaSpec(kind="video", format="BGRx", width=128, height=16))
+    step = p.compile(2, taps=["dodge"])
+    states = p.init_states(2)
+    _, leaf_batches, _ = step(p.params(), states,
+                              FrameBatch.make(jnp.asarray(img)))
+    tap = np.asarray(p.taps_of(leaf_batches)["dodge"].data)
+    want = np.stack([g.dodge(g.solarize(f)) for f in img])
+    np.testing.assert_array_equal(tap, want)

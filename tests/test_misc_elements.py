@@ -400,3 +400,98 @@ def test_jpegparse_fill_bytes_before_eoi():
     padded = blob[:-2] + b"\xff" + blob[-2:]
     imgs = JpegParse().push(padded + _fake_jpeg(16, 16))
     assert [(im.width, im.height) for im in imgs] == [(32, 32), (16, 16)]
+
+
+def test_timecodestamper_drop_frame():
+    """SMPTE drop-frame at 30000/1001: frame numbers 0,1 skip at each
+    minute except every tenth (gsttimecodestamper.c drop-frame)."""
+    from gstbad_tpu.elements.misc import (frames_to_tc,
+                                          tc_frames_since_daily_jam)
+    import jax.numpy as jnp
+    # first frame of minute 1 is 00:01:00;02 in DF
+    fc = tc_frames_since_daily_jam(0, 0, 59, 29, 30, True) + 1
+    h, m, s, f = (int(x) for x in frames_to_tc(jnp.int64(fc), 30, True))
+    assert (h, m, s, f) == (0, 1, 0, 2)
+    # minute 10 keeps frame 0
+    fc10 = tc_frames_since_daily_jam(0, 9, 59, 29, 30, True) + 1
+    h, m, s, f = (int(x) for x in frames_to_tc(jnp.int64(fc10), 30, True))
+    assert (h, m, s, f) == (0, 10, 0, 0)
+    # round trip across a range
+    fcs = np.arange(0, 30 * 60 * 22, 379)
+    for fc in fcs:
+        h, m, s, f = (int(x) for x in frames_to_tc(jnp.int64(int(fc)),
+                                                   30, True))
+        assert tc_frames_since_daily_jam(h, m, s, f, 30, True) == fc
+
+
+def test_timecodestamper_internal_start_and_offset():
+    p = gt.parse_launch(
+        "videotestsrc width=16 height=16 framerate=30/1 ! timecodestamper "
+        "set-internal-timecode=01:00:00:00 timecode-offset=5 ! fakesink")
+    p.run(n_frames=2, window=2)
+    msgs = p.bus.pop(element="timecodestamper")
+    assert msgs[0]["hours"] == 1 and msgs[0]["frames"] == 5
+
+
+def test_avwait_video_and_audio_pads():
+    """avwait 2-input in a launch graph: video gated at the target running
+    time, audio passing only from the video start; `pad` pickers route the
+    vsrc/asrc outputs to separate sinks."""
+    p = gt.parse_launch(
+        "videotestsrc width=16 height=16 framerate=10/1 ! w.  "
+        "audiotestsrc samplesperbuffer=4800 ! w.  "
+        "avwait name=w mode=running-time target-running-time=250000000  "
+        "w. ! pad index=0 ! fakesink  "
+        "w. ! pad index=1 ! fakesink")
+    outs = p.run(n_frames=10, window=10)
+    vpts = np.concatenate([np.asarray(o.pts) for o in outs[0]])
+    apts = np.concatenate([np.asarray(o.pts) for o in outs[1]])
+    assert vpts.min() >= 250_000_000  # gated at the target
+    assert apts.min() >= vpts.min()   # audio never precedes video
+    msgs = p.bus.pop(element="avwait")
+    assert msgs and msgs[0]["dropping"] is False
+
+
+def test_avwait_modes():
+    from gstbad_tpu.core.frame import FrameBatch
+    from gstbad_tpu.core.pipeline import Pipeline
+    from gstbad_tpu.core.spec import MediaSpec
+    import jax.numpy as jnp
+    from fractions import Fraction
+
+    vspec = MediaSpec(kind="video", format="GRAY8", width=8, height=8,
+                      framerate=Fraction(10))
+    aspec = MediaSpec(kind="audio", format="F32", rate=48000, channels=1)
+
+    def drive(**props):
+        el = gt.make("avwait", **props)
+        el.set_info([vspec, aspec])
+        vdata = jnp.zeros((10, 8, 8), jnp.uint8)
+        vpts = jnp.arange(10, dtype=jnp.int64) * 100_000_000
+        adata = jnp.zeros((10, 4800, 1), jnp.float32)
+        v = FrameBatch.make(vdata, pts=vpts)
+        a = FrameBatch.make(adata, pts=vpts)
+        st, out, msgs = el.process(el.dynamic_params(),
+                                   el.init_state(10), [v, a])
+        return (np.asarray(out[0].valid), np.asarray(out[1].valid), msgs)
+
+    # running-time mode: video from 300 ms, audio follows video start
+    vv, av, _ = drive(mode="running-time",
+                      **{"target-running-time": 300_000_000})
+    assert vv.tolist() == [False] * 3 + [True] * 7
+    assert av.tolist() == [False] * 3 + [True] * 7
+    # timecode mode: 00:00:00:05 at 10 fps = 500 ms
+    vv, av, _ = drive(mode="timecode",
+                      **{"target-timecode-string": "00:00:00:05"})
+    assert vv.tolist() == [False] * 5 + [True] * 5
+    # video-first: video passes immediately, audio too (same pts grid)
+    vv, av, _ = drive(mode="video-first")
+    assert vv.all() and av.all()
+    # end gate
+    vv, av, _ = drive(mode="running-time",
+                      **{"target-running-time": 200_000_000,
+                         "end-running-time": 600_000_000})
+    assert vv.tolist() == [False] * 2 + [True] * 4 + [False] * 4
+    # recording=False drops everything
+    vv, av, _ = drive(mode="video-first", recording=False)
+    assert not vv.any() and not av.any()
