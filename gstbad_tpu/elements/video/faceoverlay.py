@@ -1,0 +1,164 @@
+"""faceoverlay (gst/faceoverlay/gstfaceoverlay.c) — composite an overlay
+image over the detected face.
+
+The reference is a bin `facedetect ! videoconvert ! rsvgoverlay`: the
+first face rectangle from facedetect's element message positions the SVG
+at (face.x + x*face.w, face.y + y*face.h) scaled to (w*face.w, h*face.h)
+(gstfaceoverlay.c:196-250).  Properties x/y/w/h reproduced exactly
+(defaults 0/0/1/1, gstfaceoverlay.c:296-315).
+
+Divergences (documented):
+- facedetect needs OpenCV's trained Haar cascade XML files, which are
+  model data absent from this environment (and from the reference tree);
+  the detector here is a skin-density window search — the skindetect HSV
+  rules (gstskindetect.cpp:299-332) feed an integral image, and the
+  densest window across a static scale pyramid is the face box.  A
+  `face` element message (x, y, width, height) is posted per frame like
+  facedetect's.
+- the overlay is a raster image (PNG/PNM via PIL), not SVG (librsvg is a
+  native renderer); it is pre-rendered at each detection scale on the
+  host, and the per-frame composite picks the branch with lax.switch.
+- in/out stays the negotiated packed format (the reference bin converts
+  to BGRA for rsvgoverlay).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from gstbad_tpu.core.element import Property, VideoFilter
+from gstbad_tpu.core.frame import FrameBatch
+from gstbad_tpu.core.registry import register
+from gstbad_tpu.core.spec import VideoFormat
+from gstbad_tpu.ops import cv as cvops
+
+# detection window heights as fractions of the frame height (the static
+# scale pyramid); windows are square-ish like frontal-face cascades
+_SCALES = (0.5, 0.35, 0.25, 0.18)
+_MIN_DENSITY = 0.35   # a window must be at least this skin-dense
+_STRIDE = 4           # window search stride in pixels
+
+
+@register
+class FaceOverlay(VideoFilter):
+    NAME = "faceoverlay"
+    FORMATS = VideoFormat.PACKED_RGB4
+    PROPERTIES = (
+        Property("location", str, "", static=True,
+                 doc="overlay image file (PNG/PNM; RGBA respected)"),
+        Property("x", float, 0.0, static=True),
+        Property("y", float, 0.0, static=True),
+        Property("w", float, 1.0, 0.0, None, static=True),
+        Property("h", float, 1.0, 0.0, None, static=True),
+    )
+
+    def prepare(self):
+        spec = self.out_spec
+        H, W = spec.height, spec.width
+        self._rgb = VideoFormat.rgb_offsets(spec.format)[:3]
+        # face windows per scale (static shapes)
+        self._wins = []
+        for s in _SCALES:
+            fh = max(8, int(H * s))
+            fw = max(8, int(fh * 0.8))  # faces are taller than wide
+            if fh <= H and fw <= W:
+                self._wins.append((fh, fw))
+        if not self._wins:
+            self._wins = [(min(8, H), min(8, W))]
+        loc = self.props["location"]
+        self._overlays = None
+        if loc:
+            from PIL import Image
+            img = Image.open(loc).convert("RGBA")
+            self._overlays = []
+            for (fh, fw) in self._wins:
+                sw = max(1, int(self.props["w"] * fw))
+                sh = max(1, int(self.props["h"] * fh))
+                o = np.asarray(img.resize((sw, sh), Image.BILINEAR),
+                               np.uint8)
+                self._overlays.append(jnp.asarray(o))
+
+    def _detect(self, frame):
+        """Skin-density window search -> (found, fy, fx, scale_idx)."""
+        r = frame[..., self._rgb[0]].astype(jnp.float32)
+        g = frame[..., self._rgb[1]].astype(jnp.float32)
+        b = frame[..., self._rgb[2]].astype(jnp.float32)
+        rgb = jnp.stack([r, g, b], -1).astype(jnp.uint8)
+        hsv = cvops.rgb2hsv_u8(rgb)
+        h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+        mask = ((h > 10) & (h <= 20) & (s > 48) & (v > 80)
+                ).astype(jnp.float32)
+        ii = jnp.pad(jnp.cumsum(jnp.cumsum(mask, 0), 1),
+                     ((1, 0), (1, 0)))
+        H, W = mask.shape
+        best = (jnp.float32(-1.0), jnp.int32(0), jnp.int32(0), jnp.int32(0))
+        for k, (fh, fw) in enumerate(self._wins):
+            ys = jnp.arange(0, H - fh + 1, _STRIDE)
+            xs = jnp.arange(0, W - fw + 1, _STRIDE)
+            yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+            dens = (ii[yy + fh, xx + fw] - ii[yy, xx + fw]
+                    - ii[yy + fh, xx] + ii[yy, xx]) / (fh * fw)
+            i = jnp.argmax(dens)
+            d = dens.reshape(-1)[i]
+            fy = yy.reshape(-1)[i]
+            fx = xx.reshape(-1)[i]
+            take = d > jnp.maximum(best[0], _MIN_DENSITY)
+            best = (jnp.where(take, d, best[0]),
+                    jnp.where(take, fy, best[1]).astype(jnp.int32),
+                    jnp.where(take, fx, best[2]).astype(jnp.int32),
+                    jnp.where(take, k, best[3]).astype(jnp.int32))
+        return (best[0] >= _MIN_DENSITY), best[1], best[2], best[3]
+
+    def _composite(self, frame, found, fy, fx, k):
+        """Alpha-blend the pre-scaled overlay at the face box."""
+        if self._overlays is None:
+            return frame
+
+        def branch(idx):
+            fh, fw = self._wins[idx]
+            over = self._overlays[idx]
+            sh, sw = over.shape[0], over.shape[1]
+
+            def apply(fr):
+                sx = fx + jnp.int32(round(self.props["x"] * fw))
+                sy = fy + jnp.int32(round(self.props["y"] * fh))
+                # pad so a clipped overlay never clamps into view
+                pad_h, pad_w = sh, sw
+                big = jnp.pad(fr, ((pad_h, pad_h), (pad_w, pad_w),
+                                   (0, 0)))
+                region = lax.dynamic_slice(
+                    big, (sy + pad_h, sx + pad_w, jnp.int32(0)),
+                    (sh, sw, big.shape[2]))
+                a = over[..., 3:4].astype(jnp.float32) / 255.0
+                blend = region.astype(jnp.float32)
+                for i, c in enumerate(self._rgb):
+                    blend = blend.at[..., c].set(
+                        region[..., c].astype(jnp.float32) * (1 - a[..., 0])
+                        + over[..., i].astype(jnp.float32) * a[..., 0])
+                blend = jnp.clip(blend + 0.5, 0, 255).astype(jnp.uint8)
+                big = lax.dynamic_update_slice(
+                    big, blend, (sy + pad_h, sx + pad_w, jnp.int32(0)))
+                return big[pad_h:pad_h + fr.shape[0],
+                           pad_w:pad_w + fr.shape[1]]
+
+            return apply
+
+        out = lax.switch(k, [branch(i) for i in range(len(self._wins))],
+                         frame)
+        return jnp.where(found, out, frame)
+
+    def process(self, params, state, batch: FrameBatch):
+        def one(frame):
+            found, fy, fx, k = self._detect(frame)
+            out = self._composite(frame, found, fy, fx, k)
+            fh = jnp.array([w[0] for w in self._wins], jnp.int32)[k]
+            fw = jnp.array([w[1] for w in self._wins], jnp.int32)[k]
+            return out, (found, fx, fy, fw, fh)
+
+        out, (found, fx, fy, fw, fh) = jax.vmap(one)(batch.data)
+        msgs = {"face": {"x": fx, "y": fy, "width": fw, "height": fh,
+                         "_emit": found}}
+        return state, batch.with_data(out), msgs

@@ -754,3 +754,56 @@ def test_audiobuffersplit_gapless_drop_overlap():
     np.testing.assert_array_equal(data, 1.0)  # the overlapping 0.75 went
     assert pts[0] == 2 * dur
     assert not (flags & FLAG_DISCONT).any()
+
+
+def test_chromaprint_fingerprint(rng):
+    """chromaprint surface (ext/chromaprint/gstchromaprint.c): S16
+    passthrough, fingerprint posted as a tag message at the duration cap
+    or EOS; deterministic and robust to small perturbations (the exact
+    Acoustid bit patterns live in libchromaprint - documented)."""
+    t = np.arange(48000 * 4) / 48000.0
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t)
+           + 0.3 * np.sin(2 * np.pi * 660 * (t + 0.2 * t * t))
+           ).astype(np.float32)
+    x = sig.reshape(4, -1, 1)
+    h = Harness("chromaprint", duration=3)
+    h.set_src_spec(_spec(AudioFormat.F32, 1))
+    outs = h.push(x)
+    # passthrough
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(o.data) for o in outs]), x)
+    msgs = h.bus.pop(element="chromaprint")
+    assert msgs and msgs[0]["chromaprint-fingerprint"]
+    fp1 = msgs[0]["chromaprint-fingerprint"]
+    # deterministic
+    h2 = Harness("chromaprint", duration=3)
+    h2.set_src_spec(_spec(AudioFormat.F32, 1))
+    h2.push(x)
+    assert h2.bus.pop(element="chromaprint")[0][
+        "chromaprint-fingerprint"] == fp1
+    # robust to tiny noise
+    h3 = Harness("chromaprint", duration=3)
+    h3.set_src_spec(_spec(AudioFormat.F32, 1))
+    h3.push(x + 1e-4 * np.random.default_rng(0)
+            .standard_normal(x.shape).astype(np.float32))
+    fp3 = h3.bus.pop(element="chromaprint")[0]["chromaprint-fingerprint"]
+    same = sum(a == b for a, b in zip(fp1, fp3)) / max(len(fp1), 1)
+    assert same > 0.9
+    # and different content -> different print
+    h4 = Harness("chromaprint", duration=3)
+    h4.set_src_spec(_spec(AudioFormat.F32, 1))
+    h4.push(np.ascontiguousarray(x[::-1] * 0.2) + 0.3)
+    assert h4.bus.pop(element="chromaprint")[0][
+        "chromaprint-fingerprint"] != fp1
+
+
+def test_ofa_eos_fingerprint(rng):
+    x = (rng.random((2, 4800, 2)) - 0.5).astype(np.float32)
+    h = Harness("ofa")
+    h.set_src_spec(_spec(AudioFormat.F32, 2))
+    h.push(x)
+    el = h.element
+    assert el.fingerprint is None  # below the 135 s cap, waits for EOS
+    el.eos(h.bus)
+    msgs = h.bus.pop(element="ofa")
+    assert msgs and msgs[0]["ofa-fingerprint"] == el.fingerprint
