@@ -94,8 +94,26 @@ class VideoTestSrc(Element):
         packed = self._pack(self._bg_rgb)
         if isinstance(packed, dict):
             self._bg = {k: jnp.asarray(v) for k, v in packed.items()}
+            self._bg_word = None
+            self._ball_word = None
         else:
             self._bg = jnp.asarray(packed)
+            self._bg_word = None
+            self._ball_word = None
+            if packed.ndim == 3 and packed.shape[-1] == 4:
+                # packed-u32 word image: broadcasting [H, W] i32 keeps the
+                # whole downstream chain in the dense lane layout (a
+                # channel-minor [B,H,W,4] u8 broadcast puts 4 of 128 lanes
+                # to work and cost ~6 ms/window at 1080p)
+                self._bg_word = jnp.asarray(
+                    np.ascontiguousarray(packed).view("<i4")[..., 0])
+                ball = self._pack(self._bg_rgb)
+                if self._is_ayuv:
+                    ball[..., 1] = 235   # luma overlay
+                else:
+                    ball[..., :] = 255   # matches _apply_luma_overlay
+                self._ball_word = jnp.asarray(
+                    np.ascontiguousarray(ball).view("<i4")[..., 0])
 
     def _pack(self, rgb: np.ndarray):
         """RGB [H,W,3] -> negotiated format layout."""
@@ -151,7 +169,13 @@ class VideoTestSrc(Element):
                   + (yy - cy[:, None, None]) ** 2)
             radius = max(4.0, min(h, w) / 16.0)
             mask = r2 < radius * radius
-            data = self._apply_luma_overlay(broadcast(self._bg), mask)
+            if self._ball_word is not None:
+                word = jnp.where(mask, self._ball_word[None],
+                                 self._bg_word[None])
+                data = jax.lax.bitcast_convert_type(
+                    word[..., None], jnp.uint8).reshape(window, h, w, 4)
+            else:
+                data = self._apply_luma_overlay(broadcast(self._bg), mask)
         elif pattern == "noise":
             key = jax.random.PRNGKey(self.props["seed"])
             keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(n)
@@ -168,6 +192,10 @@ class VideoTestSrc(Element):
                     k, shape, 0, 256, jnp.int32).astype(jnp.uint8))(keys)
                 if self._is_ayuv:
                     data = data.at[..., 0].set(255)
+        elif self._bg_word is not None:
+            word = jnp.broadcast_to(self._bg_word, (window, h, w))
+            data = jax.lax.bitcast_convert_type(
+                word[..., None], jnp.uint8).reshape(window, h, w, 4)
         else:
             data = broadcast(self._bg)
 

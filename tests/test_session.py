@@ -137,3 +137,61 @@ def test_camera_image_capture_planar(tmp_path):
     loc = cam.start_capture()
     spec, img = pnm.read_pnm(loc)
     assert img.shape == (48, 64)  # luma snapshot
+
+
+def test_transcoder_pnm_profile(tmp_path, rng):
+    """Encoding-profile analog: profile='pnm' writes a P6 sequence."""
+    import numpy as np
+    from gstbad_tpu.io import y4m
+    from gstbad_tpu.io.pnm import read_pnm
+    from gstbad_tpu.core.spec import MediaSpec
+    from gstbad_tpu.session.transcoder import Transcoder
+
+    src = str(tmp_path / "in.y4m")
+    spec = MediaSpec(kind="video", format="I420", width=32, height=16)
+    planes = {"y": rng.integers(0, 256, (4, 16, 32), dtype=np.uint8),
+              "u": rng.integers(0, 256, (4, 8, 16), dtype=np.uint8),
+              "v": rng.integers(0, 256, (4, 8, 16), dtype=np.uint8)}
+    y4m.write_y4m(src, spec, planes)
+    dst = str(tmp_path / "out_%03d.pnm")
+    t = Transcoder(src, dst, filters="videoconvert format=RGBx",
+                   profile="pnm", window=4)
+    n = t.run()
+    assert n == 4
+    _, img0 = read_pnm(str(tmp_path / "out_000.pnm"))
+    assert img0.shape == (16, 32, 3)
+
+
+def test_transcoder_gdp_profile_roundtrip(tmp_path, rng):
+    """profile='gdp' writes GDP packets that gdpfilesrc can replay."""
+    import numpy as np
+    import gstbad_tpu as gt
+    from gstbad_tpu.io import y4m
+    from gstbad_tpu.core.spec import MediaSpec
+    from gstbad_tpu.session.transcoder import Transcoder
+
+    src = str(tmp_path / "in.y4m")
+    spec = MediaSpec(kind="video", format="I420", width=32, height=16)
+    planes = {"y": rng.integers(0, 256, (4, 16, 32), dtype=np.uint8),
+              "u": rng.integers(0, 256, (4, 8, 16), dtype=np.uint8),
+              "v": rng.integers(0, 256, (4, 8, 16), dtype=np.uint8)}
+    y4m.write_y4m(src, spec, planes)
+    dst = str(tmp_path / "out.gdp")
+    t = Transcoder(src, dst, filters="videoconvert format=GRAY8",
+                   profile="gdp", window=4)
+    assert t.run() == 4
+    # replay through a gdp-input transcode back to y4m
+    p = gt.parse_launch(f"gdpfilesrc location={dst} ! fakesink")
+    outs = p.run(window=4)
+    got = np.concatenate([np.asarray(o.data) for o in outs])
+    assert got.shape == (4, 16, 32)
+    np.testing.assert_array_equal(got, planes["y"])  # GRAY8 = luma
+
+
+def test_transcoder_bad_profile_rejected(tmp_path):
+    from gstbad_tpu.session.transcoder import Transcoder
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        Transcoder("a.y4m", "b.mkv", profile="matroska")
+    with _pytest.raises(ValueError):
+        Transcoder("a.y4m", "b.pnm", profile="pnm")  # no %d pattern
