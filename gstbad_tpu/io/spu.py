@@ -1,0 +1,186 @@
+"""DVD subpicture (VobSub SPU) bitstream decode — gst/dvdspu/gstspu-vobsub.c.
+
+A subpicture packet is `u16 total_size, u16 dcsqt_offset`, RLE pixel data,
+then a Display Control Sequence Table: each DCSQ is `u16 delay (90 kHz
+ticks / 1024), u16 next_dcsq_offset, commands...` with the command set of
+gstspu-vobsub.c:130-245 (display on/off, SET_COLOR/SET_ALPHA nibble
+palettes, SET_DAREA 12-bit rectangle, DSPXA field offsets, CHG_COLCON
+parsed but not applied per-line here — documented).
+
+RLE (gstspu-vobsub-render.c:134-260): nibble stream per interlaced field,
+variable-length codes (1-4 nibbles), run = code >> 2 (0 = to end of
+line), colour = code & 3; every line starts byte-aligned.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class SpuPicture:
+    rect: Tuple[int, int, int, int] = (0, 0, 0, 0)  # top,left,bottom,right
+    pix_offsets: Tuple[int, int] = (0, 0)           # top/bottom field
+    main_idx: List[int] = field(default_factory=lambda: [0, 0, 0, 0])
+    main_alpha: List[int] = field(default_factory=lambda: [0, 0, 0, 0])
+    forced: bool = False
+    show_ticks: Optional[int] = None   # delay of the DCSQ with DSP
+    hide_ticks: Optional[int] = None   # delay of the DCSQ with STP_DSP
+    data: bytes = b""
+
+    @property
+    def width(self) -> int:
+        return self.rect[3] - self.rect[1] + 1
+
+    @property
+    def height(self) -> int:
+        return self.rect[2] - self.rect[0] + 1
+
+    def show_ns(self) -> int:
+        t = self.show_ticks or 0
+        return t * 1024 * 1_000_000_000 // 90_000
+
+    def hide_ns(self) -> Optional[int]:
+        if self.hide_ticks is None:
+            return None
+        return self.hide_ticks * 1024 * 1_000_000_000 // 90_000
+
+
+def parse_spu(data: bytes) -> SpuPicture:
+    """Walk the DCSQT and execute the command blocks
+    (gst_dvd_spu_exec_cmd_blk, gstspu-vobsub.c:122-245)."""
+    pic = SpuPicture(data=bytes(data))
+    if len(data) < 4:
+        raise ValueError("spu: packet too short")
+    dcsqt = (data[2] << 8) | data[3]
+    off = dcsqt
+    seen = set()
+    while off not in seen and off + 4 <= len(data):
+        seen.add(off)
+        delay = (data[off] << 8) | data[off + 1]
+        next_off = (data[off + 2] << 8) | data[off + 3]
+        i = off + 4
+        end = len(data)
+        while i < end:
+            cmd = data[i]
+            if cmd == 0x00:                 # FSTA_DSP
+                pic.forced = True
+                pic.show_ticks = delay if pic.show_ticks is None else \
+                    pic.show_ticks
+                i += 1
+            elif cmd == 0x01:               # DSP
+                pic.show_ticks = delay
+                i += 1
+            elif cmd == 0x02:               # STP_DSP
+                pic.hide_ticks = delay
+                i += 1
+            elif cmd == 0x03:               # SET_COLOR
+                if i + 3 >= end:
+                    break
+                pic.main_idx = [data[i + 2] & 0x0F, data[i + 2] >> 4,
+                                data[i + 1] & 0x0F, data[i + 1] >> 4]
+                i += 3
+            elif cmd == 0x04:               # SET_ALPHA
+                if i + 3 >= end:
+                    break
+                pic.main_alpha = [data[i + 2] & 0x0F, data[i + 2] >> 4,
+                                  data[i + 1] & 0x0F, data[i + 1] >> 4]
+                i += 3
+            elif cmd == 0x05:               # SET_DAREA
+                if i + 7 >= end:
+                    break
+                d = data
+                top = ((d[i + 4] & 0xFF) << 4) | ((d[i + 5] & 0xF0) >> 4)
+                left = ((d[i + 1] & 0xFF) << 4) | ((d[i + 2] & 0xF0) >> 4)
+                right = ((d[i + 2] & 0x0F) << 8) | d[i + 3]
+                bottom = ((d[i + 5] & 0x0F) << 8) | d[i + 6]
+                pic.rect = (top, left, bottom, right)
+                i += 7
+            elif cmd == 0x06:               # DSPXA
+                if i + 5 >= end:
+                    break
+                pic.pix_offsets = ((data[i + 1] << 8) | data[i + 2],
+                                   (data[i + 3] << 8) | data[i + 4])
+                i += 5
+            elif cmd == 0x07:               # CHG_COLCON (skipped)
+                if i + 3 >= end:
+                    break
+                fs = (data[i + 1] << 8) | data[i + 2]
+                i += 1 + fs
+            else:                           # END / unknown
+                break
+        if next_off == off:
+            break
+        off = next_off
+    return pic
+
+
+def decode_rle(pic: SpuPicture) -> np.ndarray:
+    """-> [H, W] uint8 palette indices (0-3), fields interleaved."""
+    data = pic.data
+    h, w = pic.height, pic.width
+    out = np.zeros((h, w), np.uint8)
+    max_nib = 2 * len(data)
+
+    def nibble(off):
+        if off >= max_nib:
+            return 0, off
+        b = data[off // 2]
+        v = (b >> 4) if (off & 1) == 0 else (b & 0x0F)
+        return v, off + 1
+
+    def rle_code(off):
+        code, off = nibble(off)
+        if code < 0x4:
+            n, off = nibble(off)
+            code = (code << 4) | n
+            if code < 0x10:
+                n, off = nibble(off)
+                code = (code << 4) | n
+                if code < 0x40:
+                    n, off = nibble(off)
+                    code = (code << 4) | n
+        return code, off
+
+    offs = [pic.pix_offsets[0] * 2, pic.pix_offsets[1] * 2]
+    for y in range(h):
+        f = y & 1  # top field = even lines of the rect
+        off = (offs[f] + 1) & ~1  # byte-align at line start
+        x = 0
+        while x < w:
+            code, off = rle_code(off)
+            run = code >> 2
+            end = w if run == 0 else min(w, x + run)
+            out[y, x:end] = code & 3
+            x = end
+        offs[f] = off
+    return out
+
+
+def spu_to_ayuv(pic: SpuPicture, clut: Optional[np.ndarray] = None
+                ) -> np.ndarray:
+    """Indices + palette -> [H, W, 4] AYUV overlay.
+
+    clut: 16 u32 words 0x00YVU (V and U swapped in the word, like the DVD
+    CLUT the reference receives in events, gstspu-vobsub-render.c:40-49);
+    None uses the reference's guessed white/grey/black ramp (:51-66)."""
+    idx = decode_rle(pic)
+    pal = np.zeros((4, 4), np.uint8)  # A,Y,U,V per colour
+    if clut is not None and int(clut[pic.main_idx[0]]) != 0:
+        for i in range(4):
+            col = int(clut[pic.main_idx[i]])
+            a = (pic.main_alpha[i] << 4) | pic.main_alpha[i]
+            pal[i] = (a, (col >> 16) & 0xFF, col & 0xFF, (col >> 8) & 0xFF)
+    else:
+        y = 240
+        for i in range(4):
+            a = (pic.main_alpha[i] << 4) | pic.main_alpha[i]
+            yv = 0
+            if pic.main_alpha[i] != 0:
+                yv = y
+                y = max(y - 112, 0)
+            pal[i] = (a, yv, 128, 128)
+    return pal[idx]
