@@ -90,6 +90,77 @@ class SubOverlay(Element):
 
 
 @register
+class DvbSubOverlay(Element):
+    """dvbsuboverlay (gst/dvbsuboverlay/gstdvbsuboverlay.c): decode DVB
+    subtitle PES payloads (io/dvbsub.py, the dvb-sub.c segment parser) and
+    blend the active display set onto AYUV video.
+
+    PES payloads arrive via `push_pes(data, pts_ns)` before the run (the
+    reference takes them on a subtitle pad mid-stream; our window model
+    decodes on the host and bakes overlays as device constants).  A
+    display set shows from its PTS until the next set's PTS or its
+    page-time-out, whichever is first; sets with zero rects clear the
+    screen; page-time-out 0 is overridden to 1 s and capped by
+    max-page-timeout (gstdvbsuboverlay.c:795-845, 1063-1125).  Blending is
+    the video-blend.c truncating (D*(256-a) + S*a) >> 8 on Y/U/V; the
+    composition's linear rect rescale is nearest-neighbor here and the
+    video alpha channel is left untouched (documented divergences)."""
+
+    NAME = "dvbsuboverlay"
+    PROPERTIES = (
+        Property("enable", bool, True, static=True),
+        Property("max-page-timeout", int, 0, 0, None, static=True),
+    )
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        from gstbad_tpu.io.dvbsub import DvbSubParser
+        self._parser = DvbSubParser()
+        self._sets = []
+
+    def push_pes(self, data: bytes, pts_ns: int = 0) -> None:
+        self._sets.extend(self._parser.feed(data, pts_ns))
+
+    def negotiate(self, in_spec):
+        require(in_spec.kind == "video"
+                and in_spec.format == VideoFormat.AYUV,
+                "dvbsuboverlay: needs AYUV video (use videoconvert)")
+        return in_spec
+
+    def process(self, params, state, batch: FrameBatch):
+        from gstbad_tpu.io.dvbsub import display_set_to_ayuv
+        out = batch.data
+        if not self.props["enable"] or not self._sets:
+            return state, batch
+        h, w = out.shape[1], out.shape[2]
+        max_to = self.props["max-page-timeout"]
+        for i, ds in enumerate(self._sets):
+            if not ds.rects:
+                continue                      # clear-screen set
+            timeout = ds.page_time_out
+            if max_to > 0:
+                timeout = min(timeout, max_to)
+            if timeout == 0:
+                timeout = 1                   # gstdvbsuboverlay.c:821-824
+            show = ds.pts_ns
+            hide = show + timeout * 10 ** 9
+            if i + 1 < len(self._sets):       # replaced by the next set
+                hide = min(hide, self._sets[i + 1].pts_ns)
+            ov = jnp.asarray(display_set_to_ayuv(ds, w, h))
+            a = ov[..., 0].astype(jnp.int32)
+            active = (batch.pts >= show) & (batch.pts < hide)
+            act = active[:, None, None, None]
+            d = out.astype(jnp.int32)
+            s = ov.astype(jnp.int32)
+            blended = (d * (256 - a[None, ..., None])
+                       + s * a[None, ..., None]) >> 8
+            blended = blended.at[..., 0].set(d[..., 0])
+            out = jnp.where(act & (a[None] > 0)[..., None],
+                            blended.astype(jnp.uint8), out)
+        return state, batch.with_data(out)
+
+
+@register
 class DvdSpu(Element):
     """dvdspu (gst/dvdspu/gstdvdspu.c + gstspu-vobsub.c): decode a VobSub
     subpicture packet and blend it onto the video while its display window
