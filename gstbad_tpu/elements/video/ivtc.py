@@ -82,14 +82,20 @@ class Ivtc(VideoFilter):
         def field_plane(st, k, i):
             return st["q"][k][slot(st, i)]
 
-        def similarity(st, i1, i2):
-            f1 = field_plane(st, "y", i1)
-            f2 = field_plane(st, "y", i2)
-            p1 = st["parity"][slot(st, i1)]
-            top_first = p1 == 0
-            top = jnp.where(top_first, f1, f2)
-            bottom = jnp.where(top_first, f2, f1)
-            return comb_ops.comb_score(top, bottom)
+        def similarity_pair(st):
+            """prev (0,1) and next (1,2) comb scores in ONE batched pass
+            (the row chain dominates; two frames per scan step halve the
+            dispatch count)."""
+            f = [field_plane(st, "y", i) for i in range(3)]
+            p = [st["parity"][slot(st, i)] for i in range(3)]
+            tops, bottoms = [], []
+            for a, bb in ((0, 1), (1, 2)):
+                top_first = p[a] == 0
+                tops.append(jnp.where(top_first, f[a], f[bb]))
+                bottoms.append(jnp.where(top_first, f[bb], f[a]))
+            scores = comb_ops.comb_score(jnp.stack(tops),
+                                         jnp.stack(bottoms))
+            return scores[0], scores[1]
 
         def weave_frame(st, i1, i2):
             p1 = st["parity"][slot(st, i1)]
@@ -115,8 +121,7 @@ class Ivtc(VideoFilter):
         def construct(st):
             """construct_frame (gstivtc.c:565-630)."""
             forward_ok = st["ts"][slot(st, 1)] < st["current_ts"]
-            prev_score = similarity(st, 0, 1)
-            next_score = similarity(st, 1, 2)
+            prev_score, next_score = similarity_pair(st)
 
             weave_next = weave_frame(st, 1, 2)
             weave_prev = weave_frame(st, 1, 0)
@@ -234,17 +239,15 @@ class CombDetect(VideoFilter):
         b, h, w = y.shape
         z = state + 1 + jnp.arange(b, dtype=jnp.int32)
 
-        def per_frame(yf, zf):
-            mask, _ = comb_ops.comb_mask(yf)
-            i = jnp.arange(w, dtype=jnp.int32)[None, :]
-            j = jnp.arange(h, dtype=jnp.int32)[:, None]
-            zebra = jnp.where(((i + j + zf) & 0x4) != 0,
-                              jnp.uint8(235), jnp.uint8(16))
-            out = jnp.where(mask, zebra, yf)
-            border = (j < 2) | (j >= h - 2)
-            return jnp.where(border, yf // 2, out)
-
-        out_y = jax.vmap(per_frame)(y, z)
+        # comb_mask is batched (one pallas chain pass for the window)
+        mask, _ = comb_ops.comb_mask(y)
+        i = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+        j = jnp.arange(h, dtype=jnp.int32)[None, :, None]
+        zebra = jnp.where(((i + j + z[:, None, None]) & 0x4) != 0,
+                          jnp.uint8(235), jnp.uint8(16))
+        out_y = jnp.where(mask, zebra, y)
+        border = (j < 2) | (j >= h - 2)
+        out_y = jnp.where(border, y // 2, out_y)
         if is_dict:
             out = {**batch.data, "y": out_y}
         else:

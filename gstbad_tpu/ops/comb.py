@@ -5,17 +5,31 @@ The C walks rows carrying `thisline[]`: outlier cells accumulate
 thisline[i] += thisline[i-1] + 1 (clamped at 1000), non-outliers reset to 0,
 and cells > 100 score.  Within a row that is a SEGMENTED PREFIX SUM of
 (prev_row + 1) over outlier runs, so each row is one cumsum + cummax gather;
-rows chain through a lax.scan.  The 1000-clamp is applied to the carried row
+rows chain sequentially.  The 1000-clamp is applied to the carried row
 only — since every clamped value is > 100 either way, the painted cells and
 the score are exactly the C's (clamping below 1000 never alters the > 100
 test), while the unclamped in-row sums stay well inside int32.
+
+TPU shape: a naive per-row `lax.scan` is ~700 dispatch-bound micro-steps
+per frame (tens of microseconds each on the device).  Rows are therefore
+processed in BLOCKS of `_BLOCK` rows per scan step — the block body is
+unrolled so XLA fuses it into one kernel launch, cutting step count ~32x —
+and every function here is batched over arbitrary leading axes so callers
+can score many field pairs in one pass (ivtc's prev/next similarity pair,
+combdetect's whole window).
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BLOCK = 32
 
 
 def _outlier(s1, s2, s3):
@@ -26,40 +40,158 @@ def _outlier(s1, s2, s3):
     return (b < jnp.minimum(a, c) - 5) | (b > jnp.maximum(a, c) + 5)
 
 
-def _row_update(p, m):
-    """One thisline row update.  p: carried row [W] int32 (clamped <= 1000),
-    m: outlier mask [W].  Returns (new_carry, over100_mask)."""
-    w = p.shape[0]
-    v = jnp.where(m, p + 1, 0)
-    s = jnp.cumsum(v)
-    idx = jnp.arange(w, dtype=jnp.int32)
-    last_false = lax.cummax(jnp.where(~m, idx, jnp.int32(-1)))
-    base = jnp.where(last_false >= 0,
-                     jnp.take(s, jnp.maximum(last_false, 0)), 0)
-    seg = jnp.where(m, s - base, 0)
-    return jnp.minimum(seg, 1000), seg > 100
+def _seg_cumsum(v, m):
+    """In-run inclusive prefix sum: cumsum of v (v == 0 outside runs)
+    minus the running total at the last run boundary.  v >= 0 keeps the
+    plain cumsum monotone, so that boundary total is a cummax of the
+    masked cumsum — NO gather (XLA gathers run at ~0.1 Gelem/s on TPU and
+    dominated the old formulation)."""
+    s = jnp.cumsum(v, axis=-1)
+    base = lax.cummax(jnp.where(m, 0, s), axis=v.ndim - 1)
+    return jnp.where(m, s - base, 0)
 
 
-def comb_mask(luma: jnp.ndarray, j_start: int = 2, j_stop_off: int = 2):
+def _scan_rows(m):
+    """Chain the thisline recurrence over the row axis of m [..., R, W]
+    in blocks of _BLOCK unrolled rows per scan step.
+
+    Per row r the C recurrence is t_r = segcumsum(t_{r-1} + 1 over runs)
+    = runpos_r + segcumsum(t_{r-1} * m_r), where runpos (the 1-based
+    position within each outlier run) has NO cross-row dependency and is
+    precomputed for ALL rows in one vectorized pass; only the carried
+    t part chains.  Returns the over-100 mask [..., R, W]."""
+    r, w = m.shape[-2], m.shape[-1]
+    lead = m.shape[:-2]
+    nb = -(-r // _BLOCK)
+    pad = nb * _BLOCK - r
+    if pad:
+        # padded rows are non-outliers: they reset the carry and score 0
+        m = jnp.concatenate(
+            [m, jnp.zeros(lead + (pad, w), bool)], axis=-2)
+    runpos = _seg_cumsum(m.astype(jnp.int32), m)            # [..., R', W]
+    # scan axis must lead: [nb, ..., BLOCK, W]
+    mb = jnp.moveaxis(m.reshape(lead + (nb, _BLOCK, w)), -3, 0)
+    rb = jnp.moveaxis(runpos.reshape(lead + (nb, _BLOCK, w)), -3, 0)
+
+    def step(p, inp):
+        mblk, rblk = inp
+        overs = []
+        for i in range(_BLOCK):
+            mi = mblk[..., i, :]
+            seg = rblk[..., i, :] + _seg_cumsum(jnp.where(mi, p, 0), mi)
+            p = jnp.minimum(seg, 1000)
+            overs.append(seg > 100)
+        return p, jnp.stack(overs, axis=-2)
+
+    _, over = lax.scan(step, jnp.zeros(lead + (w,), jnp.int32), (mb, rb))
+    over = jnp.moveaxis(over, 0, -3).reshape(lead + (nb * _BLOCK, w))
+    return over[..., :r, :]
+
+
+def _shift_right(v, d, fill, lane):
+    """Static lane shift right by d on [1, W]: pltpu.roll (verified on
+    v5e across multi-vreg widths) + iota fill of the wrapped lanes.
+    Static concat on the lane axis is NOT the way — Mosaic rejects it
+    ("result/input offset mismatch on non-concat dimension")."""
+    rolled = pltpu.roll(v, jnp.int32(d), 1)
+    return jnp.where(lane < jnp.int32(d), jnp.int32(fill), rolled)
+
+
+def _comb_chain_kernel(m_ref, out_ref, carry_ref):
+    """One 8-row block of the thisline chain.  The TPU grid runs
+    sequentially, so the carried row lives in VMEM scratch across grid
+    steps; inside the step everything is straight-line register code —
+    the whole per-row segmented scan costs nanoseconds instead of the
+    ~2 us/op an XLA op sequence pays (measured: a 716-row chain was
+    ~35 ms in XLA regardless of formulation)."""
+    w = m_ref.shape[-1]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        carry_ref[...] = jnp.zeros(carry_ref.shape, jnp.int32)
+
+    # the package enables global x64: every scalar literal must be a
+    # typed i32 or Mosaic recurses lowering the weak-i64 converts
+    zero = jnp.int32(0)
+    one = jnp.int32(1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    p = carry_ref[...]
+    mb = m_ref[0]
+    outs = []
+    for j in range(8):
+        mi = mb[j:j + 1, :]                      # [1, W] i32 0/1
+        # segmented Hillis-Steele scan of (p + 1) over outlier runs;
+        # f = 1 marks segment boundaries (non-outlier cells)
+        v = jnp.where(mi == one, p + one, zero)
+        f = one - mi
+        d = 1
+        while d < w:
+            vs = _shift_right(v, d, 0, lane)
+            fs = _shift_right(f, d, 1, lane)
+            v = v + jnp.where(f == one, zero, vs)
+            f = jnp.maximum(f, fs)
+            d *= 2
+        seg = jnp.where(mi == one, v, zero)
+        outs.append((seg > jnp.int32(100)).astype(jnp.int32))
+        p = jnp.minimum(seg, jnp.int32(1000))
+    out_ref[0] = jnp.concatenate(outs, axis=0)
+    carry_ref[...] = p
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _scan_rows_pallas(m: jnp.ndarray, interpret: bool = False):
+    """Pallas path for _scan_rows: m [..., R, W] bool -> over mask."""
+    lead = m.shape[:-2]
+    r, w = m.shape[-2], m.shape[-1]
+    n = 1
+    for s in lead:
+        n *= s
+    rp = -(-r // 8) * 8
+    wp = -(-w // 128) * 128
+    mi = jnp.zeros((n, rp, wp), jnp.int32)
+    mi = mi.at[:, :r, :w].set(
+        m.reshape((n, r, w)).astype(jnp.int32))
+    out = pl.pallas_call(
+        _comb_chain_kernel,
+        grid=(n, rp // 8),
+        # the column index must be a typed i32: a literal 0 is weak-i64
+        # under the package's global x64 and Mosaic rejects the index
+        # map's func.return
+        in_specs=[pl.BlockSpec((1, 8, wp),
+                               lambda b, i: (b, i, jnp.int32(0)))],
+        out_specs=pl.BlockSpec((1, 8, wp),
+                               lambda b, i: (b, i, jnp.int32(0))),
+        out_shape=jax.ShapeDtypeStruct((n, rp, wp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, wp), jnp.int32)],
+        interpret=interpret,
+    )(mi)
+    return (out[:, :r, :w] > 0).reshape(lead + (r, w))
+
+
+def comb_mask(luma: jnp.ndarray, j_start: int = 2, j_stop_off: int = 2,
+              engine: str = "auto"):
     """Per-pixel over-100 mask + score for rows [j_start, H - j_stop_off).
 
-    luma: [H, W] uint8 (a woven frame).  Returns (mask [H, W] bool with
-    False outside the scanned band, score int32).
+    luma: [..., H, W] uint8 (woven frames).  Returns (mask [..., H, W]
+    bool with False outside the scanned band, score [...] int32).
+
+    engine: "auto" uses the Pallas chain kernel on TPU (XLA elsewhere),
+    "pallas" forces it (interpret mode off-TPU), "xla" forces the
+    blocked-scan XLA path.
     """
-    h, w = luma.shape
-    s1 = luma[j_start - 1:h - j_stop_off - 1]
-    s2 = luma[j_start:h - j_stop_off]
-    s3 = luma[j_start + 1:h - j_stop_off + 1]
+    h = luma.shape[-2]
+    s1 = luma[..., j_start - 1:h - j_stop_off - 1, :]
+    s2 = luma[..., j_start:h - j_stop_off, :]
+    s3 = luma[..., j_start + 1:h - j_stop_off + 1, :]
     m = _outlier(s1, s2, s3)
-
-    def step(p, mrow):
-        p, over = _row_update(p, mrow)
-        return p, over
-
-    _, over = lax.scan(step, jnp.zeros(w, jnp.int32), m)
-    mask = jnp.zeros((h, w), bool)
-    mask = mask.at[j_start:h - j_stop_off].set(over)
-    score = jnp.sum(over.astype(jnp.int32))
+    on_tpu = jax.default_backend() == "tpu"
+    if engine == "pallas" or (engine == "auto" and on_tpu):
+        over = _scan_rows_pallas(m, interpret=not on_tpu)
+    else:
+        over = _scan_rows(m)
+    mask = jnp.zeros(luma.shape, bool)
+    mask = mask.at[..., j_start:h - j_stop_off, :].set(over)
+    score = jnp.sum(over.astype(jnp.int32), axis=(-2, -1))
     return mask, score
 
 
@@ -71,5 +203,6 @@ def interleave(top: jnp.ndarray, bottom: jnp.ndarray) -> jnp.ndarray:
 
 
 def comb_score(top: jnp.ndarray, bottom: jnp.ndarray) -> jnp.ndarray:
-    """get_comb_score (gstivtc.c:634-680) on two field-source luma frames."""
+    """get_comb_score (gstivtc.c:634-680) on two field-source luma frames
+    (batched over leading axes)."""
     return comb_mask(interleave(top, bottom))[1]

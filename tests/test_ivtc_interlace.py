@@ -263,3 +263,39 @@ class TestInterlaceAlternate:
         np.testing.assert_array_equal(y[1], frames["y"][0][1::2])
         np.testing.assert_array_equal(u[0], frames["u"][0][0::2])
         np.testing.assert_array_equal(u[1], frames["u"][0][1::2])
+
+
+def test_comb_pallas_kernel_matches_xla_and_golden():
+    """The TPU pallas chain kernel (interpret mode here) must equal the
+    XLA blocked scan and the C recurrence bit-for-bit."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gstbad_tpu.ops import comb
+
+    rng = np.random.default_rng(11)
+    for shape in ((37, 150), (2, 61, 300)):
+        m = rng.random(shape) < 0.35
+        over_xla = np.asarray(comb._scan_rows(jnp.asarray(m)))
+        over_pl = np.asarray(
+            comb._scan_rows_pallas(jnp.asarray(m), interpret=True))
+        np.testing.assert_array_equal(over_xla, over_pl)
+
+    # C-recurrence reference: t[i] = m ? clamp(t[i] + t[i-1] + 1) : 0
+    m = (rng.random((50, 200)) < 0.5)
+    t = np.zeros(200, np.int64)
+    over_ref = np.zeros_like(m)
+    for r in range(m.shape[0]):
+        for i in range(m.shape[1]):
+            if m[r, i]:
+                if i > 0:
+                    t[i] += t[i - 1]
+                t[i] += 1
+                t[i] = min(t[i], 1000)
+            else:
+                t[i] = 0
+            over_ref[r, i] = t[i] > 100
+    np.testing.assert_array_equal(
+        np.asarray(comb._scan_rows(jnp.asarray(m))), over_ref)
+    np.testing.assert_array_equal(
+        np.asarray(comb._scan_rows_pallas(jnp.asarray(m), interpret=True)),
+        over_ref)
