@@ -37,24 +37,31 @@ def make_blur_tables(sigma: float, height: int, width: int):
     return kern, border_sums(height, kern, ksum), border_sums(width, kern, ksum)
 
 
-def _depthwise_1d(x: jnp.ndarray, kern: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Zero-padded depthwise 1-D convolution of NHWC f32 along H or W."""
-    c = x.shape[-1]
+def _shift_fma_1d(x: jnp.ndarray, kern: np.ndarray, axis: int) -> jnp.ndarray:
+    """Zero-padded 1-D correlation along H or W as an unrolled
+    roll-mask-FMA chain.
+
+    This replaced a depthwise `conv_general_dilated`
+    (feature_group_count=C): that conv is BOTH slower on TPU (the 1-wide
+    channel groups defeat the MXU; 225 vs 330 fps at 1080p AYUV) and —
+    measured on v5e — numerically WRONG there (up to 207/255 off vs the
+    identical program on CPU, even at Precision.HIGHEST).  The unrolled
+    FMA chain is exact to +-1 LSB of the CPU reference and fuses into one
+    pass over the frame."""
+    n = x.shape[axis]
     window = kern.shape[0]
-    if axis == 2:  # along W
-        k = jnp.tile(kern.reshape(1, window, 1, 1), (1, 1, 1, c))
-        pad = ((0, 0), (window // 2, window // 2))
-    else:  # along H
-        k = jnp.tile(kern.reshape(window, 1, 1, 1), (1, 1, 1, c))
-        pad = ((window // 2, window // 2), (0, 0))
-    return lax.conv_general_dilated(
-        x, k, window_strides=(1, 1), padding=pad,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-        # HIGHEST keeps full f32 accuracy on the TPU MXU (default would
-        # truncate the taps to bf16 and miss the <=1e-3 fidelity gate)
-        precision=lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
+    center = window // 2
+    idx = np.arange(n)
+    shape = [1, 1, 1, 1]
+    shape[axis] = n
+    acc = jnp.zeros_like(x)
+    for k in range(window):
+        off = k - center
+        rolled = jnp.roll(x, -off, axis=axis)
+        valid = jnp.asarray(((idx + off >= 0) & (idx + off < n))
+                            .reshape(shape))
+        acc = acc + np.float32(kern[k]) * jnp.where(valid, rolled, 0.0)
+    return acc
 
 
 def gaussian_blur(img: jnp.ndarray, kern: jnp.ndarray, row_sums: jnp.ndarray,
@@ -62,7 +69,8 @@ def gaussian_blur(img: jnp.ndarray, kern: jnp.ndarray, row_sums: jnp.ndarray,
     """[B, H, W, C] uint8 -> uint8; matches the C two-pass order:
     x-blur (divide by col sums), y-blur (divide by row sums), +0.5, clamp,
     truncating uint8 cast."""
+    kern_np = np.asarray(kern)
     x = img.astype(jnp.float32)
-    tmp = _depthwise_1d(x, kern, axis=2) / col_sums[None, None, :, None]
-    out = _depthwise_1d(tmp, kern, axis=1) / row_sums[None, :, None, None]
+    tmp = _shift_fma_1d(x, kern_np, axis=2) / col_sums[None, None, :, None]
+    out = _shift_fma_1d(tmp, kern_np, axis=1) / row_sums[None, :, None, None]
     return jnp.clip(out + 0.5, 0.0, 255.0).astype(jnp.uint8)
