@@ -473,9 +473,13 @@ def match_template(img: jnp.ndarray, templ: jnp.ndarray, method: str
     n = th * tw * c
 
     # cross-correlation via conv: NHWC x HWIO
+    # HIGHEST: the TPU default would run the MXU pass in bf16 (~1e-3
+    # relative error, measured on v5e); group=1 convs are otherwise exact
     ccorr = lax.conv_general_dilated(
         x, t[:, :, :, None], (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))[..., 0]
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)[..., 0]
     if method == "ccorr":
         return ccorr
 
@@ -509,7 +513,9 @@ def match_template(img: jnp.ndarray, templ: jnp.ndarray, method: str
         tc = (td - t_mean_c[None, None, :]).astype(jnp.float32)
         num = lax.conv_general_dilated(
             x, tc[:, :, :, None], (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))[..., 0]
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)[..., 0]
         if method == "ccoeff":
             return num
         img_var = s2 - jnp.sum(s1c * s1c, axis=-1) / n_pix
