@@ -195,3 +195,39 @@ def test_transcoder_bad_profile_rejected(tmp_path):
         Transcoder("a.y4m", "b.mkv", profile="matroska")
     with _pytest.raises(ValueError):
         Transcoder("a.y4m", "b.pnm", profile="pnm")  # no %d pattern
+
+
+def test_camera_viewfinder_and_previews(tmp_path):
+    """Viewfinder branch + post-previews/preview-caps
+    (gstcamerabin2.c:33-76,713-756)."""
+    from gstbad_tpu.session.camera import Camera, MODE_VIDEO
+
+    seen = []
+    cam = Camera(source="videotestsrc pattern=gradient width=64 height=48 "
+                 "format=AYUV",
+                 location=str(tmp_path / "img_%d.pnm"),
+                 post_previews=True, preview_width=16, preview_height=12,
+                 window=2)
+    cam.set_viewfinder(lambda b, spec: seen.append(b.data.shape))
+    assert cam.idle and cam.ready_for_capture
+    cam.run_viewfinder(2)                    # idle preview, no capture
+    assert len(seen) == 2
+    cam.start_capture()
+    assert len(seen) == 3                    # capture frames also flow
+    msgs = cam.bus.pop(name="preview-image")
+    assert len(msgs) == 1
+    img = msgs[0].fields["buffer"]
+    assert img.shape[:2] == (12, 16)         # preview-caps rescale
+    assert msgs[0].fields["location"].endswith("img_0.pnm")
+
+    cam2 = Camera(source="videotestsrc pattern=ball width=64 height=48 "
+                  "format=AYUV", mode=MODE_VIDEO,
+                  location=str(tmp_path / "vid_%d.raw"),
+                  post_previews=True, window=2)
+    cam2.start_capture()
+    assert not cam2.idle
+    cam2.step()
+    out = cam2.stop_capture()
+    assert out and cam2.idle
+    pv = cam2.bus.pop(name="preview-image")
+    assert len(pv) == 1 and pv[0].fields["location"].endswith("vid_0.raw")
