@@ -464,6 +464,14 @@ class Pipeline:
                 drained.setdefault(el.NAME, []).append(np_batch)
         return drained
 
+    def close(self) -> None:
+        """Tear down to NULL (gst_element_set_state(NULL) analog): every
+        element with a close() hook flushes/releases its host resources
+        (file sinks write their container tails, rings unmap, ...)."""
+        for n in self.nodes:
+            if hasattr(n.element, "close"):
+                n.element.close()
+
     # -- runtime graph editing (insertbin analog) ------------------------------
     # gst-libs/gst/insertbin/gstinsertbin.c exposes insert_before/after and
     # remove on a RUNNING bin, draining pads around the edit.  Here the graph

@@ -244,3 +244,106 @@ class Y4mFileSink(Element):
                       for k in self._frames[0]}
             y4m.write_y4m(self.props["location"], self.out_spec, merged)
             self._frames = []
+
+
+@register
+class AiffFileSrc(Element):
+    """aiffparse analog (gst/aiff/aiffparse.c) as a file source: parse
+    FORM/COMM/SSND into the audio MediaSpec and emit [B, S, C] sample
+    windows.  S8 widens to S16 (same values) and S24 to S32
+    (sign-extended) to land on the framework's native AudioFormat set —
+    io/aiff.py documents the byte-level parsing quirks kept."""
+
+    NAME = "aifffilesrc"
+    KIND = "host-source"
+    PROPERTIES = (
+        Property("location", str, "in.aiff", static=True),
+        Property("samplesperbuffer", int, 1024, 1, None, static=True),
+    )
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        self._samples = None
+        self._pos = 0
+
+    def negotiate(self, in_spec):
+        from gstbad_tpu.io import aiff
+        spec, samples = aiff.read_aiff(self.props["location"])
+        if spec.format == "S8":
+            import dataclasses
+            samples = samples.astype(np.int16)
+            spec = dataclasses.replace(spec, format="S16")
+        self._samples = samples
+        self._rate = spec.rate
+        return spec
+
+    def pull_window(self, window: int):
+        import jax.numpy as jnp
+        s = self.props["samplesperbuffer"]
+        total = self._samples.shape[0]
+        if self._pos >= total:
+            return None
+        blocks = []
+        pts = []
+        for _ in range(window):
+            if self._pos >= total:
+                blocks.append(np.zeros((s,) + self._samples.shape[1:],
+                                       self._samples.dtype))
+                pts.append(pts[-1] if pts else 0)
+                continue
+            chunk = self._samples[self._pos:self._pos + s]
+            if chunk.shape[0] < s:
+                chunk = np.pad(chunk, ((0, s - chunk.shape[0]), (0, 0)))
+            blocks.append(chunk)
+            pts.append(self._pos * 10 ** 9 // self._rate)
+            self._pos += s
+        valid = jnp.asarray([p * self._rate // 10 ** 9 < total or i == 0
+                             for i, p in enumerate(pts)])
+        return FrameBatch.make(jnp.asarray(np.stack(blocks)),
+                               pts=jnp.asarray(np.asarray(pts, np.int64)))
+
+    def save_position(self):
+        return self._pos
+
+    def restore_position(self, pos) -> None:
+        self._pos = pos
+
+    def process(self, params, state, batch):
+        return state, batch
+
+
+@register
+class AiffFileSink(Element):
+    """aiffmux ! filesink analog: accumulate [B, S, C] windows, write one
+    AIFF (AIFC for float formats) at close (aiffmux.c:213-249)."""
+
+    NAME = "aifffilesink"
+    KIND = "sink"
+    HOST = True
+    PROPERTIES = (Property("location", str, "out.aiff", static=True),)
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        self._blocks = []
+
+    def negotiate(self, in_spec):
+        from gstbad_tpu.core.spec import require
+        require(in_spec.kind == "audio",
+                "aifffilesink: needs audio input")
+        return in_spec
+
+    def process(self, params, state, batch):
+        return state, batch
+
+    def host_process(self, np_batch, bus) -> None:
+        valid = np.asarray(np_batch.valid)
+        data = np.asarray(np_batch.data)[valid]
+        if data.shape[0]:
+            self._blocks.append(data.reshape(-1, data.shape[-1]))
+
+    def close(self):
+        from gstbad_tpu.io import aiff
+        if self._blocks:
+            aiff.write_aiff(self.props["location"], self.out_spec,
+                            np.concatenate(self._blocks))
+            self._blocks = []
