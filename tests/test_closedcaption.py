@@ -1,0 +1,207 @@
+"""closedcaption family: line21 waveform golden, encoder/decoder round
+trip, cccombiner/ccextractor cc-plane flow (ext/closedcaption/)."""
+
+import fractions
+
+import numpy as np
+import jax.numpy as jnp
+
+import gstbad_tpu as gt
+from gstbad_tpu.core.frame import FrameBatch
+from gstbad_tpu.core.pipeline import Pipeline
+from gstbad_tpu.core.spec import MediaSpec
+from gstbad_tpu.golden import line21 as G
+from gstbad_tpu.ops import line21 as O
+
+
+def _pairs(rng, n):
+    return np.stack(
+        [[G.parity_byte(int(rng.integers(0, 128))),
+          G.parity_byte(int(rng.integers(0, 128)))] for _ in range(n)]
+    ).astype(np.uint8)
+
+
+def test_ops_match_golden_and_roundtrip():
+    rng = np.random.default_rng(0)
+    pairs = _pairs(rng, 32)
+    enc_g = np.stack([G.encode_line(int(p[0]), int(p[1])) for p in pairs])
+    np.testing.assert_array_equal(
+        np.asarray(O.encode_lines(jnp.asarray(pairs))), enc_g)
+    found, dec = O.decode_lines(jnp.asarray(enc_g))
+    assert np.asarray(found).all()
+    np.testing.assert_array_equal(np.asarray(dec), pairs)
+    # plain video content must not decode
+    junk = rng.integers(0, 256, (6, 720)).astype(np.uint8)
+    f2, _ = O.decode_lines(jnp.asarray(junk))
+    assert not np.asarray(f2).any()
+
+
+def _i420(b, h, w, rng):
+    return {"y": jnp.asarray(rng.integers(16, 235, (b, h, w), np.uint8)),
+            "u": jnp.asarray(rng.integers(16, 240, (b, h // 2, w // 2),
+                                          np.uint8)),
+            "v": jnp.asarray(rng.integers(16, 240, (b, h // 2, w // 2),
+                                          np.uint8))}
+
+
+def _s334(pairs_f1, pairs_f2):
+    b = pairs_f1.shape[0]
+    cc = np.zeros((b, 6), np.uint8)
+    cc[:, 0] = 0x80
+    cc[:, 1:3] = pairs_f1
+    cc[:, 3] = 0x00
+    cc[:, 4:6] = pairs_f2
+    return cc
+
+
+def test_encoder_decoder_pipeline_roundtrip():
+    rng = np.random.default_rng(1)
+    b, h, w = 4, 525, 720
+    f1 = _pairs(rng, b)
+    f2 = _pairs(rng, b)
+    cc = _s334(f1, f2)
+
+    enc = gt.make("line21encoder")
+    dec = gt.make("line21decoder")
+    p = Pipeline([enc, dec])
+    p.negotiate(MediaSpec(kind="video", format="I420", width=w, height=h,
+                          framerate=fractions.Fraction(30)))
+    data = dict(_i420(b, h, w, rng))
+    data["cc"] = jnp.asarray(cc)
+    outs = p.run(inputs=FrameBatch.make(data))
+    out = outs[0]
+    got_cc = np.asarray(out.data["cc"])
+    np.testing.assert_array_equal(got_cc[:, 1:3], f1)
+    np.testing.assert_array_equal(got_cc[:, 4:6], f2)
+    # waveform rows landed at 21/22 (gstline21enc.c:517-520)
+    y = np.asarray(out.data["y"])
+    for i in range(b):
+        np.testing.assert_array_equal(
+            y[i, 21], G.encode_line(int(f1[i, 0]), int(f1[i, 1])))
+        np.testing.assert_array_equal(
+            y[i, 22], G.encode_line(int(f2[i, 0]), int(f2[i, 1])))
+    msgs = p.bus.pop(name="line21")
+    assert len(msgs) == b
+
+
+def test_reduced_height_uses_line_1():
+    rng = np.random.default_rng(2)
+    b, h, w = 2, 486, 720
+    f1 = _pairs(rng, b)
+    f2 = _pairs(rng, b)
+    enc = gt.make("line21encoder")
+    p = Pipeline([enc])
+    p.negotiate(MediaSpec(kind="video", format="I420", width=w, height=h,
+                          framerate=fractions.Fraction(30)))
+    data = dict(_i420(b, h, w, rng))
+    data["cc"] = jnp.asarray(_s334(f1, f2))
+    out = p.run(inputs=FrameBatch.make(data))[0]
+    y = np.asarray(out.data["y"])
+    np.testing.assert_array_equal(
+        y[0, 1], G.encode_line(int(f1[0, 0]), int(f1[0, 1])))
+    np.testing.assert_array_equal(
+        y[0, 2], G.encode_line(int(f2[0, 0]), int(f2[0, 1])))
+
+
+def test_combiner_and_extractor():
+    rng = np.random.default_rng(3)
+    b, h, w = 3, 48, 64
+    f1 = _pairs(rng, b)
+    f2 = _pairs(rng, b)
+    cc = _s334(f1, f2)
+
+    from gstbad_tpu.core.pipeline import Node
+
+    vsrc = gt.make("appsrc", format="I420", width=w, height=h)
+    csrc = gt.make("appsrc", format="I420", width=6, height=1)
+    comb = gt.make("cccombiner")
+    ext = gt.make("ccextractor", **{"remove-caption-meta": True})
+    nv, nc = Node(vsrc), Node(csrc)
+    ncomb = Node(comb)
+    ncomb.inputs = [nv, nc]
+    next_ = Node(ext)
+    next_.inputs = [ncomb]
+    p = Pipeline(nodes=[nv, nc, ncomb, next_])
+    p.negotiate()
+    vsrc.push_frames(
+        {k: np.asarray(v) for k, v in _i420(b, h, w, rng).items()})
+    csrc.push_frames(cc)
+    outs = p.run(window=b)
+    out = outs[0]
+    assert "cc" not in out.data                  # extractor stripped it
+    msgs = p.bus.pop(name="cc-data")
+    assert len(msgs) == b
+    got = np.stack([np.asarray(m.fields["data"]) for m in msgs])
+    np.testing.assert_array_equal(got, cc)
+
+
+def test_decoder_no_false_positive_on_plain_video():
+    rng = np.random.default_rng(4)
+    b, h, w = 2, 525, 720
+    dec = gt.make("line21decoder")
+    p = Pipeline([dec])
+    p.negotiate(MediaSpec(kind="video", format="I420", width=w, height=h,
+                          framerate=fractions.Fraction(30)))
+    out = p.run(inputs=FrameBatch.make(_i420(b, h, w, rng)))[0]
+    cc = np.asarray(out.data["cc"])
+    np.testing.assert_array_equal(
+        cc, np.tile([0x80, 0x80, 0x80, 0, 0x80, 0x80], (b, 1)))
+    assert not p.bus.pop(name="line21")
+
+
+def test_cea608_io_conversions():
+    """io/cea608.py vs hand-built vectors (gstccconverter.c paths)."""
+    from gstbad_tpu.io import cea608 as C
+
+    raw = bytes([0x94, 0x2C, 0x80, 0x80])
+    s334 = C.raw_to_s334(raw)
+    assert s334 == bytes([0x80, 0x94, 0x2C, 0x80, 0x80, 0x80])
+    assert C.s334_to_raw(s334) == raw
+    ccd = C.s334_to_cc_data(bytes([0x80, 1, 2, 0x00, 3, 4]))
+    assert ccd == bytes([0xFC, 1, 2, 0xFD, 3, 4])
+    assert C.cc_data_to_s334(ccd) == bytes([0x80, 1, 2, 0x00, 3, 4])
+
+    cdp = C.cc_data_to_cdp(ccd, (30000, 1001), sequence=7)
+    assert cdp[:2] == b"\x96\x69" and cdp[2] == len(cdp)
+    assert cdp[3] == 0x4F                       # 29.97 fps idx
+    assert (sum(cdp) & 0xFF) == 0               # additive checksum
+    got, fps = C.cdp_to_cc_data(cdp)
+    assert fps == (30000, 1001)
+    assert got[:6] == ccd and set(got[6::3]) == {0xFA}
+    # compact drops the padding triplets (not cc_valid)
+    assert C.compact_cc_data(got) == ccd
+
+
+def test_ccconverter_element_cdp_roundtrip():
+    from gstbad_tpu.io import cea608 as C
+
+    rng = np.random.default_rng(5)
+    b, h, w = 3, 48, 64
+    f1 = _pairs(rng, b)
+    f2 = _pairs(rng, b)
+    cc = _s334(f1, f2)
+
+    enc = gt.make("ccconverter", **{"input-type": "s334-1a",
+                                    "output-type": "cdp"})
+    p = Pipeline([enc])
+    p.negotiate(MediaSpec(kind="video", format="I420", width=w, height=h,
+                          framerate=fractions.Fraction(30)))
+    data = dict(_i420(b, h, w, rng))
+    data["cc"] = jnp.asarray(cc)
+    out = p.run(inputs=FrameBatch.make(data))[0]
+    cdp = np.asarray(out.data["cc"])
+    for i in range(b):
+        # matches the io-layer spec byte for byte (sequence = frame index)
+        want = C.cc_data_to_cdp(C.s334_to_cc_data(bytes(cc[i])),
+                                (30, 1), sequence=i)
+        np.testing.assert_array_equal(cdp[i], np.frombuffer(want, np.uint8))
+    # and back
+    dec = gt.make("ccconverter", **{"input-type": "cdp",
+                                    "output-type": "s334-1a"})
+    p2 = Pipeline([dec])
+    p2.negotiate(MediaSpec(kind="video", format="I420", width=w, height=h,
+                           framerate=fractions.Fraction(30)))
+    d2 = dict(_i420(b, h, w, rng))
+    d2["cc"] = jnp.asarray(cdp)
+    out2 = p2.run(inputs=FrameBatch.make(d2))[0]
+    np.testing.assert_array_equal(np.asarray(out2.data["cc"]), cc)
