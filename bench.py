@@ -104,7 +104,10 @@ def c_baseline_fps():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="ten_element")
-    ap.add_argument("--window", type=int, default=8)
+    # window 16 amortizes the relay's per-execute dispatch (~2 ms):
+    # measured 570/695/729/812 fps at window 4/8/16/32 on the headline
+    # graph, but 32 blows the relay compile budget (observed >25 min)
+    ap.add_argument("--window", type=int, default=16)
     ap.add_argument("--windows", type=int, default=8)
     ap.add_argument("--all", action="store_true",
                     help="also sweep every BENCHMARKS config")
