@@ -21,6 +21,17 @@ import numpy as np
 
 
 @dataclass
+class LineCtrl:
+    """One CHG_COLCON LN_CTLI entry (gstspu-vobsub.c:96-120): video
+    lines [top, bottom] switch palettes at the pix-ctrl `left` columns;
+    each 32-bit palette word packs index nibbles (bits 28..16) and alpha
+    nibbles (bits 12..0), colour 3 high."""
+    top: int
+    bottom: int
+    changes: List[Tuple[int, int]]      # (left, palette word)
+
+
+@dataclass
 class SpuPicture:
     rect: Tuple[int, int, int, int] = (0, 0, 0, 0)  # top,left,bottom,right
     pix_offsets: Tuple[int, int] = (0, 0)           # top/bottom field
@@ -29,6 +40,7 @@ class SpuPicture:
     forced: bool = False
     show_ticks: Optional[int] = None   # delay of the DCSQ with DSP
     hide_ticks: Optional[int] = None   # delay of the DCSQ with STP_DSP
+    line_ctrl: List[LineCtrl] = field(default_factory=list)
     data: bytes = b""
 
     @property
@@ -105,10 +117,14 @@ def parse_spu(data: bytes) -> SpuPicture:
                 pic.pix_offsets = ((data[i + 1] << 8) | data[i + 2],
                                    (data[i + 3] << 8) | data[i + 4])
                 i += 5
-            elif cmd == 0x07:               # CHG_COLCON (skipped)
+            elif cmd == 0x07:               # CHG_COLCON
                 if i + 3 >= end:
                     break
                 fs = (data[i + 1] << 8) | data[i + 2]
+                if i + 1 + fs >= end + 1:
+                    break
+                pic.line_ctrl = _parse_chg_colcon(
+                    data[i + 3:i + 1 + fs])
                 i += 1 + fs
             else:                           # END / unknown
                 break
@@ -116,6 +132,34 @@ def parse_spu(data: bytes) -> SpuPicture:
             break
         off = next_off
     return pic
+
+
+def _parse_chg_colcon(body: bytes) -> List[LineCtrl]:
+    """gst_dvd_spu_parse_chg_colcon (gstspu-vobsub.c:55-121): LN_CTLI
+    entries until the 0x0FFFFFFF terminator, each with 1-8 clamped
+    PX_CTLI changes."""
+    out: List[LineCtrl] = []
+    pos = 0
+    while pos + 4 <= len(body):
+        code = int.from_bytes(body[pos:pos + 4], "big")
+        if code == 0x0FFFFFFF:
+            break
+        n_changes = min(max(body[pos + 2] >> 4, 1), 8)
+        end = pos + 4 + 6 * n_changes
+        if end > len(body):
+            break
+        top = ((body[pos] << 8) & 0x300) | body[pos + 1]
+        bottom = ((body[pos + 2] << 8) & 0x300) | body[pos + 3]
+        changes = []
+        cur = pos + 4
+        for _ in range(n_changes):
+            left = ((body[cur] << 8) & 0x300) | body[cur + 1]
+            palette = int.from_bytes(body[cur + 2:cur + 6], "big")
+            changes.append((left, palette))
+            cur += 6
+        out.append(LineCtrl(top, bottom, changes))
+        pos = end
+    return out
 
 
 def decode_rle(pic: SpuPicture) -> np.ndarray:
@@ -160,27 +204,60 @@ def decode_rle(pic: SpuPicture) -> np.ndarray:
     return out
 
 
+def _palette(main_idx: List[int], main_alpha: List[int],
+             clut: Optional[np.ndarray]) -> np.ndarray:
+    """gstspu_vobsub_recalc_palette (gstspu-vobsub-render.c:40-66):
+    CLUT-backed colours, or the reference's guessed white/grey ramp."""
+    pal = np.zeros((4, 4), np.uint8)  # A,Y,U,V per colour
+    if clut is not None and int(clut[main_idx[0]]) != 0:
+        for i in range(4):
+            col = int(clut[main_idx[i]])
+            a = (main_alpha[i] << 4) | main_alpha[i]
+            pal[i] = (a, (col >> 16) & 0xFF, col & 0xFF, (col >> 8) & 0xFF)
+    else:
+        y = 240
+        for i in range(4):
+            a = (main_alpha[i] << 4) | main_alpha[i]
+            yv = 0
+            if main_alpha[i] != 0:
+                yv = y
+                y = max(y - 112, 0)
+            pal[i] = (a, yv, 128, 128)
+    return pal
+
+
 def spu_to_ayuv(pic: SpuPicture, clut: Optional[np.ndarray] = None
                 ) -> np.ndarray:
     """Indices + palette -> [H, W, 4] AYUV overlay.
 
     clut: 16 u32 words 0x00YVU (V and U swapped in the word, like the DVD
     CLUT the reference receives in events, gstspu-vobsub-render.c:40-49);
-    None uses the reference's guessed white/grey/black ramp (:51-66)."""
+    None uses the reference's guessed white/grey/black ramp (:51-66).
+
+    CHG_COLCON per-line palettes apply afterwards: video lines within a
+    LN_CTLI's [top, bottom] re-map their indices from each PX_CTLI
+    `left` column on with that change's palette
+    (gstspu_vobsub_render_line_with_chgcol,
+    gstspu-vobsub-render.c:224-231, 108-129)."""
     idx = decode_rle(pic)
-    pal = np.zeros((4, 4), np.uint8)  # A,Y,U,V per colour
-    if clut is not None and int(clut[pic.main_idx[0]]) != 0:
-        for i in range(4):
-            col = int(clut[pic.main_idx[i]])
-            a = (pic.main_alpha[i] << 4) | pic.main_alpha[i]
-            pal[i] = (a, (col >> 16) & 0xFF, col & 0xFF, (col >> 8) & 0xFF)
-    else:
-        y = 240
-        for i in range(4):
-            a = (pic.main_alpha[i] << 4) | pic.main_alpha[i]
-            yv = 0
-            if pic.main_alpha[i] != 0:
-                yv = y
-                y = max(y - 112, 0)
-            pal[i] = (a, yv, 128, 128)
-    return pal[idx]
+    out = _palette(pic.main_idx, pic.main_alpha, clut)[idx]
+    top, left = pic.rect[0], pic.rect[1]
+    h, w = idx.shape
+    for lc in pic.line_ctrl:
+        y0 = max(lc.top - top, 0)
+        y1 = min(lc.bottom - top, h - 1)
+        if y1 < y0:
+            continue
+        for c, (seg_left, word) in enumerate(lc.changes):
+            seg_idx = [(word >> 16) & 0xF, (word >> 20) & 0xF,
+                       (word >> 24) & 0xF, (word >> 28) & 0xF]
+            seg_alpha = [word & 0xF, (word >> 4) & 0xF,
+                         (word >> 8) & 0xF, (word >> 12) & 0xF]
+            x0 = max(seg_left - left, 0)
+            x1 = (min(lc.changes[c + 1][0] - left, w)
+                  if c + 1 < len(lc.changes) else w)
+            if x1 <= x0:
+                continue
+            pal = _palette(seg_idx, seg_alpha, clut)
+            out[y0:y1 + 1, x0:x1] = pal[idx[y0:y1 + 1, x0:x1]]
+    return out

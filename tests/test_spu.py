@@ -132,3 +132,45 @@ def test_dvdspu_element_blends_in_window():
     np.testing.assert_array_equal(out[1, 4, 8], out[0, 4, 8])
     # frame 2: window expired -> untouched
     np.testing.assert_array_equal(out[2], img[2])
+
+
+def test_chg_colcon_per_line_palettes():
+    """CHG_COLCON (gstspu-vobsub.c:55-121, 217-234): lines in [top,
+    bottom] re-map colours from each change's left column on."""
+    # Build a CHG_COLCON command block: one LN_CTLI covering video lines
+    # 5..6 with two changes: cols>=8 palette A, cols>=16 palette B.
+    # Palette word: idx nibbles bits 28..16 (c3..c0), alpha 12..0.
+    def palword(idx, alpha):
+        w = 0
+        for i in range(4):
+            w |= idx[i] << (16 + 4 * i)
+            w |= alpha[i] << (4 * i)
+        return w
+
+    ln = bytes([0x00, 5, (2 << 4) | 0x00, 6])     # top=5, n=2, bottom=6
+    ch1 = bytes([0x00, 8]) + palword([4, 5, 6, 7],
+                                     [15, 15, 15, 15]).to_bytes(4, "big")
+    ch2 = bytes([0x00, 16]) + palword([8, 9, 10, 11],
+                                      [15, 0, 15, 15]).to_bytes(4, "big")
+    body = ln + ch1 + ch2 + (0x0FFFFFFF).to_bytes(4, "big")
+
+    pic = spuio.parse_spu(make_spu_packet())
+    pic.line_ctrl = spuio._parse_chg_colcon(body)
+    assert len(pic.line_ctrl) == 1
+    lc = pic.line_ctrl[0]
+    assert (lc.top, lc.bottom) == (5, 6)
+    assert lc.changes[0][0] == 8 and lc.changes[1][0] == 16
+
+    clut = np.arange(16, dtype=np.uint32) * 0x00111111
+    ov = spuio.spu_to_ayuv(pic, clut)
+    base = spuio.spu_to_ayuv(spuio.parse_spu(make_spu_packet()), clut)
+    # rows 4 and 7 (video lines 4, 7) unchanged; rows 5-6 remapped
+    np.testing.assert_array_equal(ov[0], base[0])
+    np.testing.assert_array_equal(ov[3], base[3])
+    # pixel colour index at row 1 (video line 5): cols 0..7 are colour 1,
+    # cols 8.. are colour 2 (make_spu_packet layout), all cols >= left=8
+    # of the rect start -> change 1 palette (idx 4+i) applies at rect
+    # x 0..7 (video cols 8..15), change 2 (idx 8+i) at x >= 8
+    assert ov[1, 0, 1] == (clut[4 + 1] >> 16) & 0xFF     # colour 1 -> idx 5
+    assert ov[1, 8, 1] == (clut[8 + 2] >> 16) & 0xFF     # colour 2 -> idx 10
+    assert ov[1, 8, 0] == 0xFF                           # alpha f -> 255
