@@ -104,10 +104,11 @@ def c_baseline_fps():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="ten_element")
-    # window 16 amortizes the relay's per-execute dispatch (~2 ms):
-    # measured 570/695/729/812 fps at window 4/8/16/32 on the headline
-    # graph, but 32 blows the relay compile budget (observed >25 min)
-    ap.add_argument("--window", type=int, default=16)
+    # window 8: larger windows measure faster (570/695/729/812 fps at
+    # 4/8/16/32 — the relay's ~2 ms per-execute dispatch amortizes) but
+    # both 16 and 32 blow the 600 s from-scratch compile watchdog on the
+    # relay; 8 is the largest that reliably compiles cold
+    ap.add_argument("--window", type=int, default=8)
     ap.add_argument("--windows", type=int, default=8)
     ap.add_argument("--all", action="store_true",
                     help="also sweep every BENCHMARKS config")
