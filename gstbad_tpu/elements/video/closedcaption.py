@@ -347,3 +347,85 @@ class CcConverter(Element):
         if is_dict:
             return state, batch.with_data({**batch.data, "cc": out})
         return state, batch.with_data(out)
+
+
+@register
+class CeaCcOverlay(Element):
+    """ceaccoverlay (ext/closedcaption/gstceaccoverlay.c): decode CEA-708
+    DTVCC captions (io/cea708.py) and blend the caption windows onto
+    AYUV video.
+
+    Caption data arrives via `push_cc(data, pts_ns, kind)` before the
+    run (the reference takes a caption sink pad; same host-push model as
+    dvdspu/dvbsuboverlay): kind "cc-data" (raw triplets), "cdp" (the
+    0x9669 packet — unwrapped via io/cea608.py like
+    extract_ccdata_from_cdp, gstceaccoverlay.c:1575-1639) or "s334-1a"
+    (608-only payloads carry no 708 data and render nothing).  Each feed
+    that completes DTVCC windows snapshots an overlay shown from its PTS
+    until the next snapshot; `silent` mutes rendering;
+    `service-number` selects the DTVCC service (1-63, default 1).
+    Rendering uses the fixed bitmap face (data/cc_font.npz) instead of
+    the reference's Pango/Cairo + font-desc markup — documented."""
+
+    NAME = "ceaccoverlay"
+    PROPERTIES = (
+        Property("silent", bool, False, static=True),
+        Property("service-number", int, 1, 1, 63, static=True),
+    )
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        from gstbad_tpu.io.cea708 import Cea708Decoder
+        self._decoder = Cea708Decoder(
+            int(self.props["service-number"]))
+        self._snapshots = []      # (pts_ns, decoder-state snapshot fn)
+        self._pending = []        # raw (pts, cc_data) feeds
+
+    def push_cc(self, data: bytes, pts_ns: int = 0,
+                kind: str = "cc-data") -> None:
+        from gstbad_tpu.io import cea608
+        if kind == "cdp":
+            data, _fps = cea608.cdp_to_cc_data(bytes(data))
+        elif kind == "s334-1a":
+            data = cea608.s334_to_cc_data(bytes(data))
+        elif kind != "cc-data":
+            raise ValueError(f"ceaccoverlay: unknown kind {kind!r}")
+        self._pending.append((int(pts_ns), bytes(data)))
+
+    def negotiate(self, in_spec):
+        require(in_spec.kind == "video"
+                and in_spec.format == VideoFormat.AYUV,
+                "ceaccoverlay: needs AYUV video (use videoconvert)")
+        return in_spec
+
+    def _render_snapshots(self, width: int, height: int):
+        from gstbad_tpu.io.cea708 import render_overlay
+        out = []
+        for pts, data in sorted(self._pending, key=lambda t: t[0]):
+            if self._decoder.feed_cc_data(data):
+                out.append((pts, render_overlay(self._decoder, width,
+                                                height)))
+        return out
+
+    def process(self, params, state, batch: FrameBatch):
+        if self.props["silent"] or not self._pending:
+            return state, batch
+        out = batch.data
+        b, h, w, _ = out.shape
+        if not self._snapshots:
+            self._snapshots = self._render_snapshots(w, h)
+        for i, (pts, canvas) in enumerate(self._snapshots):
+            ov = jnp.asarray(canvas)
+            a = ov[..., 0].astype(jnp.int32)
+            active = batch.pts >= pts
+            if i + 1 < len(self._snapshots):
+                active = active & (batch.pts < self._snapshots[i + 1][0])
+            act = active[:, None, None, None]
+            d = out.astype(jnp.int32)
+            s = ov.astype(jnp.int32)
+            blended = (d * (256 - a[None, ..., None])
+                       + s * a[None, ..., None]) >> 8
+            blended = blended.at[..., 0].set(d[..., 0])
+            out = jnp.where(act & (a[None] > 0)[..., None],
+                            blended.astype(jnp.uint8), out)
+        return state, batch.with_data(out)

@@ -205,3 +205,113 @@ def test_ccconverter_element_cdp_roundtrip():
     d2["cc"] = jnp.asarray(cdp)
     out2 = p2.run(inputs=FrameBatch.make(d2))[0]
     np.testing.assert_array_equal(np.asarray(out2.data["cc"]), cc)
+
+
+def _svc_block(service, payload):
+    assert len(payload) <= 31
+    return bytes([(service << 5) | len(payload)]) + payload
+
+
+def _dtvcc_packet(service_payload, seq=0):
+    body = service_payload
+    # packet_size field: DTVCC_PKT_SIZE(n)*2-1 bytes follow; use the
+    # padded convention: total (1 + len) even
+    if len(body) % 2 == 0:
+        body += b"\x00"
+    size_code = (len(body) + 1) // 2
+    return bytes([(seq << 6) | size_code]) + body
+
+
+def _cc_data_from_dtvcc(pkt):
+    """Wrap a DTVCC packet into cc_data triplets: first pair type 3,
+    rest type 2 (gstceaccoverlay.c:1549-1560)."""
+    if len(pkt) % 2:
+        pkt += b"\x00"
+    out = bytearray()
+    for i in range(0, len(pkt), 2):
+        t = 3 if i == 0 else 2
+        out += bytes([0x04 | t, pkt[i], pkt[i + 1]])
+    return bytes(out)
+
+
+def test_cea708_decode_text_window():
+    from gstbad_tpu.io import cea708 as C
+
+    # DF0: visible window at anchor 0, 2 rows x 16 cols, then text
+    df0 = bytes([C.CMD_DF0, 0x20, 10, 40, (0 << 4) | 1, 15, 0])
+    text = b"HI 708"
+    etx = bytes([0x03])
+    payload = _svc_block(1, df0 + text + etx)
+    pkt = _dtvcc_packet(payload)
+    dec = C.Cea708Decoder()
+    need1 = dec.feed_cc_data(_cc_data_from_dtvcc(pkt))
+    # packet flushes when the NEXT one starts; push an empty starter
+    need2 = dec.feed_cc_data(_cc_data_from_dtvcc(_dtvcc_packet(
+        _svc_block(1, bytes([0x03])))))
+    assert need1 or need2
+    win = dec.windows[0]
+    assert not win.deleted and win.visible
+    row0 = "".join(chr(c) for c in win.text[0][:6])
+    assert row0 == "HI 708"
+    assert win.row_count == 2 and win.column_count == 16
+
+    ov = C.render_overlay(dec, 320, 240)
+    assert (ov[..., 0] == 255).any()          # window box present
+    assert (ov[..., 1] > 0).any()             # glyph pixels
+
+
+def test_cea708_commands_clear_hide_delete():
+    from gstbad_tpu.io import cea708 as C
+
+    dec = C.Cea708Decoder()
+    df0 = bytes([C.CMD_DF0, 0x20, 10, 40, 0x01, 15, 0])
+    seq = df0 + b"ABC" + bytes([C.CMD_HDW, 0x01])  # hide window 0
+    dec.feed_cc_data(_cc_data_from_dtvcc(_dtvcc_packet(_svc_block(1, seq))))
+    dec.feed_cc_data(_cc_data_from_dtvcc(_dtvcc_packet(
+        _svc_block(1, bytes([0x03])))))
+    assert not dec.windows[0].visible
+    assert "".join(chr(c) for c in dec.windows[0].text[0][:3]) == "ABC"
+    # display again, then CLW clears the text
+    seq2 = bytes([C.CMD_DSW, 0x01, C.CMD_CLW, 0x01])
+    dec.feed_cc_data(_cc_data_from_dtvcc(_dtvcc_packet(_svc_block(1, seq2))))
+    dec.feed_cc_data(_cc_data_from_dtvcc(_dtvcc_packet(
+        _svc_block(1, bytes([0x03])))))
+    assert dec.windows[0].visible
+    assert all(c == 0x20 for c in dec.windows[0].text[0])
+    # DLW deletes
+    dec.feed_cc_data(_cc_data_from_dtvcc(_dtvcc_packet(
+        _svc_block(1, bytes([C.CMD_DLW, 0x01])))))
+    dec.feed_cc_data(_cc_data_from_dtvcc(_dtvcc_packet(
+        _svc_block(1, bytes([0x03])))))
+    assert dec.windows[0].deleted
+
+
+def test_ceaccoverlay_element():
+    from gstbad_tpu.io import cea708 as C
+
+    df0 = bytes([C.CMD_DF0, 0x20, 30, 50, 0x01, 15, 0])
+    pkt1 = _dtvcc_packet(_svc_block(1, df0 + b"CAPTION" + bytes([0x03])))
+    flusher = _dtvcc_packet(_svc_block(1, bytes([0x03])))
+
+    el = gt.make("ceaccoverlay")
+    el.push_cc(_cc_data_from_dtvcc(pkt1), pts_ns=0)
+    el.push_cc(_cc_data_from_dtvcc(flusher), pts_ns=10)
+    p = Pipeline([el])
+    w, h = 320, 240
+    p.negotiate(MediaSpec(kind="video", format="AYUV", width=w, height=h,
+                          framerate=fractions.Fraction(30)))
+    img = np.full((2, h, w, 4), 60, np.uint8)
+    pts = jnp.asarray([10 ** 9, 2 * 10 ** 9], jnp.int64)
+    outs = p.run(inputs=FrameBatch.make(jnp.asarray(img), pts=pts))
+    out = np.concatenate([np.asarray(o.data) for o in outs])
+    changed = (out[0] != img[0]).any(axis=-1)
+    assert changed.any()                      # caption box blended
+    # silent mutes everything
+    el2 = gt.make("ceaccoverlay", silent=True)
+    el2.push_cc(_cc_data_from_dtvcc(pkt1), pts_ns=0)
+    p2 = Pipeline([el2])
+    p2.negotiate(MediaSpec(kind="video", format="AYUV", width=w, height=h,
+                           framerate=fractions.Fraction(30)))
+    out2 = np.asarray(p2.run(
+        inputs=FrameBatch.make(jnp.asarray(img), pts=pts))[0].data)
+    np.testing.assert_array_equal(out2, img)
