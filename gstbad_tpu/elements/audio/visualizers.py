@@ -19,10 +19,13 @@ previous OUTPUT frame with a per-byte saturating subtract of the packed
 shade bytes (a lax.scan over the window; the canvas carries across
 windows in state).
 
-spectrascope/synaescope keep simplified FFT renders (the reference's
-gst_fft_s16 is fixed-point KISS FFT with per-stage scaling; its exact
-bit patterns are not reproduced) composited onto the shaded canvas with
-the reference's saturating add_pixel (gstspectrascope.c:147-170).
+spectrascope/synaescope transcribe their render loops exactly
+(gstspectrascope.c:171-233 bar/column draw incl. the mono-mixdown guint
+quirk; gstsynaescope.c:104-311 stars with the colors/shade LUTs and
+both border branches) over the scale-faithful gst_fft_s16 model
+(ops/ffts16.py + golden/ffts16.py — gst-plugins-base's fixed-point KISS
+FFT is not in the reference tree; aggregate per-stage scaling is
+reproduced, per-butterfly rounding noise is not, documented).
 """
 
 from __future__ import annotations
@@ -463,48 +466,87 @@ class SpaceScope(_Scope):
 
 @register
 class SpectraScope(_Scope):
-    """spectrascope: FFT magnitude bars composited onto the shaded canvas
-    with the reference's saturating add_pixel (gstspectrascope.c:147-214).
-    The bar magnitudes use a float FFT (the reference's fixed-point
-    gst_fft_s16 bit patterns are not reproduced — documented)."""
+    """spectrascope (gstspectrascope.c:126-233): the exact draw loop —
+    fdata[1+x]/512.0 in gfloat, y = (guint)(h*sqrt(..)) with h =
+    height-1, the 0x00FFFFFF peak overwrite, add_pixel 0x007F7F7F down
+    the column plus the doubled bottom-row add — over the scale-faithful
+    gst_fft_s16 model (ops/ffts16.py; bit-level FFT divergence
+    documented there).  The mono mixdown reproduces the reference's
+    guint accumulator with unsigned division (gstspectrascope.c:
+    190-203).  req_spf is 2*width samples; each frame renders the first
+    2*width samples of its block (zero-padded if the block is shorter)
+    — the reference's ring-buffer slide, documented approximation."""
 
     NAME = "spectrascope"
 
     def process(self, params, state, batch: FrameBatch):
-        w, h = self.props["width"], self.props["height"]
-        x = self._norm(batch.data).mean(axis=-1)  # mono mix [B, S]
-        spec = jnp.abs(jnp.fft.rfft(x, axis=-1))  # [B, S//2+1]
-        nbins = spec.shape[-1] - 1
-        cols = (jnp.arange(w) * nbins) // w
-        mag = spec[:, cols + 1]
-        bar = jnp.clip(jnp.log1p(mag) * (h / 6.0), 0, h - 1).astype(jnp.int32)
-        rows = jnp.arange(h, dtype=jnp.int32)[None, :, None]  # [1, H, 1]
-        lit = rows >= (h - bar[:, None, :])  # [B, H, W]
-        img = jnp.zeros((x.shape[0], h, w, 4), jnp.uint16)
-        img = img.at[..., 1].set(jnp.where(lit, 255, 0))
-        img = img.at[..., 2].set(jnp.where(lit, 64, 0))
+        from gstbad_tpu.ops import ffts16
+        w, height = self.props["width"], self.props["height"]
+        h = height - 1
+        nfft = 2 * w                       # req_spf = num_freq*2 - 2
+        data = self._s16(batch.data)       # [B, S, C] int32
+        b_, s_, ch = data.shape
+        if ch == 1:
+            mono = data[..., 0]
+        else:
+            v = jnp.sum(data.astype(jnp.int64), axis=-1) & 0xFFFFFFFF
+            lo = (v // ch) & 0xFFFF        # unsigned div, (gint16) trunc
+            mono = jnp.where(lo >= 0x8000, lo - 0x10000, lo
+                             ).astype(jnp.int32)
+        if s_ >= nfft:
+            mono = mono[:, :nfft]
+        else:
+            mono = jnp.pad(mono, ((0, 0), (0, nfft - s_)))
+        fr_, fi_ = ffts16.fft_s16(ffts16.window_hamming(mono))
+        fr = fr_[:, 1:w + 1].astype(jnp.float32) / jnp.float32(512.0)
+        fi = fi_[:, 1:w + 1].astype(jnp.float32) / jnp.float32(512.0)
+        mag2 = fr * fr + fi * fi           # gfloat arithmetic
+        y = (h * jnp.sqrt(mag2.astype(jnp.float64))).astype(jnp.int32)
+        y = h - jnp.minimum(y, h)          # [B, w]
 
-        def draw(canvas, add):
-            out = jnp.minimum(canvas.astype(jnp.uint16) + add, 255
-                              ).astype(jnp.uint8)
-            return (out,)
+        rows = jnp.arange(height, dtype=jnp.int32)[None, :, None]
+        count = (rows > y[:, None, :]).astype(jnp.int32) \
+            + (rows == h).astype(jnp.int32)
+        white = rows == y[:, None, :]
 
-        def body(carry, add):
-            prev = carry
-            out = draw(self._shade(prev), add)[0]
+        def draw(canvas, cnt, wh):
+            bgr = jnp.minimum(canvas[..., :3].astype(jnp.int32)
+                              + 0x7F * cnt[..., None], 255)
+            img = jnp.concatenate(
+                [bgr.astype(jnp.uint8), canvas[..., 3:]], axis=-1)
+            # peak pixel: vdata[off] = 0x00FFFFFF (overwrite incl. the
+            # x byte; order-equivalent to the C's set-before-add)
+            wword = jnp.asarray([255, 255, 255, 0], jnp.uint8)
+            return jnp.where(wh[..., None], wword, img)
+
+        def body(carry, inp):
+            cnt, wh = inp
+            out = draw(self._shade(carry), cnt, wh)
             return out, out
 
-        canvas, imgs = lax.scan(body, state["canvas"], img)
+        canvas, imgs = lax.scan(body, state["canvas"], (count, white))
         state = dict(state)
         state["canvas"] = canvas
         return state, batch.with_data(imgs)
 
 
+_SYNAE_MAXI = 20   # shade decay from 255 reaches 0 in 19 steps
+
+
 @register
 class SynaeScope(_Scope):
-    """synaescope: stereo phase/frequency colormap (simplified render:
-    FFT magnitude colored by inter-channel balance), composited with
-    add_pixel onto the shaded canvas."""
+    """synaescope (gstsynaescope.c:104-311): the exact stars render —
+    per-bin stereo sum/difference magnitudes, clarity from the
+    out-of-phase projection, x = r*w/fc, br = b*fc*0.01, the
+    colors/shade LUTs (PEAKIFY palette, *200>>8 decay), the star arms
+    with the interior (unchecked) vs border (per-direction strict
+    bounds) branches, saturating add_pixel accumulation — over the
+    scale-faithful gst_fft_s16 model (no window; ops/ffts16.py).  A
+    silent bin (ll+rr == 0) is skipped: the reference indexes with the
+    0.0/0.0 NaN there — an out-of-bounds write fixed, not reproduced
+    (documented, golden/ffts16.py).  Flat-offset semantics (x == w
+    wrapping into the next row, bottom guard band cropped) match
+    golden/visualizers.py's canvas convention."""
 
     NAME = "synaescope"
 
@@ -512,32 +554,100 @@ class SynaeScope(_Scope):
         require(in_spec.channels == 2, "synaescope: needs stereo")
         return super().negotiate(in_spec)
 
+    def prepare(self):
+        from gstbad_tpu.golden.ffts16 import synaescope_tables
+        colors, shade = synaescope_tables()
+        cb = np.stack([colors & 0xFF, (colors >> 8) & 0xFF,
+                       (colors >> 16) & 0xFF], axis=-1)   # B, G, R
+        self._colors = jnp.asarray(cb.astype(np.int32))
+        self._shade_lut = jnp.asarray(shade.astype(np.int32))
+
+    def _star_acc(self, fl_r, fl_i, fr_r, fr_i, w, h):
+        """One frame's saturating-add contributions as an int32 flat
+        accumulation [h*w + w + 2, 3] (add_pixel of non-negative colors
+        is order-free: min(base + sum, 255))."""
+        from gstbad_tpu.golden.ffts16 import SYNAE_SL as sl
+        y = jnp.arange(h, dtype=jnp.int32)
+        b = h - y
+        frl = fl_r[b].astype(jnp.float64)
+        fil = fl_i[b].astype(jnp.float64)
+        frr = fr_r[b].astype(jnp.float64)
+        fir = fr_i[b].astype(jnp.float64)
+        ll = (frl + fil) ** 2 + (frr - fir) ** 2
+        rr = (frl - fil) ** 2 + (frr + fir) ** 2
+        l = jnp.sqrt(ll)
+        r = jnp.sqrt(rr)
+        tot = ll + rr
+        live = tot > 0
+        safe = jnp.where(live, tot, 1.0)
+        clarity = (((frl + fil) * (frl - fil)
+                    + (frr + fir) * (frr - fir)) / safe * 256
+                   ).astype(jnp.int32)
+        fc = r + l
+        x = jnp.where(live, (r * w / jnp.where(live, fc, 1.0)),
+                      0.0).astype(jnp.int32)
+        br = (b.astype(jnp.float64) * fc * 0.01).astype(jnp.int32)
+        br1 = jnp.clip((br * (clarity + 128)) >> 8, 0, 255)
+        br2 = jnp.clip((br * (128 - clarity)) >> 8, 0, 255)
+
+        off = y * w + x
+        interior = (x > sl - 1) & (x < w - sl) & (y > sl - 1) & (y < h - sl)
+
+        size = h * w + w + 2
+        acc = jnp.zeros((size + 1, 3), jnp.int32)   # +1 = dump slot
+        cidx = (br1 >> 4) | (br2 & 0xF0)
+        ctr = jnp.where(live[:, None], self._colors[cidx], 0)
+        acc = acc.at[jnp.where(live, off, size)].add(ctr)
+
+        def arm_step(carry, _):
+            acc, s1, s2, i = carry
+            active = live & ((s1 | s2) != 0)
+            c = jnp.where(active[:, None],
+                          self._colors[(s1 >> 4) | (s2 & 0xF0)], 0)
+            for idx, chk in (
+                    (off - i, x - i > 0),
+                    (off + i, x + i < w - 1),
+                    (off - i * w, y - i > 0),
+                    (off + i * w, y + i < h - 1)):
+                ok = active & (interior | chk)
+                acc = acc.at[jnp.where(ok, idx, size)].add(c)
+            return (acc, self._shade_lut[s1], self._shade_lut[s2],
+                    i + 1), None
+
+        (acc, _, _, _), _ = lax.scan(
+            arm_step, (acc, br1, br2, jnp.int32(1)), None,
+            length=_SYNAE_MAXI)
+        return acc[:size]
+
     def process(self, params, state, batch: FrameBatch):
+        from gstbad_tpu.ops import ffts16
         w, h = self.props["width"], self.props["height"]
-        x = self._norm(batch.data)  # [B, S, 2]
-        fl = jnp.abs(jnp.fft.rfft(x[..., 0], axis=-1))
-        fr = jnp.abs(jnp.fft.rfft(x[..., 1], axis=-1))
-        nbins = fl.shape[-1] - 1
-        cols = (jnp.arange(w) * nbins) // w
-        ml = fl[:, cols + 1]
-        mr = fr[:, cols + 1]
-        mag = jnp.log1p(ml + mr)
-        bal = (mr + 1e-9) / (ml + mr + 2e-9)  # 0 left .. 1 right
-        bar = jnp.clip(mag * (h / 6.0), 0, h - 1).astype(jnp.int32)
-        rows = jnp.arange(h, dtype=jnp.int32)[None, :, None]
-        lit = rows >= (h - bar[:, None, :])
-        img = jnp.zeros((x.shape[0], h, w, 4), jnp.uint16)
-        red = (bal[:, None, :] * 255).astype(jnp.uint16)
-        blue = ((1 - bal[:, None, :]) * 255).astype(jnp.uint16)
-        img = img.at[..., 2].set(jnp.where(lit, red, 0))
-        img = img.at[..., 0].set(jnp.where(lit, blue, 0))
+        nfft = 2 * h                       # num_freq = height + 1
+        data = self._s16(batch.data)       # [B, S, 2]
+        s_ = data.shape[1]
+        if s_ >= nfft:
+            data = data[:, :nfft]
+        else:
+            data = jnp.pad(data, ((0, 0), (0, nfft - s_), (0, 0)))
+        fl_r, fl_i = ffts16.fft_s16(data[..., 0])   # no window
+        fr_r, fr_i = ffts16.fft_s16(data[..., 1])
+        accs = jax.vmap(lambda a, b, c, d:
+                        self._star_acc(a, b, c, d, w, h)
+                        )(fl_r, fl_i, fr_r, fr_i)
 
-        def body(carry, add):
-            out = jnp.minimum(self._shade(carry).astype(jnp.uint16) + add,
-                              255).astype(jnp.uint8)
-            return out, out
+        size = h * w + w + 2
 
-        canvas, imgs = lax.scan(body, state["canvas"], img)
+        def body(carry, acc):
+            shaded = self._shade(carry)
+            flat = jnp.zeros((size, 4), jnp.int32)
+            flat = flat.at[:h * w].set(
+                shaded.reshape(h * w, 4).astype(jnp.int32))
+            bgr = jnp.minimum(flat[:, :3] + acc, 255)
+            out = jnp.concatenate([bgr, flat[:, 3:]], axis=-1)
+            img = out[:h * w].reshape(h, w, 4).astype(jnp.uint8)
+            return img, img
+
+        canvas, imgs = lax.scan(body, state["canvas"], accs)
         state = dict(state)
         state["canvas"] = canvas
         return state, batch.with_data(imgs)

@@ -1,0 +1,216 @@
+"""gst_fft_s16 model + the spectrascope/synaescope render loops.
+
+The render loops are transcribed exactly from the reference tree:
+gstspectrascope.c:147-233 (add_pixel, the mono mixdown's guint
+arithmetic, the bar/column draw) and gstsynaescope.c:104-126 (colors /
+shade tables) + 208-311 (the stars loop with both border branches).
+
+gst_fft_s16 itself lives in gst-plugins-base (not in this tree); it is
+kissfft built with FIXED_POINT=16.  `fft_s16` here is a SCALE-FAITHFUL
+model, not a bit transcription: kiss divides both inputs of every
+butterfly stage by its radix via DIVSCALAR(x, p) = sround(x * (32767/p))
+— i.e. multiplies by (32767//p)/32768, slightly less than 1/p — and the
+real-input wrapper (kiss_fftr) applies one more DIVSCALAR(, 2) plus a
+final HALF_OF = >>1.  The model computes the float DFT and applies the
+exact aggregate of those per-stage factors for kiss's factorization
+(kf_factor: powers of 4 first, then 2, 3, odd primes), then rounds like
+sround (floor(x + .5)).  Per-butterfly rounding noise (a few LSB) is
+not modeled; there is no gst_fft_s16 oracle in this environment to
+check bits against — documented divergence.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# -- gst_fft_s16 model ------------------------------------------------------
+
+def kf_factor(n: int) -> list:
+    """kissfft kf_factor: powers of 4, then 2, 3, then odd primes."""
+    out = []
+    p = 4
+    floor_sqrt = int(np.floor(np.sqrt(n)))
+    while n > 1:
+        while n % p:
+            if p == 4:
+                p = 2
+            elif p == 2:
+                p = 3
+            else:
+                p += 2
+            if p > floor_sqrt:
+                p = n
+        n //= p
+        out.append(p)
+    return out
+
+
+def fft_scale(nfft: int) -> float:
+    """Aggregate fixed-point scale of kiss_fftr(nfft): the complex fft
+    runs on nfft/2 points (one DIVSCALAR per stage), then the real
+    wrapper's DIVSCALAR(, 2) and HALF_OF (>> 1)."""
+    s = 1.0
+    for p in kf_factor(nfft // 2):
+        s *= (32767 // p) / 32768.0
+    s *= (32767 // 2) / 32768.0      # C_FIXDIV(fpk, 2) in kiss_fftr
+    s *= 0.5                         # HALF_OF
+    return s
+
+
+def window_hamming(s16: np.ndarray) -> np.ndarray:
+    """gst_fft_s16_window(.., GST_FFT_WINDOW_HAMMING): scale each
+    sample by 0.54 - 0.46 cos(2*pi*i/len), C-truncated to gint16."""
+    n = len(s16)
+    w = 0.54 - 0.46 * np.cos(2 * np.pi * np.arange(n) / n)
+    return np.trunc(s16.astype(np.float64) * w).astype(np.int16)
+
+
+def fft_s16(s16: np.ndarray) -> np.ndarray:
+    """[nfft] int16 -> [nfft/2+1] complex (int-valued float pairs) on
+    the gst_fft_s16 scale (see module doc)."""
+    nfft = len(s16)
+    X = np.fft.rfft(s16.astype(np.float64))
+    sc = fft_scale(nfft)
+    r = np.floor(X.real * sc + 0.5)
+    i = np.floor(X.imag * sc + 0.5)
+    return r + 1j * i
+
+
+# -- shared pixel op --------------------------------------------------------
+
+def add_pixel(vd: np.ndarray, off: int, c: int) -> None:
+    """Per-byte saturating add (gstspectrascope.c:147-170 /
+    gstsynaescope.c:185-208)."""
+    p = int(vd[off])
+    out = 0
+    for k in range(4):
+        pb = (p >> (8 * k)) & 0xFF
+        cb = (c >> (8 * k)) & 0xFF
+        out |= min(pb + cb, 255) << (8 * k)
+    vd[off] = out
+
+
+# -- spectrascope -----------------------------------------------------------
+
+def spectrascope_mono_mix(adata: np.ndarray, channels: int) -> np.ndarray:
+    """gstspectrascope.c:190-203: interleaved s16 -> mono with a guint
+    accumulator and UNSIGNED division — correct for power-of-two
+    channel counts (unsigned div = shift re-creates the sign), garbage
+    for others (reproduced)."""
+    flat = adata.reshape(-1).astype(np.int64)
+    n = len(flat) // channels
+    out = np.empty(n, np.int16)
+    for i in range(n):
+        v = 0
+        for c in range(channels):
+            v = (v + int(flat[i * channels + c])) & 0xFFFFFFFF
+        lo = (v // channels) & 0xFFFF        # (gint16) truncation
+        out[i] = lo - 0x10000 if lo >= 0x8000 else lo
+    return out
+
+
+def spectrascope_render(vd: np.ndarray, fdata: np.ndarray, w: int,
+                        height: int) -> None:
+    """gstspectrascope.c:171-233 draw loop.  `vd` is a flat u32 canvas
+    (the shaded previous frame), fdata the [w+1] complex spectrum."""
+    h = height - 1
+    for x in range(w):
+        fr = np.float32(fdata[1 + x].real) / np.float32(512.0)
+        fi = np.float32(fdata[1 + x].imag) / np.float32(512.0)
+        # C: sqrt() promotes the gfloat sum to double
+        y = int(h * np.sqrt(np.float64(np.float32(fr * fr + fi * fi))))
+        if y > h:
+            y = h
+        y = h - y
+        off = y * w + x
+        vd[off] = 0x00FFFFFF
+        for l in range(y, h):
+            off += w
+            add_pixel(vd, off, 0x007F7F7F)
+        add_pixel(vd, off, 0x007F7F7F)
+
+
+# -- synaescope -------------------------------------------------------------
+
+def synaescope_tables():
+    """colors + shade LUTs (gstsynaescope.c:104-126)."""
+    colors = np.zeros(256, np.uint32)
+
+    def bound(x):
+        return 255 if x > 255 else x
+
+    def peakify(x):
+        return bound(x - x * (255 - x) // 255 // 2)
+
+    for i in range(256):
+        r = peakify(i & (15 * 16))
+        g = peakify((i & 15) * 16 + (i & (15 * 16)) // 4)
+        b = peakify((i & 15) * 16)
+        colors[i] = (r << 16) | (g << 8) | b
+    shade = np.array([(i * 200) >> 8 for i in range(256)], np.int32)
+    return colors, shade
+
+
+SYNAE_SL = 30   # gstsynaescope.c:233 (const guint sl)
+
+
+def synaescope_render(vd: np.ndarray, fdata_l: np.ndarray,
+                      fdata_r: np.ndarray, w: int, h: int) -> None:
+    """gstsynaescope.c:208-311 stars loop.  Silent bins (ll+rr == 0)
+    are skipped: the reference computes 0.0/0.0 there and uses the
+    resulting NaN as an array index — an out-of-bounds write this
+    implementation fixes rather than reproduces (documented)."""
+    colors, shade = synaescope_tables()
+    sl = SYNAE_SL
+    for y in range(h):
+        b = h - y
+        frl = float(fdata_l[b].real)
+        fil = float(fdata_l[b].imag)
+        frr = float(fdata_r[b].real)
+        fir = float(fdata_r[b].imag)
+        ll = (frl + fil) * (frl + fil) + (frr - fir) * (frr - fir)
+        l = np.sqrt(ll)
+        rr = (frl - fil) * (frl - fil) + (frr + fir) * (frr + fir)
+        r = np.sqrt(rr)
+        if ll + rr == 0.0:
+            continue
+        clarity = int(((frl + fil) * (frl - fil)
+                       + (frr + fir) * (frr - fir)) / (ll + rr) * 256)
+        fc = r + l
+        x = int(r * w / fc)
+        br = int(b * fc * 0.01)
+        br1 = br * (clarity + 128) >> 8
+        br2 = br * (128 - clarity) >> 8
+        br1 = min(max(br1, 0), 255)
+        br2 = min(max(br2, 0), 255)
+
+        off = y * w + x
+        c = colors[(br1 >> 4) | (br2 & 0xF0)]
+        add_pixel(vd, off, int(c))
+        if sl - 1 < x < w - sl and sl - 1 < y < h - sl:
+            i = 1
+            while br1 or br2:
+                c = int(colors[(br1 >> 4) + (br2 & 0xF0)])
+                add_pixel(vd, off - i, c)
+                add_pixel(vd, off + i, c)
+                add_pixel(vd, off - i * w, c)
+                add_pixel(vd, off + i * w, c)
+                br1 = int(shade[br1])
+                br2 = int(shade[br2])
+                i += 1
+        else:
+            i = 1
+            while br1 or br2:
+                c = int(colors[(br1 >> 4) | (br2 & 0xF0)])
+                if x - i > 0:
+                    add_pixel(vd, off - i, c)
+                if x + i < w - 1:
+                    add_pixel(vd, off + i, c)
+                if y - i > 0:
+                    add_pixel(vd, off - i * w, c)
+                if y + i < h - 1:
+                    add_pixel(vd, off + i * w, c)
+                br1 = int(shade[br1])
+                br2 = int(shade[br2])
+                i += 1
