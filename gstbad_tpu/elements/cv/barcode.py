@@ -1,0 +1,177 @@
+"""zbar / zxing barcode detectors (ext/zbar/gstzbar.c,
+ext/zxing/gstzxing.cpp).
+
+Both reference elements pass the 8-bit luma plane to an external
+scanner library and post `barcode` element messages per detection;
+video passes through untouched.  The scanning engines here are
+io/qrdecode.py's from-spec implementations (QR incl. Reed-Solomon
+error correction, EAN-13 scanlines) — symbology coverage and the
+quality metric are the documented divergences.
+
+zbar message fields (gstzbar.c:308-325): timestamp, stream-time,
+running-time (all the buffer pts in this single-segment model), type
+(libzbar symbol names: "QR-Code", "EAN-13"), symbol, quality,
+duration, and `frame` when attach-frame is set.  The cache property
+suppresses symbols already reported on the immediately preceding
+frame (libzbar's inter-frame consistency cache, simplified to
+consecutive dedupe — documented).
+
+zxing message fields (gstzxing.cpp:393-399): timestamp, stream-time,
+running-time, type (zxing-cpp format names: "QR_CODE", "EAN_13"),
+symbol, plus `frame` with attach-frame.  `format` narrows the
+symbology ("all", "qr_code", "ean_13"; the other enum nicks are
+accepted but never match — this build's scanners).  try-rotate scans
+the three right-angle rotations as well; try-faster is accepted as a
+no-op hint (it tunes libZXing internals)."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from gstbad_tpu.core.element import Element, Property
+from gstbad_tpu.core.frame import FrameBatch
+from gstbad_tpu.core.registry import register
+from gstbad_tpu.core.spec import VideoFormat, require
+
+_ZXING_FORMATS = ("all", "aztec", "codabar", "code_39", "code_93",
+                  "code_128", "png", "ean_8", "ean_13", "itf",
+                  "maxicode", "pdf_417", "qr_code", "upc_a", "upc_e")
+
+
+class _BarcodeBase(Element):
+    HOST = True
+
+    def negotiate(self, in_spec):
+        require(in_spec.kind == "video", f"{self.NAME}: needs video")
+        require(in_spec.format in (VideoFormat.I420, VideoFormat.GRAY8,
+                                   VideoFormat.AYUV),
+                f"{self.NAME}: needs a luma plane (I420/GRAY8/AYUV; "
+                "use videoconvert)")
+        self._fmt = in_spec.format
+        self._dur = in_spec.frame_duration_ns
+        return in_spec
+
+    def process(self, params, state, batch: FrameBatch):
+        return state, batch
+
+    def _luma(self, np_batch: FrameBatch, i: int) -> np.ndarray:
+        data = np_batch.data
+        if isinstance(data, dict):
+            return np.asarray(data["y"][i])
+        arr = np.asarray(data[i])
+        if self._fmt == VideoFormat.GRAY8:
+            return arr if arr.ndim == 2 else arr[..., 0]
+        return arr[..., 1]                   # AYUV: Y at byte 1
+
+    def _scan(self, gray: np.ndarray):
+        """-> [(type_name, symbol, quality)] for the enabled set."""
+        raise NotImplementedError
+
+    def host_process(self, np_batch: FrameBatch, bus) -> None:
+        from gstbad_tpu.core.bus import Message
+        prev = getattr(self, "_prev_symbols", set())
+        for i in range(np_batch.batch):
+            if not bool(np.asarray(np_batch.valid)[i]):
+                continue
+            gray = self._luma(np_batch, i)
+            results = self._scan(gray)
+            cur = {sym for (_t, sym, _q) in results}
+            for (typ, sym, quality) in results:
+                if getattr(self, "_cache", False) and sym in prev:
+                    continue
+                if not self.props["message"]:
+                    continue
+                pts = int(np.asarray(np_batch.pts)[i])
+                fields = {"timestamp": pts, "stream-time": pts,
+                          "running-time": pts, "type": typ,
+                          "symbol": sym}
+                fields.update(self._extra_fields(quality))
+                if self.props["attach-frame"]:
+                    if isinstance(np_batch.data, dict):
+                        fields["frame"] = {
+                            k: np.asarray(v[i]).copy()
+                            for k, v in np_batch.data.items()}
+                    else:
+                        fields["frame"] = np.asarray(
+                            np_batch.data[i]).copy()
+                if bus is not None:
+                    bus.post(Message(self.NAME, "barcode", pts, fields))
+            prev = cur
+        self._prev_symbols = prev
+
+    def _extra_fields(self, quality):
+        return {}
+
+
+@register
+class ZBar(_BarcodeBase):
+    NAME = "zbar"
+    PROPERTIES = (
+        Property("message", bool, True, static=True),
+        Property("attach-frame", bool, False, static=True),
+        Property("cache", bool, False, static=True),
+    )
+
+    @property
+    def _cache(self):
+        return self.props["cache"]
+
+    def _extra_fields(self, quality):
+        f = {"quality": int(quality)}
+        if self._dur:
+            f["duration"] = int(self._dur)
+        return f
+
+    def _scan(self, gray):
+        from gstbad_tpu.io import qrdecode as qd
+        out = []
+        for text, _info in qd.scan_qr(gray):
+            out.append(("QR-Code", text, 1))
+        ean = qd.scan_ean13(gray)
+        if ean is not None:
+            out.append(("EAN-13", ean[0], ean[1]))
+        return out
+
+
+@register
+class ZXing(_BarcodeBase):
+    NAME = "zxing"
+    PROPERTIES = (
+        Property("message", bool, True, static=True),
+        Property("attach-frame", bool, False, static=True),
+        Property("try-rotate", bool, False, static=True),
+        Property("try-faster", bool, False, static=True),
+        Property("format", str, "all", static=True,
+                 doc="|".join(_ZXING_FORMATS)),
+    )
+
+    _cache = False
+
+    def negotiate(self, in_spec):
+        require(self.props["format"] in _ZXING_FORMATS,
+                f"zxing: unknown format {self.props['format']!r}")
+        return super().negotiate(in_spec)
+
+    def _scan(self, gray):
+        from gstbad_tpu.io import qrdecode as qd
+        fmt = self.props["format"]
+        planes = [gray]
+        if self.props["try-rotate"]:
+            planes += [np.rot90(gray, k) for k in (1, 2, 3)]
+        out = []
+        seen = set()
+        for g in planes:
+            if fmt in ("all", "qr_code"):
+                for text, _info in qd.scan_qr(g):
+                    if text not in seen:
+                        seen.add(text)
+                        out.append(("QR_CODE", text, 1))
+            if fmt in ("all", "ean_13"):
+                ean = qd.scan_ean13(g)
+                if ean is not None and ean[0] not in seen:
+                    seen.add(ean[0])
+                    out.append(("EAN_13", ean[0], ean[1]))
+            if out and not self.props["try-rotate"]:
+                break
+        return out
