@@ -1,0 +1,79 @@
+"""ttmlparse + ttmlrender (ext/ttml/): TTML subtitles onto video.
+
+io/ttml.py is the parse spec (ttmlparse.c transcription) and the
+layout renderer (gstttmlrender.c geometry over the bitmap face —
+divergences documented there).  The reference splits the work into a
+parser element producing GstSubtitleMeta buffers and a renderer that
+composites them; here the `ttmlrender` element covers both ends with
+the host-push model used by the other subtitle overlays:
+`push_ttml(doc, pts_ns, duration_ns)` feeds documents before the run
+(pts/duration as the document's temporal context, like the buffer
+times ttmlparse receives), scenes render to RGBA snapshots on the
+host, and each video frame blends the scene active at its PTS
+(straight alpha, video-blend truncating >> 8)."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from gstbad_tpu.core.element import Property, VideoFilter
+from gstbad_tpu.core.frame import FrameBatch
+from gstbad_tpu.core.registry import register
+from gstbad_tpu.core.spec import VideoFormat, require
+
+
+@register
+class TtmlRender(VideoFilter):
+    NAME = "ttmlrender"
+    FORMATS = VideoFormat.PACKED_RGB4 + VideoFormat.PACKED_RGB3
+
+    PROPERTIES = ()
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        self._docs = []
+
+    def push_ttml(self, doc: str, pts_ns=None, duration_ns=None) -> None:
+        self._docs.append((doc, pts_ns, duration_ns))
+
+    def prepare(self):
+        from gstbad_tpu.io import ttml
+        spec = self.out_spec
+        H, W = spec.height, spec.width
+        scenes = []
+        for doc, pts, dur in self._docs:
+            parsed, consumed = ttml.ttml_parse(doc, pts, dur)
+            require(consumed > 0 or not doc.strip(),
+                    "ttmlrender: document is not framed by "
+                    "<?xml ... </tt>")
+            scenes += parsed
+        overlays = [np.zeros((H, W, 4), np.uint8)]
+        begins, ends = [0], [0]
+        for sc in scenes:
+            overlays.append(ttml.render_scene(sc, W, H))
+            begins.append(sc.begin)
+            ends.append(sc.end)
+        self._ov = jnp.asarray(np.stack(overlays))
+        self._begin = jnp.asarray(np.asarray(begins, np.int64))
+        self._end = jnp.asarray(np.asarray(ends, np.int64))
+
+    def process(self, params, state, batch: FrameBatch):
+        if self._ov.shape[0] == 1:
+            return state, batch
+        pts = batch.pts                       # [B]
+        active = (pts[:, None] >= self._begin[None, :]) \
+            & (pts[:, None] < self._end[None, :])
+        active = active.at[:, 0].set(~active[:, 1:].any(axis=1))
+        idx = jnp.argmax(active, axis=1)
+        ov = jnp.take(self._ov, idx, axis=0)  # [B, H, W, 4]
+        fmt = self.out_spec.format
+        ro, go, bo, xo = VideoFormat.rgb_offsets(fmt)
+        a = ov[..., 3].astype(jnp.int32)
+        d = batch.data.astype(jnp.int32)
+        out = batch.data
+        for off, ch in ((ro, 0), (go, 1), (bo, 2)):
+            s = ov[..., ch].astype(jnp.int32)
+            blended = (d[..., off] * (256 - a) + s * a) >> 8
+            out = out.at[..., off].set(blended.astype(jnp.uint8))
+        return state, batch.with_data(out)
