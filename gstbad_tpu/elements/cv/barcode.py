@@ -10,7 +10,7 @@ quality metric are the documented divergences.
 
 zbar message fields (gstzbar.c:308-325): timestamp, stream-time,
 running-time (all the buffer pts in this single-segment model), type
-(libzbar symbol names: "QR-Code", "EAN-13"), symbol, quality,
+(libzbar symbol names: "QR-Code", "EAN-13", "EAN-8"), symbol, quality,
 duration, and `frame` when attach-frame is set.  The cache property
 suppresses symbols already reported on the immediately preceding
 frame (libzbar's inter-frame consistency cache, simplified to
@@ -131,6 +131,9 @@ class ZBar(_BarcodeBase):
         ean = qd.scan_ean13(gray)
         if ean is not None:
             out.append(("EAN-13", ean[0], ean[1]))
+        ean8 = qd.scan_ean8(gray)
+        if ean8 is not None:
+            out.append(("EAN-8", ean8[0], ean8[1]))
         return out
 
 
@@ -172,6 +175,11 @@ class ZXing(_BarcodeBase):
                 if ean is not None and ean[0] not in seen:
                     seen.add(ean[0])
                     out.append(("EAN_13", ean[0], ean[1]))
+            if fmt in ("all", "ean_8"):
+                ean8 = qd.scan_ean8(g)
+                if ean8 is not None and ean8[0] not in seen:
+                    seen.add(ean8[0])
+                    out.append(("EAN_8", ean8[0], ean8[1]))
             if out and not self.props["try-rotate"]:
                 break
         return out

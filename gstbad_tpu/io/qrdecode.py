@@ -15,11 +15,12 @@ module implements the scanning from spec:
   cv2.QRCodeDetector cross-checks agreement.
 - EAN-13: scanline decode of the 95-module symbol (L/G/R digit
   patterns, the first-digit parity table, checksum verification).
+- EAN-8: the 67-module variant (4 L + 4 R digits, its own checksum).
 
 Divergences (documented): libzbar scans every symbology with
 interleaved scanline state machines and reports a density-based
 `quality`; here QR quality = 1 and EAN-13 quality = the number of
-agreeing scanlines, and the symbology list is QR-CODE + EAN-13 (the
+agreeing scanlines, and the symbology list is QR-CODE + EAN-13 + EAN-8 (the
 other 1D families are absent, like the reference's untrained model
 files elsewhere in this build)."""
 
@@ -576,3 +577,109 @@ def scan_ean13(gray: np.ndarray) -> Optional[Tuple[str, int]]:
         return None
     best = max(votes.items(), key=lambda kv: kv[1])
     return best
+
+
+# -- EAN-8 ------------------------------------------------------------------
+
+def ean8_checksum_ok(digits: str) -> bool:
+    s = sum(int(d) * (3 if i % 2 == 0 else 1)
+            for i, d in enumerate(digits[:7]))
+    return (10 - s % 10) % 10 == int(digits[7])
+
+
+def ean8_render(digits: str, module_px: int = 3,
+                height: int = 50) -> np.ndarray:
+    """Reference renderer for tests: 8 digits -> u8 image (67-module
+    symbol: guard 101, 4 L digits, 01010, 4 R digits, 101)."""
+    assert len(digits) == 8 and digits.isdigit()
+    bits = "101"
+    for d in digits[:4]:
+        bits += _EAN_L[int(d)]
+    bits += "01010"
+    for d in digits[4:]:
+        bits += _EAN_R[int(d)]
+    bits += "101"
+    row = np.array([c == "1" for c in bits])
+    img = np.where(np.repeat(row, module_px), 0, 255).astype(np.uint8)
+    img = np.tile(img[None, :], (height, 1))
+    pad = 9 * module_px
+    return np.pad(img, ((pad, pad), (pad, pad)), constant_values=255)
+
+
+def _decode_ean8_runs(widths: List[float]) -> Optional[str]:
+    """43 run widths -> 8 digits or None."""
+    if len(widths) != 43:
+        return None
+    unit = sum(widths) / 67.0
+
+    def match(pats, runs, dark_first):
+        best, besterr = None, None
+        for di, pat in enumerate(pats):
+            prun = []
+            cur, cnt = pat[0], 0
+            for ch in pat:
+                if ch == cur:
+                    cnt += 1
+                else:
+                    prun.append(cnt)
+                    cur, cnt = ch, 1
+            prun.append(cnt)
+            if pat[0] != ("1" if dark_first else "0") or len(prun) != 4:
+                continue
+            err = sum(abs(r - p * unit) for r, p in zip(runs, prun))
+            if besterr is None or err < besterr:
+                best, besterr = di, err
+        if best is None or besterr > 3.5 * unit:
+            return None
+        return best
+
+    pos = 3
+    left = []
+    for _ in range(4):
+        d = match(_EAN_L, widths[pos:pos + 4], dark_first=False)
+        if d is None:
+            return None
+        left.append(d)
+        pos += 4
+    pos += 5
+    right = []
+    for _ in range(4):
+        d = match(_EAN_R, widths[pos:pos + 4], dark_first=True)
+        if d is None:
+            return None
+        right.append(d)
+        pos += 4
+    digits = "".join(map(str, left + right))
+    if not ean8_checksum_ok(digits):
+        return None
+    return digits
+
+
+def scan_ean8(gray: np.ndarray) -> Optional[Tuple[str, int]]:
+    """Scanline sweep like scan_ean13 but for the 67-module symbol."""
+    h, w = gray.shape
+    thresh = (int(gray.min()) + int(gray.max())) / 2.0
+    votes = {}
+    for y in range(0, h, max(1, h // 32)):
+        row = gray[y] < thresh
+        runs: List[int] = []
+        vals: List[bool] = []
+        x = 0
+        while x < w:
+            x2 = x + 1
+            v = row[x]
+            while x2 < w and row[x2] == v:
+                x2 += 1
+            runs.append(x2 - x)
+            vals.append(bool(v))
+            x = x2
+        for i in range(len(runs) - 42):
+            if not vals[i]:
+                continue
+            digits = _decode_ean8_runs([float(r)
+                                        for r in runs[i:i + 43]])
+            if digits:
+                votes[digits] = votes.get(digits, 0) + 1
+    if not votes:
+        return None
+    return max(votes.items(), key=lambda kv: kv[1])

@@ -156,3 +156,22 @@ def test_cv2_cross_check():
     ours = qd.scan_qr(img)
     theirs, _, _ = det.detectAndDecode(img)
     assert ours[0][0] == theirs == "agreement"
+
+
+def test_ean8_roundtrip_and_elements():
+    for code in ("55123457", "96385074"):
+        assert qd.ean8_checksum_ok(code)
+        for px in (2, 3, 4):
+            r = qd.scan_ean8(qd.ean8_render(code, module_px=px))
+            assert r is not None and r[0] == code
+    # an EAN-13 symbol must not decode as EAN-8
+    assert qd.scan_ean8(qd.ean13_render("4006381333931")) is None
+    img = qd.ean8_render("55123457", module_px=3)
+    msgs, _ = _drive("zbar", img[None])
+    assert [(m["type"], m["symbol"]) for m in msgs] == \
+        [("EAN-8", "55123457")]
+    msgs2, _ = _drive("zxing", img[None], format="ean_8")
+    assert [(m["type"], m["symbol"]) for m in msgs2] == \
+        [("EAN_8", "55123457")]
+    msgs3, _ = _drive("zxing", img[None], format="ean_13")
+    assert msgs3 == []
