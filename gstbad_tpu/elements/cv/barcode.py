@@ -130,7 +130,12 @@ class ZBar(_BarcodeBase):
             out.append(("QR-Code", text, 1))
         ean = qd.scan_ean13(gray)
         if ean is not None:
-            out.append(("EAN-13", ean[0], ean[1]))
+            # libzbar's default config reports a leading-zero EAN-13
+            # as UPC-A with the 12-digit symbol text
+            if ean[0].startswith("0"):
+                out.append(("UPC-A", ean[0][1:], ean[1]))
+            else:
+                out.append(("EAN-13", ean[0], ean[1]))
         ean8 = qd.scan_ean8(gray)
         if ean8 is not None:
             out.append(("EAN-8", ean8[0], ean8[1]))

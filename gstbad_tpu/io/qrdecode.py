@@ -464,6 +464,8 @@ def _decode_ean13_runs(widths: List[float]) -> Optional[str]:
     if len(widths) != 59:
         return None
     unit = sum(widths) / 95.0
+    if not _guards_ok(widths, unit, 27):
+        return None
 
     def match(pats, runs, dark_first):
         best, besterr = None, None
@@ -606,11 +608,21 @@ def ean8_render(digits: str, module_px: int = 3,
     return np.pad(img, ((pad, pad), (pad, pad)), constant_values=255)
 
 
+def _guards_ok(widths: List[float], unit: float,
+               mid_start: int) -> bool:
+    """Start/middle/end guards must be single-module runs."""
+    idx = list(range(3)) + list(range(mid_start, mid_start + 5)) \
+        + list(range(len(widths) - 3, len(widths)))
+    return all(abs(widths[i] - unit) <= 0.6 * unit for i in idx)
+
+
 def _decode_ean8_runs(widths: List[float]) -> Optional[str]:
     """43 run widths -> 8 digits or None."""
     if len(widths) != 43:
         return None
     unit = sum(widths) / 67.0
+    if not _guards_ok(widths, unit, 19):
+        return None
 
     def match(pats, runs, dark_first):
         best, besterr = None, None

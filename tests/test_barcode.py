@@ -175,3 +175,12 @@ def test_ean8_roundtrip_and_elements():
         [("EAN_8", "55123457")]
     msgs3, _ = _drive("zxing", img[None], format="ean_13")
     assert msgs3 == []
+
+
+def test_zbar_upca_reporting():
+    # leading-zero EAN-13 reports as UPC-A with 12 digits (libzbar
+    # default-config behaviour)
+    img = qd.ean13_render("0123456789050", module_px=3)
+    msgs, _ = _drive("zbar", img[None])
+    assert [(m["type"], m["symbol"]) for m in msgs] == \
+        [("UPC-A", "123456789050")]
