@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from gstbad_tpu.core.element import Property, VideoFilter
+from gstbad_tpu.core.element import Element, Property, VideoFilter
 from gstbad_tpu.core.frame import FrameBatch
 from gstbad_tpu.core.registry import register
 from gstbad_tpu.core.spec import VideoFormat, require
@@ -77,3 +77,47 @@ class TtmlRender(VideoFilter):
             blended = (d[..., off] * (256 - a) + s * a) >> 8
             out = out.at[..., off].set(blended.astype(jnp.uint8))
         return state, batch.with_data(out)
+
+
+@register
+class TtmlParse(Element):
+    """ttmlparse (ext/ttml/gstttmlparse.c): the parser half of the
+    reference pair as its own element name.  The reference emits
+    GstSubtitleMeta-decorated buffers consumed by ttmlrender; here the
+    element is a HOST tap: push_ttml() documents before the run, and
+    each scene posts a `ttml-scene` message (begin/end ns + per-region
+    block texts) — the scene model itself lives in io/ttml.py.  For
+    composited output use ttmlrender, which covers both halves."""
+
+    NAME = "ttmlparse"
+    HOST = True
+    PROPERTIES = ()
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        self._docs = []
+        self._posted = False
+
+    def push_ttml(self, doc: str, pts_ns=None, duration_ns=None) -> None:
+        self._docs.append((doc, pts_ns, duration_ns))
+
+    def negotiate(self, in_spec):
+        return in_spec
+
+    def process(self, params, state, batch: FrameBatch):
+        return state, batch
+
+    def host_process(self, np_batch: FrameBatch, bus) -> None:
+        from gstbad_tpu.core.bus import Message
+        from gstbad_tpu.io import ttml
+        if self._posted or bus is None:
+            return
+        self._posted = True
+        for doc, pts, dur in self._docs:
+            scenes, _ = ttml.ttml_parse(doc, pts, dur)
+            for sc in scenes:
+                texts = ["".join(e.text for e in b.elements)
+                         for r in sc.regions for b in r.blocks]
+                bus.post(Message(self.NAME, "ttml-scene", sc.begin,
+                                 {"begin": sc.begin, "end": sc.end,
+                                  "texts": texts}))

@@ -152,3 +152,18 @@ def test_ttmlrender_element():
     assert (out[2][:48] != img[2][:48]).any()
     # frame 3 (t=5s): past everything -> untouched
     np.testing.assert_array_equal(out[3], img[3])
+
+
+def test_ttmlparse_element_messages():
+    el = gt.make("ttmlparse")
+    el.push_ttml(DOC)
+    p = Pipeline([el])
+    p.negotiate(MediaSpec(kind="video", format="RGBx", width=64,
+                          height=48, framerate=fractions.Fraction(25)))
+    img = np.zeros((1, 48, 64, 4), np.uint8)
+    p.run(inputs=FrameBatch.make(jnp.asarray(img)))
+    msgs = p.bus.pop(name="ttml-scene")
+    assert [(m["begin"], m["end"]) for m in msgs] == [
+        (10 ** 9, 2 * 10 ** 9), (2 * 10 ** 9, 3_500_000_000),
+        (3_500_000_000, 4 * 10 ** 9)]
+    assert any("Hello world" in t for t in msgs[0]["texts"])
