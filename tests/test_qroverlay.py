@@ -233,3 +233,47 @@ def test_debugqroverlay_interval_zero_rejected():
     with pytest.raises(Exception, match="divides by zero"):
         p.negotiate(MediaSpec(kind="video", format="RGBx", width=64,
                               height=64, framerate=fractions.Fraction(30)))
+
+
+def test_golden_draw_fractional_pixel_size():
+    # float pixel-size: every truncation point is per-expression like
+    # the C (gstbaseqroverlay.c:151-178) — module rows/cols take
+    # ceil(ps) pixels from a truncated float offset, so byte writes
+    # can straddle pixel boundaries; just assert structural facts
+    m = qr.encode("frac", "M")
+    n = m.shape[0]
+    ps = 2.5
+    canvas = golden.draw_overlay(m, ps)
+    sq = int((n + 8) * ps)
+    assert canvas.shape == (sq, sq, 4)
+    # ceil(2.5) = 3 pixels per dark module row/col: a lone dark module
+    # paints 3x3 pixels worth of zeroed bytes starting at the
+    # truncated offset; verify black coverage is within [floor, ceil]
+    # module footprints of the matrix
+    dark_modules = int(m.sum())
+    black_px = int((canvas[..., 0] == 0).sum())
+    assert dark_modules * 2 * 2 <= black_px <= dark_modules * 3 * 3 * 2
+    # alpha bytes can be clobbered by straddling writes (the C writes
+    # 3 consecutive bytes from a possibly mid-pixel offset)
+    assert (canvas[..., 3] != 255).any()
+
+
+def test_qroverlay_element_fractional_ps_blends():
+    # fractional pixel-size produces non-uniform module widths (the
+    # C's per-expression truncation, faithfully kept) — cv2 can't
+    # decode such symbols, so assert the square's geometry instead
+    W, H = 400, 300
+    el = gt.make("qroverlay", data="frac ps", **{"pixel-size": 4.5})
+    p = Pipeline([el])
+    p.negotiate(MediaSpec(kind="video", format="BGRx", width=W, height=H,
+                          framerate=fractions.Fraction(30)))
+    img = np.full((1, H, W, 4), 128, np.uint8)
+    out = np.asarray(p.run(inputs=FrameBatch.make(
+        jnp.asarray(img)))[0].data)
+    changed = (out[0] != img[0]).any(axis=-1)
+    ys, xs = np.where(changed)
+    n = qr.encode("frac ps", "M").shape[0]
+    sq = int((n + 8) * 4.5)
+    assert ys.max() - ys.min() + 1 <= sq
+    assert xs.max() - xs.min() + 1 <= sq
+    assert changed.sum() > sq * sq // 4       # substantial square
