@@ -126,3 +126,38 @@ def test_element_pages_and_messages():
     total = sum(np.asarray(o.data).shape[0] for o in outs2) if outs2 \
         else 0
     assert total == 0
+
+
+def test_hamming_correction_in_stream():
+    # a single flipped bit in a header address byte still decodes
+    dec = tt.TeletextDecoder()
+    hdr = bytearray(tt.build_header(1, 0, 0))
+    hdr[0] ^= 0x10                           # 1-bit error in MRAG
+    dec.feed_line(bytes(hdr))
+    dec.feed_line(tt.build_row(1, 1, b"CORRECTED"))
+    dec.feed_line(tt.build_header(1, 0, 1))
+    page = dec.fetch(0x100)
+    assert page is not None
+    assert tt.page_to_text(page)[1].startswith("CORRECTED")
+
+
+def test_parity_error_renders_space():
+    dec = tt.TeletextDecoder()
+    dec.feed_line(tt.build_header(1, 0, 0))
+    row = bytearray(tt.build_row(1, 1, b"AB"))
+    row[2] ^= 0x01                           # break char 0's parity
+    dec.feed_line(bytes(row))
+    dec.feed_line(tt.build_header(1, 0, 1))
+    txt = tt.page_to_text(dec.fetch(0x100))
+    assert txt[1][0] == " " and txt[1][1] == "B"
+
+
+def test_double_bit_error_drops_line():
+    dec = tt.TeletextDecoder()
+    hdr = bytearray(tt.build_header(1, 0, 0))
+    hdr[2] ^= 0x03                           # 2-bit error in page units
+    dec.feed_line(bytes(hdr))
+    # header rejected -> no page collecting
+    dec.feed_line(tt.build_row(1, 1, b"X"))
+    dec.feed_line(tt.build_header(1, 0, 1))
+    assert dec.events == []
