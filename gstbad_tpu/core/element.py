@@ -174,6 +174,57 @@ class Element:
         can see through the per-pixel ops."""
         return None
 
+    # -- table-state fusion hooks (core/tablefuse.py) ------------------------
+    # These let the Pipeline track values symbolically as table[index] and
+    # collapse whole chains of per-pixel elements into 256-entry table math.
+
+    @property
+    def FUSES(self) -> bool:
+        """True when this element overrides any table-fusion hook (cheap
+        static gate so the Pipeline doesn't probe every element)."""
+        cls = type(self)
+        return (cls.byte_map is not Element.byte_map
+                or cls.table_head is not Element.table_head
+                or cls.word_map is not Element.word_map
+                or cls.index_stencil is not Element.index_stencil
+                or cls.table_tail is not Element.table_tail)
+
+    def byte_map_kinds(self):
+        """Structural per-channel kinds for byte_map's tables: 'map' (real
+        table), 'zero' (channel forced to 0 — the word filters' rebuilt fill
+        byte), 'id' (identity/passthrough — skip the lookup entirely)."""
+        return ("map",) * 4
+
+    def table_head(self, params):
+        """If this element maps each pixel to table[index(pixel)] for a
+        derived 8-bit index (the coloreffects luma presets), return
+        (index_fn, byte_specs): index_fn(word_plane) -> int32 idx in
+        [0, 256); byte_specs = 4 x (kind, table) with kind from
+        tablefuse.{IDX,SRC,CONST} ('src', None) = byte passes through."""
+        return None
+
+    def word_map(self, params):
+        """If this element is a pure per-pixel function on the packed u32
+        word (cross-channel allowed — exclusion, chromahold, videoconvert),
+        return fn(word_i32) -> word_i32 valid on ANY array shape.  The
+        fusion pass evaluates fn on 256-entry tables when possible."""
+        return None
+
+    def index_stencil(self, params):
+        """If this element only MOVES whole pixels by comparing a scalar key
+        of each pixel (dilate's luminance propagation), return
+        (key_fn, move_fn): key_fn({c: (kind, table)}) -> [*, 256] int32 key
+        table; move_fn(idx_plane, key_plane, params) -> new idx_plane.
+        move_fn must use keys only for ORDER comparisons (the pass may
+        replace them with ranks)."""
+        return None
+
+    def table_tail(self, params, state, chain, batch):
+        """If this element can consume a TableChain directly (positional
+        final selects like zebrastripe), return (new_state, out_data);
+        else None and the chain is materialized for process()."""
+        return None
+
     # -- live recompile (runtime graph edits / static-property changes) -----
     def carry_state(self, old_state, window: int):
         """Migrate a live carry across a pipeline recompile (insertbin-style

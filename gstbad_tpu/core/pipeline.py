@@ -190,10 +190,10 @@ class Pipeline:
                 self._tap_route[t] = (len(leaves) + len(extra_nodes)
                                       + tap_extra.index(n))
 
-        # LUT-chain fusion (see Element.byte_map): nodes whose whole action
-        # is a per-channel byte map get their tables COMPOSED (256-entry
-        # math) with the previous such node instead of each applying its
-        # own per-pixel LUT pass.  A run extends only through nodes whose
+        # Table-state fusion (core/tablefuse.py, Element.byte_map/word_map/
+        # table_head/index_stencil/table_tail): runs of per-pixel elements
+        # get their work COMPOSED into 256-entry table math instead of each
+        # traversing the frame.  A run extends only through nodes whose
         # sole consumer is the next run member and that nothing else
         # observes (leaves, host sinks, taps); everything else flushes.
         consumers: Dict[int, List[Node]] = {}
@@ -205,51 +205,77 @@ class Pipeline:
 
         def step(params: List[Dict[str, Any]], states: List[Any],
                  in_batch: Optional[FrameBatch]):
+            from gstbad_tpu.core import tablefuse
+
             new_states = list(states)
             messages: Dict[str, Dict[str, Any]] = {}
             values: Dict[int, FrameBatch] = {}
-            # id(node) -> (src_batch, [(idx, el), ...], composed_tables)
-            pending: Dict[int, Any] = {}
+            # id(node) -> TableChain whose symbolic value is node's output
+            chains: Dict[int, tablefuse.TableChain] = {}
 
             def flush(nid: int) -> None:
-                from gstbad_tpu.ops import pointops
-                src, members, tables = pending.pop(nid)
-                if len(members) == 1:
-                    # a lone byte-map node keeps its own (cheaper) process
-                    idx, el = members[0]
-                    new_states[idx], val = el.process(params[idx],
-                                                      states[idx], src)
+                chain = chains.pop(nid)
+                if len(chain.members) == 1:
+                    # a lone fused node keeps its own (cheaper) process
+                    si, el = chain.members[0]
+                    new_states[si], val = el.process(params[si], states[si],
+                                                     chain.src_batch)
                 else:
-                    val = src.with_data(
-                        pointops.apply_byte_tables(src.data, tables))
+                    val = chain.materialize()
                 values[nid] = val
 
             def value_of(node: Node) -> FrameBatch:
-                if id(node) in pending:
+                if id(node) in chains:
                     flush(id(node))
                 return values[id(node)]
 
+            def try_absorb(chain, el, p) -> bool:
+                bm = el.byte_map(p)
+                if bm is not None:
+                    chain.absorb_byte_map(bm, el.byte_map_kinds())
+                    return True
+                head = el.table_head(p)
+                if head is not None and chain.absorb_head(*head):
+                    return True
+                wm = el.word_map(p)
+                if wm is not None and chain.absorb_word_map(wm):
+                    return True
+                st = el.index_stencil(p)
+                if st is not None and chain.absorb_index_stencil(
+                        st[0], st[1], p):
+                    return True
+                return False
+
             feed_idx = 0
-            for idx, n in enumerate(order):
+            for si, n in enumerate(order):
                 el = n.element
                 if fuse_luts and len(n.inputs) == 1 and el.KIND != "source":
-                    tb = el.byte_map(params[idx])
-                    if tb is not None:
-                        from gstbad_tpu.ops import pointops
-                        inp = n.inputs[0]
-                        new_states[idx] = states[idx]
-                        if (id(inp) in pending
-                                and id(inp) not in protected
-                                and consumers.get(id(inp)) == [n]):
-                            src, members, tables = pending.pop(id(inp))
-                            tables = pointops.compose_byte_tables(tables, tb)
-                            pending[id(n)] = (src, members + [(idx, el)],
-                                              tables)
-                        else:
-                            pending[id(n)] = (value_of(inp), [(idx, el)], tb)
-                        continue
+                    inp = n.inputs[0]
+                    chain = None
+                    popped_live = False
+                    if (id(inp) in chains and id(inp) not in protected
+                            and consumers.get(id(inp)) == [n]):
+                        chain = chains.pop(id(inp))
+                        popped_live = True
+                    elif el.FUSES:
+                        chain = tablefuse.start_chain(value_of(inp))
+                    if chain is not None:
+                        tail = el.table_tail(params[si], states[si], chain,
+                                             chain.src_batch)
+                        if tail is not None:
+                            new_states[si], data = tail
+                            values[id(n)] = chain.src_batch.with_data(data)
+                            continue
+                        if try_absorb(chain, el, params[si]):
+                            chain.members.append((si, el))
+                            new_states[si] = states[si]
+                            chains[id(n)] = chain
+                            continue
+                        if popped_live:
+                            chains[id(inp)] = chain
+                            flush(id(inp))
                 if el.KIND == "source":
-                    out = el.generate(params[idx], states[idx], window)
+                    out = el.generate(params[si], states[si], window)
                 else:
                     if not n.inputs:
                         # multiple host-sources feed as a list, one entry
@@ -264,14 +290,14 @@ class Pipeline:
                         batch = value_of(n.inputs[0])
                     else:
                         batch = [value_of(i) for i in n.inputs]
-                    out = el.process(params[idx], states[idx], batch)
+                    out = el.process(params[si], states[si], batch)
                 if len(out) == 3:
                     st, val, msgs = out
                     for name, fields in msgs.items():
                         messages[f"{el.NAME}:{name}"] = fields
                 else:
                     st, val = out
-                new_states[idx] = st
+                new_states[si] = st
                 values[id(n)] = val
             leaf_out = ([value_of(n) for n in leaves]
                         + [value_of(n) for n in extra_nodes]

@@ -1,0 +1,210 @@
+"""Table-state fusion — the whole-graph LUT/pointwise fusion pass.
+
+The reference runs each element as its own per-pixel loop over the frame
+(one streaming thread per element, SURVEY.md §3.1).  Round 2's LUT-chain
+fusion composed adjacent per-channel byte maps (Element.byte_map) into one
+256-entry table.  This pass generalizes that into a small abstract
+interpretation over the element chain: the value flowing between elements is
+tracked symbolically as
+
+    out_byte[c] = table_c[index_c]          (a TableChain)
+
+where index_c is either a shared 8-bit index plane (`idx` — e.g. the BT.709
+luma that gstcoloreffects.c:509-541 routes its preset LUTs through), the
+c-th byte of the chain's source word, or nothing (a per-frame constant).
+
+Fusion rules (each implemented against an Element hook):
+
+  byte_map        per-channel byte LUT       -> compose onto the tables
+                                                (256-entry math, free)
+  table_head      LUT over a derived index   -> start the shared idx plane
+  word_map        pointwise cross-channel fn -> when every byte shares idx,
+                                                evaluate the function ON THE
+                                                256 TABLE ENTRIES instead of
+                                                the W*H*B pixels
+  index_stencil   word-moving neighborhood   -> run the stencil on the 8-bit
+                  op (dilate copies whole       index plane, comparing via a
+                  pixels by luminance)          rank table of the mapped words
+  table_tail      positional final select    -> compose as an xor-select on
+                  (zebrastripe)                 the materialized word
+
+The payoff: a chain like sepia ! solarize ! chromium ! dodge ! burn !
+exclusion ! dilate ! chromahold ! videoconvert ! zebrastripe executes as ONE
+index-plane stencil plus a handful of gather-free byte lookups per pixel
+(ops/lut.py bit-planes) — every per-pixel integer op of the ten reference
+loops collapses into 256-entry table arithmetic, bit-exactly: evaluating a
+pure per-pixel function on the 256 reachable values is exactly equal to
+evaluating it on every pixel.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import jax.numpy as jnp
+
+from gstbad_tpu.core.frame import FrameBatch
+
+IDX = "idx"      # byte c = table[idx-plane]
+SRC = "src"      # byte c = table[byte c of src word]  (table None = identity)
+CONST = "const"  # byte c = per-frame scalar value
+
+
+def _lead(v, ndim):
+    """Broadcast a per-frame [B] scalar against an ndim-dim plane/table."""
+    v = jnp.asarray(v)
+    return v.reshape(v.shape + (1,) * (ndim - v.ndim)) if v.ndim else v
+
+
+class TableChain:
+    """The symbolic value for a run of fusable elements.
+
+    src_batch carries the chain input (metadata + the word plane for SRC
+    bytes); members lists (state_index, element) so a single-member chain
+    can fall back to the element's own (cheaper) process().
+    """
+
+    def __init__(self, src_batch: FrameBatch, src_word: jnp.ndarray):
+        self.src_batch = src_batch
+        self.src_word = src_word          # [B, H, W] int32 packed pixels
+        self.idx: Optional[jnp.ndarray] = None   # [B, H, W] int32 in [0,256)
+        self.bytes_: List[Tuple[str, Any]] = [(SRC, None)] * 4
+        self.members: List[Tuple[int, Any]] = []
+
+    # -- predicates ---------------------------------------------------------
+    def pristine(self) -> bool:
+        return self.idx is None and all(
+            k == SRC and t is None for k, t in self.bytes_)
+
+    def single_indexed(self) -> bool:
+        """True when every byte is a function of the shared idx plane."""
+        return self.idx is not None and all(
+            k in (IDX, CONST) for k, t in self.bytes_)
+
+    # -- fusion rules -------------------------------------------------------
+    def absorb_byte_map(self, tables: jnp.ndarray, kinds) -> None:
+        """Compose a per-channel byte map [*, 4, 256] (Element.byte_map)."""
+        for c in range(4):
+            bk = kinds[c]
+            if bk == "id":
+                continue
+            if bk == "zero":
+                self.bytes_[c] = (CONST, jnp.int32(0))
+                continue
+            t_new = tables[..., c, :].astype(jnp.int32)
+            kind, t = self.bytes_[c]
+            if kind == CONST:
+                # one dynamic entry of the new table (a 1-element gather)
+                ii = jnp.asarray(t).astype(jnp.int32)
+                lead = jnp.broadcast_shapes(ii.shape, t_new.shape[:-1])
+                t_b = jnp.broadcast_to(t_new, lead + (256,))
+                ii_b = jnp.broadcast_to(
+                    ii.reshape(ii.shape + (1,) * (len(lead) - ii.ndim + 1)),
+                    lead + (1,))
+                self.bytes_[c] = (CONST, jnp.take_along_axis(
+                    t_b, ii_b, axis=-1)[..., 0])
+            elif t is None:
+                self.bytes_[c] = (kind, t_new)
+            else:
+                t_b, n_b = jnp.broadcast_arrays(t.astype(jnp.int32), t_new)
+                self.bytes_[c] = (kind, jnp.take_along_axis(n_b, t_b,
+                                                            axis=-1))
+
+    def absorb_head(self, index_fn, byte_specs) -> bool:
+        """Start the shared index plane (only on a pristine chain)."""
+        if not self.pristine():
+            return False
+        self.idx = index_fn(self.src_word).astype(jnp.int32)
+        self.bytes_ = [(k, None if t is None else jnp.asarray(t)
+                        .astype(jnp.int32)) for k, t in byte_specs]
+        return True
+
+    def word_table(self) -> jnp.ndarray:
+        """The full mapped word as a [*, 256] int32 table (single_indexed)."""
+        out = None
+        for c, (kind, t) in enumerate(self.bytes_):
+            if kind == CONST:
+                v = (_lead(t, 1) if jnp.asarray(t).ndim == 0
+                     else jnp.asarray(t)[..., None]).astype(jnp.int32)
+                w = jnp.broadcast_to(v, v.shape[:-1] + (256,))
+            else:
+                w = t.astype(jnp.int32)
+            w = (w & 255) << (8 * c) if c else (w & 255)
+            out = w if out is None else out | w
+        return out
+
+    def absorb_word_map(self, fn) -> bool:
+        """Evaluate a pure per-pixel word function on the 256 table entries."""
+        if not self.single_indexed():
+            return False
+        new_t = fn(self.word_table())
+        self.bytes_ = [(IDX, (new_t >> (8 * c)) & 255 if c else new_t & 255)
+                       for c in range(4)]
+        return True
+
+    def rank_plane(self, key_table: jnp.ndarray) -> jnp.ndarray:
+        """Order-preserving u8 rank of a [*, 256] int32 key table, looked up
+        over the idx plane.  rank(a) > rank(b) <=> key(a) > key(b) (ties map
+        to equal ranks), so stencils that only COMPARE keys (dilate's
+        luminance) run off one 8-bit lookup instead of a 16-bit one."""
+        from gstbad_tpu.ops import lut
+        k = key_table.astype(jnp.int32)
+        if k.shape[-1] == 1:
+            k = jnp.broadcast_to(k, k.shape[:-1] + (256,))
+        rank = jnp.sum((k[..., None, :] < k[..., :, None]).astype(jnp.int32),
+                       axis=-1)
+        if rank.ndim == 1:
+            return lut.apply_word_table(self.idx, rank)
+        return lut.apply_lut(self.idx, lut.pack_table(rank)).astype(jnp.int32)
+
+    def absorb_index_stencil(self, key_fn, move_fn, params) -> bool:
+        """Run a word-moving stencil on the index plane: key_fn builds the
+        comparison key per table entry, move_fn permutes the idx plane using
+        only ORDER comparisons on the looked-up keys."""
+        if not self.single_indexed():
+            return False
+        key_t = key_fn({c: (kind, t) for c, (kind, t)
+                        in enumerate(self.bytes_)})
+        self.idx = move_fn(self.idx, self.rank_plane(key_t), params)
+        return True
+
+    # -- materialization ----------------------------------------------------
+    def materialize_word(self) -> jnp.ndarray:
+        from gstbad_tpu.ops import lut
+        from gstbad_tpu.ops.pointops import byte_of
+        if self.single_indexed() and all(
+                (jnp.asarray(t).ndim == (1 if k == IDX else 0))
+                for k, t in self.bytes_):
+            # every byte rides the shared idx with per-run tables: ONE
+            # whole-word lookup (the Pallas shuffle kernel on TPU)
+            return lut.apply_word_table(self.idx, self.word_table())
+        out = None
+        for c, (kind, t) in enumerate(self.bytes_):
+            if kind == CONST:
+                v = _lead(jnp.asarray(t).astype(jnp.int32),
+                          self.src_word.ndim)
+                b = jnp.broadcast_to(v, self.src_word.shape)
+            elif kind == SRC:
+                b = byte_of(self.src_word, c)
+                if t is not None:
+                    b = lut.apply_lut(b, lut.pack_table(t)).astype(jnp.int32)
+            else:
+                b = lut.apply_lut(self.idx,
+                                  lut.pack_table(t)).astype(jnp.int32)
+            w = (b & 255) << (8 * c) if c else (b & 255)
+            out = w if out is None else out | w
+        return out
+
+    def materialize(self) -> FrameBatch:
+        from gstbad_tpu.ops.pointops import unpack32
+        return self.src_batch.with_data(unpack32(self.materialize_word()))
+
+
+def start_chain(batch: FrameBatch) -> Optional[TableChain]:
+    """A chain needs a packed 4-byte word image ([B, H, W, 4] u8)."""
+    from gstbad_tpu.ops.pointops import pack32
+    data = batch.data
+    if (isinstance(data, dict) or getattr(data, "ndim", 0) != 4
+            or data.shape[-1] != 4 or data.dtype != jnp.uint8):
+        return None
+    return TableChain(batch, pack32(data))

@@ -66,6 +66,37 @@ class ColorEffects(VideoFilter):
             chans[c] = self._table[:, i].astype(jnp.int32)
         return jnp.stack(chans, axis=-2)
 
+    def byte_map_kinds(self):
+        kinds = ["id"] * 4
+        if (self._table is not None and not self._map_luma
+                and not self._is_ayuv):
+            for c in self._rgb:
+                kinds[c] = "map"
+        return tuple(kinds)
+
+    def table_head(self, params):
+        """Luma presets (heat/sepia/xray) are table[luma(pixel)] — the
+        canonical table-fusion head (gstcoloreffects.c:509-541: the preset
+        LUT is routed through BT.709 luma on the RGB path)."""
+        if (self._table is None or self._is_ayuv or not self._map_luma
+                or self.out_spec.format not in VideoFormat.PACKED_RGB4):
+            return None
+        from gstbad_tpu.core import tablefuse
+        rgb = self._rgb
+        table = self._table
+
+        def index_fn(word):
+            r = pointops.byte_of(word, rgb[0])
+            g = pointops.byte_of(word, rgb[1])
+            b = pointops.byte_of(word, rgb[2])
+            # the exact pointops.lut_rgb luma (gstcoloreffects.c:334-341)
+            return (((r << 8) * 54) + ((g << 8) * 183) + ((b << 8) * 19)) >> 16
+
+        specs = [(tablefuse.SRC, None)] * 4
+        for i, c in enumerate(rgb):
+            specs[c] = (tablefuse.IDX, table[:, i].astype(jnp.int32))
+        return index_fn, specs
+
 
 @register
 class ChromaHold(VideoFilter):
@@ -95,3 +126,11 @@ class ChromaHold(VideoFilter):
         out = pointops.chromahold(batch.data, hue, params["tolerance"],
                                   self._rgb)
         return state, batch.with_data(out)
+
+    def word_map(self, params):
+        hue = pointops.rgb_to_hue(params["target-r"].astype(jnp.int32),
+                                  params["target-g"].astype(jnp.int32),
+                                  params["target-b"].astype(jnp.int32))
+        tol = params["tolerance"]
+        rgb = self._rgb
+        return lambda w: pointops.chromahold_word(w, hue, tol, rgb)

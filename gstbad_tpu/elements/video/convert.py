@@ -123,3 +123,24 @@ class VideoConvert(Element):
                 out = out.at[..., d_off[3]].set(alpha)
             return state, batch.with_data(out)
         return state, batch.with_data(_from_ayuv(_to_ayuv(data, src), dst))
+
+    def word_map(self, params):
+        """Packed-4 -> packed-4 conversions are pure word functions, so the
+        table-fusion pass can run them on 256-entry tables."""
+        from gstbad_tpu.ops import pointops
+        src = self.in_spec.format
+        dst = self.out_spec.format
+        if src == dst:
+            return lambda w: w
+        if not (VideoFormat.is_rgb(src)
+                and src in VideoFormat.PACKED_RGB4):
+            return None
+        s_off = VideoFormat.rgb_offsets(src)
+        has_a = VideoFormat.has_alpha(src)
+        if dst == VideoFormat.AYUV:
+            return lambda w: pointops.rgb_word_to_ayuv_word(w, s_off, has_a)
+        if VideoFormat.is_rgb(dst) and dst in VideoFormat.PACKED_RGB4:
+            d_off = VideoFormat.rgb_offsets(dst)
+            return lambda w: pointops.rgb_word_permute(w, s_off, d_off,
+                                                       has_a)
+        return None

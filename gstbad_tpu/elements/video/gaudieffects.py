@@ -72,6 +72,9 @@ class Chromium(_GuintWordFilter):
         z = jnp.zeros_like(t)  # fill byte rebuilt as 0 (gstchromium.c word)
         return jnp.stack([t, t, t, z], axis=-2)
 
+    def byte_map_kinds(self):
+        return ("map", "map", "map", "zero")
+
 
 @register
 class Dilate(_GuintWordFilter):
@@ -83,6 +86,45 @@ class Dilate(_GuintWordFilter):
     def process(self, params, state, batch: FrameBatch):
         return state, batch.with_data(
             pointops.dilate(batch.data, params["erode"], _WORD_RGB))
+
+    def index_stencil(self, params):
+        """Dilate only MOVES whole pixels by luminance comparison, so under
+        table fusion it runs on the 8-bit index plane (core/tablefuse.py):
+        the 90r+115g+51b key is built per TABLE ENTRY and compared via an
+        order-preserving rank lookup."""
+        from gstbad_tpu.core import tablefuse
+
+        def key_fn(bytes_):
+            def col(c):
+                kind, t = bytes_[c]
+                if kind == tablefuse.CONST:
+                    v = jnp.asarray(t).astype(jnp.int32)
+                    return v[..., None] if v.ndim else v
+                return t.astype(jnp.int32)
+            return (90 * col(_WORD_RGB[0]) + 115 * col(_WORD_RGB[1])
+                    + 51 * col(_WORD_RGB[2]))
+
+        def move_fn(idx, key, params):
+            # the same down/right/left sequential walk as pointops.dilate
+            # (gstdilate.c:273-350), with luminance replaced by its rank
+            erode = pointops._per_frame(params["erode"], idx.ndim)
+            shifts = (
+                lambda p: jnp.concatenate([p[..., 1:, :], p[..., -1:, :]],
+                                          axis=-2),   # down
+                lambda p: jnp.concatenate([p[..., :, 1:], p[..., :, -1:]],
+                                          axis=-1),   # right
+                lambda p: jnp.concatenate([p[..., :, :1], p[..., :, :-1]],
+                                          axis=-1),   # left
+            )
+            out_i, out_k = idx, key
+            for shift in shifts:
+                n_i, n_k = shift(idx), shift(key)
+                take = jnp.where(erode, n_k < out_k, n_k > out_k)
+                out_i = jnp.where(take, n_i, out_i)
+                out_k = jnp.where(take, n_k, out_k)
+            return out_i
+
+        return key_fn, move_fn
 
 
 @register
@@ -101,6 +143,9 @@ class Dodge(_GuintWordFilter):
         z = jnp.zeros_like(t)
         return jnp.stack([t, t, t, z], axis=-2)
 
+    def byte_map_kinds(self):
+        return ("map", "map", "map", "zero")
+
 
 @register
 class Exclusion(_GuintWordFilter):
@@ -113,6 +158,10 @@ class Exclusion(_GuintWordFilter):
         out = pointops.exclusion(batch.data, params["factor"],
                                  _WORD_RGB, _WORD_FILL)
         return state, batch.with_data(out)
+
+    def word_map(self, params):
+        f = params["factor"]
+        return lambda w: pointops.exclusion_word(w, f, _WORD_RGB)
 
 
 @register
@@ -138,6 +187,9 @@ class Solarize(_GuintWordFilter):
                                params["end"]).astype(jnp.int32)
         z = jnp.zeros_like(t)
         return jnp.stack([t, t, t, z], axis=-2)
+
+    def byte_map_kinds(self):
+        return ("map", "map", "map", "zero")
 
 
 @register

@@ -62,9 +62,34 @@ class ZebraStripe(_LumaFilter):
         # y_threshold = 16 + floor(0.5 + 2.19 * threshold)
         thr = (16 + jnp.floor(0.5 + 2.19 * params["threshold"]
                               .astype(jnp.float64))).astype(jnp.int32)
+        thr = pointops._per_frame(thr, 3)  # [B] controllable -> [B, 1, 1]
         t = state + jnp.arange(b, dtype=jnp.int32)
         out = pointops.zebrastripe(y, thr, t[:, None, None])
         return state + b, batch.with_data(self._set_luma(batch.data, out))
+
+    def table_tail(self, params, state, chain, batch):
+        """Table-fusion tail: materialize the chain's word ONCE, then the
+        stripe select is 3 plain ops on the luma byte — y' = 16 where
+        stripe & y >= thr (gstzebrastripe.c:205-253)."""
+        from gstbad_tpu.core.spec import VideoFormat
+        if (self.out_spec.format != VideoFormat.AYUV
+                or not chain.single_indexed()):
+            return None
+        thr = (16 + jnp.floor(0.5 + 2.19 * params["threshold"]
+                              .astype(jnp.float64))).astype(jnp.int32)
+        thr = pointops._per_frame(thr, 3)
+        b = chain.src_word.shape[0]
+        h, w = chain.src_word.shape[-2:]
+        tph = state + jnp.arange(b, dtype=jnp.int32)
+        i = jnp.arange(w, dtype=jnp.int32)[None, :]
+        j = jnp.arange(h, dtype=jnp.int32)[:, None]
+        stripe = (((i + j)[None] + tph[:, None, None]) & 0x4) != 0
+        word = chain.materialize_word()
+        y = pointops.byte_of(word, 1)
+        zebra = ((word & jnp.int32(np.int32(np.uint32(0xFFFF00FF))))
+                 | jnp.int32(16 << 8))
+        out = jnp.where(stripe & (y >= thr), zebra, word)
+        return state + b, pointops.unpack32(out)
 
 
 @register

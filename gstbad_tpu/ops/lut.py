@@ -16,16 +16,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def pack_table(table_u8: jnp.ndarray) -> jnp.ndarray:
-    """[..., 256] uint8-valued table -> packed bit planes
-    [..., 8 bits, 8 words] u32.  Leading dims support per-frame tables
-    (the controllable-property-curve path)."""
+def pack_table(table_u8: jnp.ndarray, nbits: int = 8) -> jnp.ndarray:
+    """[..., 256] table with values < 2**nbits -> packed bit planes
+    [..., nbits, 8 words] u32.  Leading dims support per-frame tables
+    (the controllable-property-curve path).  nbits > 8 packs wider values
+    (e.g. the 16-bit dilate luminance keys) at proportional lookup cost."""
     t = table_u8.astype(jnp.uint32)
     lead = t.shape[:-1]
     bits = (t[..., None, :]
-            >> jnp.arange(8, dtype=jnp.uint32)[:, None]) & 1
+            >> jnp.arange(nbits, dtype=jnp.uint32)[:, None]) & 1
     shifts = (jnp.arange(256, dtype=jnp.uint32) % 32)
-    words = (bits << shifts).reshape(lead + (8, 8, 32)).sum(
+    words = (bits << shifts).reshape(lead + (nbits, 8, 32)).sum(
         axis=-1, dtype=jnp.uint32)
     return words  # [..., bit, word]
 
@@ -34,12 +35,14 @@ def apply_lut(idx: jnp.ndarray, packed: jnp.ndarray) -> jnp.ndarray:
     """table[idx] for idx int32 in [0, 256); packed from pack_table.
 
     Flat mask-multiply word select — measured 305 Gelem/s on v5e vs
-    0.1 Gelem/s for the XLA gather.
+    0.1 Gelem/s for the XLA gather.  Returns uint8 for <=8-bit tables,
+    uint32 for wider ones (pack_table nbits > 8).
     """
     hi = (idx >> 5).astype(jnp.int32)
     lo = (idx & 31).astype(jnp.uint32)
     masks = [(hi == j).astype(jnp.uint32) for j in range(8)]
     lead = packed.shape[:-2]  # () or (B,) for per-frame tables
+    nbits = packed.shape[-2]
 
     def word_of(b, j):
         w = packed[..., b, j]
@@ -48,18 +51,104 @@ def apply_lut(idx: jnp.ndarray, packed: jnp.ndarray) -> jnp.ndarray:
         return w
 
     out = jnp.zeros(idx.shape, jnp.uint32)
-    for b in range(8):
+    for b in range(nbits):
         word = masks[0] * word_of(b, 0)
         for j in range(1, 8):
             word = word + masks[j] * word_of(b, j)
         out = out | (((word >> lo) & 1) << b)
-    return out.astype(jnp.uint8)
+    return out.astype(jnp.uint8) if nbits <= 8 else out
 
 
 def apply_lut3(idx: jnp.ndarray, packed3: jnp.ndarray):
     """Three tables on one index (coloreffects RGB columns).
     packed3: [3, 8, 8] u32 -> tuple of 3 uint8 arrays."""
     return tuple(apply_lut(idx, packed3[c]) for c in range(3))
+
+
+# ---------------------------------------------------------------------------
+# whole-word table lookup — ONE gather for a packed 4-byte pixel
+# ---------------------------------------------------------------------------
+# The bit-plane select above costs ~11 VPU ops per OUTPUT BIT; a full u32
+# word is 32 bits ~ 350 ops/pixel.  The VPU does have one true dynamic
+# addressing primitive: a batched 128-lane shuffle (the same one
+# ops/warp_pallas.py is built on).  A 256-entry u32 table splits into two
+# 128-lane vregs; table[idx] is then 2 shuffles + a select per [8, 128]
+# block — ~6 ops/pixel, ~50x the bit-plane route for word-valued tables.
+
+_GATHER_DNUMS = None
+
+
+def _dnums():
+    global _GATHER_DNUMS
+    if _GATHER_DNUMS is None:
+        from jax import lax
+        _GATHER_DNUMS = lax.GatherDimensionNumbers(
+            offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
+            operand_batching_dims=(0,), start_indices_batching_dims=(0,))
+    return _GATHER_DNUMS
+
+
+def _word_lut_kernel(table_ref, idx_ref, out_ref):
+    from jax import lax
+    from jax.experimental.pallas import tpu as pltpu
+    t_lo = pltpu.repeat(table_ref[0:1, :], 8, axis=0)
+    t_hi = pltpu.repeat(table_ref[1:2, :], 8, axis=0)
+    w = idx_ref.shape[-1]
+    for j in range(w // 128):
+        blk = idx_ref[0, :, j * 128:(j + 1) * 128]
+        lo = blk & 127
+        va = lax.gather(t_lo, lo[..., None], _dnums(), slice_sizes=(1, 1),
+                        mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+        vb = lax.gather(t_hi, lo[..., None], _dnums(), slice_sizes=(1, 1),
+                        mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+        out_ref[0, :, j * 128:(j + 1) * 128] = jnp.where(blk < 128, va, vb)
+
+
+def _word_lut_pallas(idx: jnp.ndarray, table: jnp.ndarray,
+                     interpret: bool) -> jnp.ndarray:
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    b, h, w = idx.shape
+    return pl.pallas_call(
+        _word_lut_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        grid=(b, h // 8),
+        in_specs=[
+            pl.BlockSpec((2, 128), lambda bi, r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, w), lambda bi, r: (bi, r, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, w), lambda bi, r: (bi, r, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(table.reshape(2, 128), idx)
+
+
+def apply_word_table(idx: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """table[idx] for a 256-entry int32-valued table (e.g. a whole packed
+    pixel per entry) over an idx plane in [0, 256).
+
+    TPU + tileable [B, H%8==0, W%128==0] planes: the Pallas shuffle kernel.
+    Other backends: the XLA gather (fast on CPU).  Misaligned TPU shapes:
+    four bit-plane byte lookups."""
+    import jax
+    table = table.astype(jnp.int32)
+    idx = idx.astype(jnp.int32)
+    on_tpu = jax.default_backend() == "tpu"
+    if (idx.ndim == 3 and idx.shape[-1] % 128 == 0
+            and idx.shape[-2] % 8 == 0 and on_tpu):
+        return _word_lut_pallas(idx, table, interpret=False)
+    if not on_tpu:
+        return jnp.take(table, idx, axis=0)
+    out = None
+    for c in range(4):
+        byte = apply_lut(idx, pack_table((table >> (8 * c)) & 255)
+                         ).astype(jnp.int32)
+        w = byte << (8 * c) if c else byte
+        out = w if out is None else out | w
+    return out
 
 
 # ---------------------------------------------------------------------------

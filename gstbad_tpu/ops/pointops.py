@@ -140,12 +140,9 @@ def dodge(img: jnp.ndarray, rgb: Sequence[int], fill: Optional[int]
     return _lut_rgb_fill(img, lut.pack_table(lut.dodge_table()), rgb)
 
 
-def exclusion(img: jnp.ndarray, factor: jnp.ndarray, rgb: Sequence[int],
-              fill: Optional[int]) -> jnp.ndarray:
-    """gstexclusion.c:257-290 (the green-in-red-term quirk preserved);
-    factor is 1..175 (gstexclusion.c:156), dividends < 2^16, so the
-    reciprocal division is exact after the correction step."""
-    p = pack32(img)
+def exclusion_word(p: jnp.ndarray, factor: jnp.ndarray, rgb: Sequence[int]
+                   ) -> jnp.ndarray:
+    """exclusion on packed words (any shape — pixels or 256-entry tables)."""
     f = _per_frame(factor.astype(jnp.int32), p.ndim)
     r = byte_of(p, rgb[0])
     g = byte_of(p, rgb[1])
@@ -153,10 +150,17 @@ def exclusion(img: jnp.ndarray, factor: jnp.ndarray, rgb: Sequence[int],
     rr = f - (idiv_pos((f - r) * (f - r), f) + idiv_pos(g * r, f))
     gg = f - (idiv_pos((f - g) * (f - g), f) + idiv_pos(g * g, f))
     bb = f - (idiv_pos((f - b) * (f - b), f) + idiv_pos(b * b, f))
-    out = repack({rgb[0]: jnp.clip(rr, 0, 255),
-                  rgb[1]: jnp.clip(gg, 0, 255),
-                  rgb[2]: jnp.clip(bb, 0, 255)})
-    return unpack32(out)
+    return repack({rgb[0]: jnp.clip(rr, 0, 255),
+                   rgb[1]: jnp.clip(gg, 0, 255),
+                   rgb[2]: jnp.clip(bb, 0, 255)})
+
+
+def exclusion(img: jnp.ndarray, factor: jnp.ndarray, rgb: Sequence[int],
+              fill: Optional[int]) -> jnp.ndarray:
+    """gstexclusion.c:257-290 (the green-in-red-term quirk preserved);
+    factor is 1..175 (gstexclusion.c:156), dividends < 2^16, so the
+    reciprocal division is exact after the correction step."""
+    return unpack32(exclusion_word(pack32(img), factor, rgb))
 
 
 def solarize(img: jnp.ndarray, threshold: jnp.ndarray, start: jnp.ndarray,
@@ -276,10 +280,10 @@ def rgb_to_hue(r, g, b):
     return jnp.where(C == 0, -1, h)
 
 
-def chromahold(img: jnp.ndarray, target_hue: jnp.ndarray,
-               tolerance: jnp.ndarray, rgb: Sequence[int]) -> jnp.ndarray:
-    """gstchromahold.c:318-360; the fill byte passes through."""
-    p = pack32(img)
+def chromahold_word(p: jnp.ndarray, target_hue: jnp.ndarray,
+                    tolerance: jnp.ndarray, rgb: Sequence[int]
+                    ) -> jnp.ndarray:
+    """chromahold on packed words (any shape — pixels or tables)."""
     r = byte_of(p, rgb[0])
     g = byte_of(p, rgb[1])
     b = byte_of(p, rgb[2])
@@ -294,11 +298,40 @@ def chromahold(img: jnp.ndarray, target_hue: jnp.ndarray,
     grey = jnp.clip((13938 * r + 46869 * g + 4730 * b) >> 16, 0, 255)
     make_grey = (h1 == -1) | (diff > tolerance.astype(jnp.int32))
     fill_mask = 0xFFFFFFFF ^ sum(0xFF << (8 * c) for c in rgb)
-    out = repack({rgb[0]: jnp.where(make_grey, grey, r),
-                  rgb[1]: jnp.where(make_grey, grey, g),
-                  rgb[2]: jnp.where(make_grey, grey, b)},
-                 passthrough=p, mask=fill_mask)
-    return unpack32(out)
+    return repack({rgb[0]: jnp.where(make_grey, grey, r),
+                   rgb[1]: jnp.where(make_grey, grey, g),
+                   rgb[2]: jnp.where(make_grey, grey, b)},
+                  passthrough=p, mask=fill_mask)
+
+
+def chromahold(img: jnp.ndarray, target_hue: jnp.ndarray,
+               tolerance: jnp.ndarray, rgb: Sequence[int]) -> jnp.ndarray:
+    """gstchromahold.c:318-360; the fill byte passes through."""
+    return unpack32(chromahold_word(pack32(img), target_hue, tolerance, rgb))
+
+
+def rgb_word_to_ayuv_word(p: jnp.ndarray, offs, has_alpha: bool
+                          ) -> jnp.ndarray:
+    """Packed-RGB4 word -> AYUV word (videoconvert math on words; the same
+    fixed-point SDTV matrix as elements/video/convert._to_ayuv)."""
+    r = byte_of(p, offs[0])
+    g = byte_of(p, offs[1])
+    b = byte_of(p, offs[2])
+    a = byte_of(p, offs[3]) if has_alpha else jnp.full_like(p, 255) & 255
+    y, u, v = _apply_matrix(_RGB2YCBCR, r, g, b)
+    return repack({0: a, 1: jnp.clip(y, 0, 255), 2: jnp.clip(u, 0, 255),
+                   3: jnp.clip(v, 0, 255)})
+
+
+def rgb_word_permute(p: jnp.ndarray, s_off, d_off, src_has_alpha: bool
+                     ) -> jnp.ndarray:
+    """Packed-RGB4 word -> packed-RGB4 word channel shuffle
+    (videoconvert's RGB fast path on words)."""
+    out = {d_off[i]: byte_of(p, s_off[i]) for i in range(3)}
+    if d_off[3] is not None:
+        out[d_off[3]] = (byte_of(p, s_off[3]) if src_has_alpha
+                         else jnp.full_like(p, 255) & 255)
+    return repack(out)
 
 
 def zebrastripe(y: jnp.ndarray, y_threshold: jnp.ndarray, t: jnp.ndarray
