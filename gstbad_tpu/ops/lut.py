@@ -110,17 +110,21 @@ def _word_lut_pallas(idx: jnp.ndarray, table: jnp.ndarray,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     b, h, w = idx.shape
+    # index maps must return i32 — a literal 0 traces as i64 under the
+    # package-global x64 and Mosaic rejects the (i64, i64) func.return;
+    # np.int32 (not jnp: index maps may not capture tracers) keeps it i32
+    zero = np.int32(0)
     return pl.pallas_call(
         _word_lut_kernel,
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
         grid=(b, h // 8),
         in_specs=[
-            pl.BlockSpec((2, 128), lambda bi, r: (0, 0),
+            pl.BlockSpec((2, 128), lambda bi, r: (zero, zero),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, w), lambda bi, r: (bi, r, 0),
+            pl.BlockSpec((1, 8, w), lambda bi, r: (bi, r, zero),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, w), lambda bi, r: (bi, r, 0),
+        out_specs=pl.BlockSpec((1, 8, w), lambda bi, r: (bi, r, zero),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(table.reshape(2, 128), idx)

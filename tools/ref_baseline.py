@@ -32,6 +32,7 @@ DIST_UNITS = [
     f"{REF}/gst/gaudieffects/gstgaudieffectsorc-dist.c",
     f"{REF}/gst/videofilters/gstscenechangeorc-dist.c",
     f"{REF}/gst/fieldanalysis/gstfieldanalysisorc-dist.c",
+    f"{REF}/gst/bayer/gstbayerorc-dist.c",
 ]
 
 _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
@@ -75,6 +76,14 @@ def load():
     lib.rb_chromahold.argtypes = [_u8p, _u8p, ci, ci, ci, ci, ci]
     lib.rb_rgb_to_y.argtypes = [_u8p, _u8p, ci]
     lib.rb_zebrastripe.argtypes = [_u8p, ci, ci, ci, ci]
+    _f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.rb_mixmatrix_f32.argtypes = [_f32p, _f32p, ci, _f32p, ci, ci]
+    lib.rb_freeverb_seconds.restype = ctypes.c_double
+    lib.rb_freeverb_seconds.argtypes = [_f32p, _f32p, ci, ci, ci]
+    lib.rb_remap_clamp.argtypes = [_u8p, _u8p, _f64p, ci, ci]
+    lib.rb_bayer2rgb_bgra.argtypes = [_u8p, _u8p, _u8p, ci, ci]
+    lib.rb_ivtc_comb_score.restype = ci
+    lib.rb_ivtc_comb_score.argtypes = [_u8p, _u8p, ci, ci]
     return lib
 
 
@@ -146,6 +155,49 @@ def crosscheck(lib) -> dict:
                   - g.gaussianblur(img, 1.2).astype(np.int16)).max()
     results["gaussianblur_c_vs_golden_maxdiff"] = int(diff)
     results["gaussianblur_ok"] = bool(diff <= 1)
+
+    # 5. freeverb C vs golden serial float32 (-O3 FMA contraction only)
+    from gstbad_tpu.golden import audio as g_audio
+    x = ((rng.random((4096, 2)) - 0.5) * 0.8).astype(np.float32)
+    y = np.empty_like(x)
+    lib.rb_freeverb_seconds(np.ascontiguousarray(x.ravel()), y.ravel(),
+                            4096, 44100, 1)
+    # the ctypes out buffer was written in place; re-read through y
+    want = g_audio.Freeverb(44100).process_stereo_float(x)
+    results["freeverb_c_vs_golden_maxdiff"] = float(
+        np.abs(y - want).max())
+    results["freeverb_ok"] = bool(np.abs(y - want).max() <= 1e-5)
+
+    # 6. bayer2rgb: REAL reference ORC merge kernels vs golden
+    from gstbad_tpu.golden import bayer as g_bayer
+    raw = rng.integers(0, 256, (64, 128), dtype=np.uint8)
+    bdst = np.empty(64 * 128 * 4, np.uint8)
+    btmp = np.empty(8 * 128, np.uint8)
+    lib.rb_bayer2rgb_bgra(bdst, np.ascontiguousarray(raw).ravel(), btmp,
+                          64, 128)
+    want_b = g_bayer.bayer2rgb(raw, "bggr", out_order="BGRA")
+    results["bayer2rgb_ref_orc_vs_golden"] = bool(
+        (bdst.reshape(64, 128, 4) == want_b).all())
+
+    # 7. remap transcription vs golden fisheye (trunc-index copy)
+    from gstbad_tpu.golden import geometric as g_geo
+    mp = g_geo.fisheye_map(w, h)
+    rdst = np.zeros(n * 4, np.uint8)
+    lib.rb_remap_clamp(rdst, src, np.ascontiguousarray(
+        mp.reshape(-1, 2).astype(np.float64)).ravel(), h, w)
+    want_r = g_geo.remap(img, mp, off_edge="clamp")
+    results["remap_c_vs_golden"] = bool(
+        (rdst.reshape(h, w, 4) == want_r).all())
+
+    # 8. ivtc comb score vs golden
+    from gstbad_tpu.golden import ivtc as g_ivtc
+    t0f = rng.integers(0, 256, (64, 128), dtype=np.uint8)
+    b0f = rng.integers(0, 256, (64, 128), dtype=np.uint8)
+    got_s = lib.rb_ivtc_comb_score(np.ascontiguousarray(t0f).ravel(),
+                                   np.ascontiguousarray(b0f).ravel(),
+                                   64, 128)
+    results["ivtc_comb_c_vs_golden"] = (
+        int(got_s) == int(g_ivtc.get_comb_score(t0f, b0f)))
     return results
 
 
@@ -205,6 +257,96 @@ def measure_kernels(lib, width=1920, height=1080) -> dict:
     return out
 
 
+def measure_config3_audio(lib, rate=48000, block=4800, min_seconds=2.0):
+    """Config 3: audiomixmatrix 8->2 + freeverb at 48 kHz -> realtime
+    factor (x realtime, single core)."""
+    rng = np.random.default_rng(0)
+    x8 = ((rng.random((block, 8)) - 0.5) * 0.8).astype(np.float32)
+    matrix = np.full((2, 8), 0.125, np.float32)
+    matrix[0, 0] = matrix[1, 1] = 1.0
+    mixed = np.empty((block, 2), np.float32)
+    out = np.empty((block, 2), np.float32)
+
+    t0 = time.perf_counter()
+    mix_reps = 50
+    for _ in range(mix_reps):
+        lib.rb_mixmatrix_f32(mixed.ravel(), x8.ravel(), block,
+                             matrix.ravel(), 8, 2)
+    mix_secs_per_block = (time.perf_counter() - t0) / mix_reps
+
+    reps = 8
+    while True:
+        secs = lib.rb_freeverb_seconds(mixed.ravel(), out.ravel(), block,
+                                       rate, reps)
+        if secs >= min_seconds:
+            break
+        reps = max(reps * 2, int(reps * min_seconds / max(secs, 1e-3)) + 1)
+    fv_secs_per_block = secs / reps
+    chain_secs = mix_secs_per_block + fv_secs_per_block
+    return {
+        "audio_chain_realtime_x": round((block / rate) / chain_secs, 2),
+        "freeverb_realtime_x": round((block / rate) / fv_secs_per_block, 2),
+    }
+
+
+def measure_config4_warp(lib, width=3840, height=2160):
+    """Config 4: bayer2rgb + fisheye + twirl at 4K (the per-frame remap
+    loops over the precalc maps + the reference ORC demosaic)."""
+    from gstbad_tpu.golden import geometric as g_geo
+    rng = np.random.default_rng(0)
+    n = width * height
+    raw = rng.integers(0, 256, n, dtype=np.uint8)
+    rgba = np.empty(n * 4, np.uint8)
+    tmp8 = np.empty(8 * width, np.uint8)
+    buf = np.empty(n * 4, np.uint8)
+    out = np.zeros(n * 4, np.uint8)
+    fish = np.ascontiguousarray(
+        g_geo.fisheye_map(width, height).reshape(-1, 2)
+        .astype(np.float64)).ravel()
+    twirl = np.ascontiguousarray(
+        g_geo.twirl_map(width, height).reshape(-1, 2)
+        .astype(np.float64)).ravel()
+
+    def frame():
+        lib.rb_bayer2rgb_bgra(rgba, raw, tmp8, height, width)
+        lib.rb_remap_clamp(buf, rgba, fish, height, width)
+        lib.rb_remap_clamp(out, buf, twirl, height, width)
+
+    frame()
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        frame()
+    secs = (time.perf_counter() - t0) / reps
+    return {"config4_4k_fps": round(1.0 / secs, 2)}
+
+
+def measure_config5_ivtc(lib, width=1280, height=720):
+    """Config 5: the ivtc cadence cost model per OUTPUT frame — the
+    reference computes similarity() (one comb score) for up to 3 field
+    pairings plus one woven reconstruct copy (gstivtc.c:455-540)."""
+    rng = np.random.default_rng(0)
+    top = rng.integers(0, 256, (height, width), dtype=np.uint8)
+    bottom = rng.integers(0, 256, (height, width), dtype=np.uint8)
+    tf = np.ascontiguousarray(top).ravel()
+    bf = np.ascontiguousarray(bottom).ravel()
+
+    def frame():
+        for _ in range(3):
+            lib.rb_ivtc_comb_score(tf, bf, height, width)
+        il = np.empty((height, width), np.uint8)  # reconstruct weave copy
+        il[0::2] = top[0::2]
+        il[1::2] = bottom[1::2]
+
+    frame()
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        frame()
+    secs = (time.perf_counter() - t0) / reps
+    return {"config5_720p_fps": round(1.0 / secs, 2)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(REPO, "BASELINE_C.json"))
@@ -215,9 +357,14 @@ def main():
     checks = crosscheck(lib)
     fps = measure_graph10_fps()
     kernels = measure_kernels(lib)
+    configs = {}
+    configs.update(measure_config3_audio(lib))
+    configs.update(measure_config4_warp(lib))
+    configs.update(measure_config5_ivtc(lib))
     rec = {
         "graph10_1080p_fps": round(fps, 2),
         "kernel_fps_1080p": kernels,
+        "configs": configs,
         "crosscheck": checks,
         "cpu": platform.processor() or platform.machine(),
         "ncpu_present_but_single_threaded": os.cpu_count(),
