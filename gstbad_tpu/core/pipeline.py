@@ -242,7 +242,7 @@ class Pipeline:
                     return True
                 st = el.index_stencil(p)
                 if st is not None and chain.absorb_index_stencil(
-                        st[0], st[1], p):
+                        st[0], st[1], p, st[2] if len(st) > 2 else None):
                     return True
                 return False
 

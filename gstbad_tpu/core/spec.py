@@ -38,15 +38,33 @@ class VideoFormat:
     BGR = "BGR"
     # packed YUV, 4 bytes/pixel: A, Y, U(Cb), V(Cr)
     AYUV = "AYUV"
-    # planar YUV 4:2:0 (represented as a dict of planes)
-    I420 = "I420"
+    # packed YUV 4:2:2, 2 bytes/pixel macropixels ([B, H, 2W] raw bytes,
+    # memory order exactly as the C sees the line)
+    YUY2 = "YUY2"   # Y0 U Y1 V
+    UYVY = "UYVY"   # U Y0 V Y1
+    # planar YUV (represented as a dict of planes)
+    I420 = "I420"   # 4:2:0, planes y / u / v
+    YV12 = "YV12"   # 4:2:0, v plane before u in memory (io layer swaps;
+                    # in-graph the dict stays semantic y/u/v)
+    Y42B = "Y42B"   # 4:2:2, u/v half width full height
+    Y444 = "Y444"   # 4:4:4, u/v full resolution
+    Y41B = "Y41B"   # 4:1:1, u/v quarter width full height
+    # semi-planar 4:2:0: y plane + one interleaved chroma plane
+    # ({"y": [B,H,W], "uv": [B,H/2,W]} raw byte order)
+    NV12 = "NV12"   # uv plane bytes U V U V ...
+    NV21 = "NV21"   # uv plane bytes V U V U ...
     # grayscale single plane
     GRAY8 = "GRAY8"
 
     PACKED_RGB4 = (RGBA, BGRA, ARGB, ABGR, RGBx, BGRx, xRGB, xBGR)
     PACKED_RGB3 = (RGB, BGR)
     PACKED_4 = PACKED_RGB4 + (AYUV,)
-    PLANAR_YUV = (I420,)
+    PACKED_YUV422 = (YUY2, UYVY)
+    PLANAR_YUV = (I420, YV12, Y42B, Y444, Y41B)
+    SEMIPLANAR_YUV = (NV12, NV21)
+    # the reference zebrastripe format list (gstzebrastripe.c:145-148)
+    YUV_WITH_LUMA = ((AYUV, I420, YV12, Y42B, Y444, Y41B, NV12, NV21)
+                     + PACKED_YUV422)
 
     # Channel positions of R, G, B (or Y, U, V for AYUV) and the fill byte.
     _RGB_OFFSETS = {
@@ -81,6 +99,32 @@ class VideoFormat:
         if fmt == VideoFormat.GRAY8:
             return 1
         raise ValueError(f"n_channels undefined for planar format {fmt}")
+
+    @staticmethod
+    def luma_view(fmt: str, data):
+        """The luma component of `data` in format `fmt` (a strided view:
+        writes go back via luma_set)."""
+        if isinstance(data, dict):
+            return data["y"]
+        if fmt == VideoFormat.AYUV:
+            return data[..., 1]
+        if fmt == VideoFormat.YUY2:
+            return data[..., 0::2]
+        if fmt == VideoFormat.UYVY:
+            return data[..., 1::2]
+        return data  # GRAY8
+
+    @staticmethod
+    def luma_set(fmt: str, data, y):
+        if isinstance(data, dict):
+            return {**data, "y": y}
+        if fmt == VideoFormat.AYUV:
+            return data.at[..., 1].set(y)
+        if fmt == VideoFormat.YUY2:
+            return data.at[..., 0::2].set(y)
+        if fmt == VideoFormat.UYVY:
+            return data.at[..., 1::2].set(y)
+        return y
 
 
 class AudioFormat:

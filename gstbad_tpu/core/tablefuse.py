@@ -68,7 +68,12 @@ class TableChain:
         self.src_batch = src_batch
         self.src_word = src_word          # [B, H, W] int32 packed pixels
         self.idx: Optional[jnp.ndarray] = None   # [B, H, W] int32 in [0,256)
+        self.index_fn = None              # the head's word -> idx function
         self.bytes_: List[Tuple[str, Any]] = [(SRC, None)] * 4
+        # a word-moving stencil held SYMBOLICALLY until someone needs the
+        # moved index plane — a fused tail (zebrastripe) can then run the
+        # stencil inside one Pallas kernel instead of via XLA shifts
+        self.pending_stencil = None       # (key_fn, move_fn, params, tag)
         self.members: List[Tuple[int, Any]] = []
 
     # -- predicates ---------------------------------------------------------
@@ -115,6 +120,7 @@ class TableChain:
         if not self.pristine():
             return False
         self.idx = index_fn(self.src_word).astype(jnp.int32)
+        self.index_fn = index_fn
         self.bytes_ = [(k, None if t is None else jnp.asarray(t)
                         .astype(jnp.int32)) for k, t in byte_specs]
         return True
@@ -148,30 +154,48 @@ class TableChain:
         to equal ranks), so stencils that only COMPARE keys (dilate's
         luminance) run off one 8-bit lookup instead of a 16-bit one."""
         from gstbad_tpu.ops import lut
-        k = key_table.astype(jnp.int32)
-        if k.shape[-1] == 1:
-            k = jnp.broadcast_to(k, k.shape[:-1] + (256,))
-        rank = jnp.sum((k[..., None, :] < k[..., :, None]).astype(jnp.int32),
-                       axis=-1)
+        rank = self.rank_table(key_table)
         if rank.ndim == 1:
             return lut.apply_word_table(self.idx, rank)
         return lut.apply_lut(self.idx, lut.pack_table(rank)).astype(jnp.int32)
 
-    def absorb_index_stencil(self, key_fn, move_fn, params) -> bool:
-        """Run a word-moving stencil on the index plane: key_fn builds the
-        comparison key per table entry, move_fn permutes the idx plane using
-        only ORDER comparisons on the looked-up keys."""
+    @staticmethod
+    def rank_table(key_table: jnp.ndarray) -> jnp.ndarray:
+        k = key_table.astype(jnp.int32)
+        if k.shape[-1] == 1:
+            k = jnp.broadcast_to(k, k.shape[:-1] + (256,))
+        return jnp.sum((k[..., None, :] < k[..., :, None]).astype(jnp.int32),
+                       axis=-1)
+
+    def absorb_index_stencil(self, key_fn, move_fn, params,
+                             tag=None) -> bool:
+        """Absorb a word-moving stencil on the index plane: key_fn builds
+        the comparison key per table entry (snapshotted NOW — later table
+        edits must not change the stencil's keys), move_fn permutes the idx
+        plane using only ORDER comparisons on the looked-up keys.  The move
+        itself is deferred (pending_stencil) so a fused tail can run it
+        inside one Pallas kernel."""
         if not self.single_indexed():
             return False
+        self.resolve_stencil()  # two stencils in a row: run the first
         key_t = key_fn({c: (kind, t) for c, (kind, t)
                         in enumerate(self.bytes_)})
-        self.idx = move_fn(self.idx, self.rank_plane(key_t), params)
+        self.pending_stencil = (key_t, move_fn, params, tag)
         return True
+
+    def resolve_stencil(self) -> None:
+        """Apply a deferred stencil to the idx plane (the XLA path)."""
+        if self.pending_stencil is None:
+            return
+        key_t, move_fn, params, _tag = self.pending_stencil
+        self.pending_stencil = None
+        self.idx = move_fn(self.idx, self.rank_plane(key_t), params)
 
     # -- materialization ----------------------------------------------------
     def materialize_word(self) -> jnp.ndarray:
         from gstbad_tpu.ops import lut
         from gstbad_tpu.ops.pointops import byte_of
+        self.resolve_stencil()
         if self.single_indexed() and all(
                 (jnp.asarray(t).ndim == (1 if k == IDX else 0))
                 for k, t in self.bytes_):

@@ -62,7 +62,6 @@ class VideoTestSrc(Element):
         spec = self.out_spec
         h, w = spec.height, spec.width
         fmt = spec.format
-        self._is_planar = fmt == VideoFormat.I420
         self._is_ayuv = fmt == VideoFormat.AYUV
         self._is_gray = fmt == VideoFormat.GRAY8
         pattern = self.props["pattern"]
@@ -128,11 +127,40 @@ class VideoTestSrc(Element):
             out[..., 0] = 255
             out[..., 1:] = yuv
             return out
-        if fmt == VideoFormat.I420:
+        if fmt in (VideoFormat.I420, VideoFormat.YV12):
             yuv = _rgb_to_yuv_bt601(rgb)
             return {"y": yuv[..., 0],
                     "u": yuv[::2, ::2, 1].copy(),
                     "v": yuv[::2, ::2, 2].copy()}
+        if fmt == VideoFormat.Y444:
+            yuv = _rgb_to_yuv_bt601(rgb)
+            return {"y": yuv[..., 0], "u": yuv[..., 1].copy(),
+                    "v": yuv[..., 2].copy()}
+        if fmt in (VideoFormat.Y42B, VideoFormat.Y41B):
+            step = 2 if fmt == VideoFormat.Y42B else 4
+            yuv = _rgb_to_yuv_bt601(rgb)
+            return {"y": yuv[..., 0], "u": yuv[:, ::step, 1].copy(),
+                    "v": yuv[:, ::step, 2].copy()}
+        if fmt in VideoFormat.SEMIPLANAR_YUV:
+            yuv = _rgb_to_yuv_bt601(rgb)
+            u = yuv[::2, ::2, 1]
+            v = yuv[::2, ::2, 2]
+            first, second = ((u, v) if fmt == VideoFormat.NV12
+                             else (v, u))
+            uv = np.stack([first, second], axis=-1).reshape(h // 2, w)
+            return {"y": yuv[..., 0], "uv": uv.copy()}
+        if fmt in VideoFormat.PACKED_YUV422:
+            yuv = _rgb_to_yuv_bt601(rgb)
+            out = np.empty((h, 2 * w), np.uint8)
+            if fmt == VideoFormat.YUY2:
+                out[:, 0::2] = yuv[..., 0]
+                out[:, 1::4] = yuv[:, ::2, 1]
+                out[:, 3::4] = yuv[:, ::2, 2]
+            else:
+                out[:, 1::2] = yuv[..., 0]
+                out[:, 0::4] = yuv[:, ::2, 1]
+                out[:, 2::4] = yuv[:, ::2, 2]
+            return out
         r_off, g_off, b_off, x_off = VideoFormat.rgb_offsets(fmt)
         n = VideoFormat.n_channels(fmt)
         out = np.empty((h, w, n), np.uint8)
@@ -179,13 +207,15 @@ class VideoTestSrc(Element):
         elif pattern == "noise":
             key = jax.random.PRNGKey(self.props["seed"])
             keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(n)
-            if self._is_planar:
+            if isinstance(self._bg, dict):
                 data = {
                     "y": jax.vmap(lambda k: jax.random.randint(
                         k, (h, w), 0, 256, jnp.int32).astype(jnp.uint8))(keys),
-                    "u": jnp.full((window, h // 2, w // 2), 128, jnp.uint8),
-                    "v": jnp.full((window, h // 2, w // 2), 128, jnp.uint8),
                 }
+                for k2, v2 in self._bg.items():
+                    if k2 != "y":
+                        data[k2] = jnp.full((window,) + v2.shape, 128,
+                                            jnp.uint8)
             else:
                 shape = self._bg.shape
                 data = jax.vmap(lambda k: jax.random.randint(
@@ -205,12 +235,14 @@ class VideoTestSrc(Element):
         return state + window, batch
 
     def _apply_luma_overlay(self, data, mask):
+        fmt = self.out_spec.format
         if isinstance(data, dict):
             y = jnp.where(mask, jnp.uint8(235), data["y"])
             return {**data, "y": y}
-        if self._is_ayuv:
-            return data.at[..., 1].set(
-                jnp.where(mask, jnp.uint8(235), data[..., 1]))
+        if self._is_ayuv or fmt in VideoFormat.PACKED_YUV422:
+            y = VideoFormat.luma_view(fmt, data)
+            return VideoFormat.luma_set(
+                fmt, data, jnp.where(mask, jnp.uint8(235), y))
         if self._is_gray:
             return jnp.where(mask, jnp.uint8(235), data)
         return jnp.where(mask[..., None], jnp.uint8(255), data)

@@ -30,7 +30,7 @@ def _to_ayuv(data, fmt):
         out = out.at[..., 2].set(128)
         out = out.at[..., 3].set(128)
         return out
-    if fmt == VideoFormat.I420:
+    if fmt in (VideoFormat.I420, VideoFormat.YV12):
         y = data["y"]
         u = jnp.repeat(jnp.repeat(data["u"], 2, axis=-2), 2, axis=-1)
         v = jnp.repeat(jnp.repeat(data["v"], 2, axis=-2), 2, axis=-1)
@@ -38,6 +38,40 @@ def _to_ayuv(data, fmt):
         v = v[..., :y.shape[-2], :y.shape[-1]]
         out = jnp.stack([jnp.full_like(y, 255), y, u, v], axis=-1)
         return out
+    if fmt == VideoFormat.Y444:
+        y = data["y"]
+        return jnp.stack([jnp.full_like(y, 255), y, data["u"], data["v"]],
+                         axis=-1)
+    if fmt in (VideoFormat.Y42B, VideoFormat.Y41B):
+        rep = 2 if fmt == VideoFormat.Y42B else 4
+        y = data["y"]
+        u = jnp.repeat(data["u"], rep, axis=-1)[..., :y.shape[-1]]
+        v = jnp.repeat(data["v"], rep, axis=-1)[..., :y.shape[-1]]
+        return jnp.stack([jnp.full_like(y, 255), y, u, v], axis=-1)
+    if fmt in (VideoFormat.NV12, VideoFormat.NV21):
+        y = data["y"]
+        uv = data["uv"]  # [B, H/2, W] raw interleaved bytes
+        c0 = uv[..., 0::2]
+        c1 = uv[..., 1::2]
+        u2, v2 = (c0, c1) if fmt == VideoFormat.NV12 else (c1, c0)
+        u = jnp.repeat(jnp.repeat(u2, 2, axis=-2), 2, axis=-1)
+        v = jnp.repeat(jnp.repeat(v2, 2, axis=-2), 2, axis=-1)
+        u = u[..., :y.shape[-2], :y.shape[-1]]
+        v = v[..., :y.shape[-2], :y.shape[-1]]
+        return jnp.stack([jnp.full_like(y, 255), y, u, v], axis=-1)
+    if fmt in VideoFormat.PACKED_YUV422:
+        # [B, H, 2W] raw line bytes
+        if fmt == VideoFormat.YUY2:
+            y = data[..., 0::2]
+            u2 = data[..., 1::4]
+            v2 = data[..., 3::4]
+        else:  # UYVY
+            y = data[..., 1::2]
+            u2 = data[..., 0::4]
+            v2 = data[..., 2::4]
+        u = jnp.repeat(u2, 2, axis=-1)[..., :y.shape[-1]]
+        v = jnp.repeat(v2, 2, axis=-1)[..., :y.shape[-1]]
+        return jnp.stack([jnp.full_like(y, 255), y, u, v], axis=-1)
     # packed RGB
     offs = VideoFormat.rgb_offsets(fmt)
     r = data[..., offs[0]].astype(jnp.int32)
@@ -52,21 +86,61 @@ def _to_ayuv(data, fmt):
                       jnp.clip(v, 0, 255).astype(jnp.uint8)], axis=-1)
 
 
+def _sub420(c):
+    """2x2 rounded average subsample of a chroma plane."""
+    c = c.astype(jnp.uint16)
+    return ((c[..., ::2, ::2] + c[..., ::2, 1::2] + c[..., 1::2, ::2]
+             + c[..., 1::2, 1::2] + 2) >> 2).astype(jnp.uint8)
+
+
+def _sub422(c):
+    """2x1 rounded average horizontal subsample."""
+    c = c.astype(jnp.uint16)
+    return ((c[..., 0::2] + c[..., 1::2] + 1) >> 1).astype(jnp.uint8)
+
+
 def _from_ayuv(ayuv, fmt):
     if fmt == VideoFormat.AYUV:
         return ayuv
     if fmt == VideoFormat.GRAY8:
         return ayuv[..., 1]
-    if fmt == VideoFormat.I420:
+    if fmt in (VideoFormat.I420, VideoFormat.YV12):
+        return {"y": ayuv[..., 1], "u": _sub420(ayuv[..., 2]),
+                "v": _sub420(ayuv[..., 3])}
+    if fmt == VideoFormat.Y444:
+        return {"y": ayuv[..., 1], "u": ayuv[..., 2], "v": ayuv[..., 3]}
+    if fmt == VideoFormat.Y42B:
+        return {"y": ayuv[..., 1], "u": _sub422(ayuv[..., 2]),
+                "v": _sub422(ayuv[..., 3])}
+    if fmt == VideoFormat.Y41B:
+        def sub4(c):
+            c = c.astype(jnp.uint16)
+            return ((c[..., 0::4] + c[..., 1::4] + c[..., 2::4]
+                     + c[..., 3::4] + 2) >> 2).astype(jnp.uint8)
+        return {"y": ayuv[..., 1], "u": sub4(ayuv[..., 2]),
+                "v": sub4(ayuv[..., 3])}
+    if fmt in (VideoFormat.NV12, VideoFormat.NV21):
+        u = _sub420(ayuv[..., 2])
+        v = _sub420(ayuv[..., 3])
+        first, second = ((u, v) if fmt == VideoFormat.NV12 else (v, u))
+        uv = jnp.stack([first, second], axis=-1)
+        return {"y": ayuv[..., 1],
+                "uv": uv.reshape(uv.shape[:-2] + (uv.shape[-2] * 2,))}
+    if fmt in VideoFormat.PACKED_YUV422:
         y = ayuv[..., 1]
-        u = ayuv[..., 2].astype(jnp.uint16)
-        v = ayuv[..., 3].astype(jnp.uint16)
-        # 2x2 rounded average subsample
-        u = ((u[..., ::2, ::2] + u[..., ::2, 1::2] + u[..., 1::2, ::2]
-              + u[..., 1::2, 1::2] + 2) >> 2).astype(jnp.uint8)
-        v = ((v[..., ::2, ::2] + v[..., ::2, 1::2] + v[..., 1::2, ::2]
-              + v[..., 1::2, 1::2] + 2) >> 2).astype(jnp.uint8)
-        return {"y": y, "u": u, "v": v}
+        u = _sub422(ayuv[..., 2])
+        v = _sub422(ayuv[..., 3])
+        b, h, w = y.shape
+        out = jnp.empty((b, h, 2 * w), jnp.uint8)
+        if fmt == VideoFormat.YUY2:
+            out = out.at[..., 0::2].set(y)
+            out = out.at[..., 1::4].set(u)
+            out = out.at[..., 3::4].set(v)
+        else:  # UYVY
+            out = out.at[..., 1::2].set(y)
+            out = out.at[..., 0::4].set(u)
+            out = out.at[..., 2::4].set(v)
+        return out
     # packed RGB
     y = ayuv[..., 1].astype(jnp.int32)
     u = ayuv[..., 2].astype(jnp.int32)
@@ -84,7 +158,9 @@ def _from_ayuv(ayuv, fmt):
 
 
 _ALL = (VideoFormat.PACKED_RGB4 + VideoFormat.PACKED_RGB3
-        + (VideoFormat.AYUV, VideoFormat.I420, VideoFormat.GRAY8))
+        + (VideoFormat.AYUV, VideoFormat.GRAY8)
+        + VideoFormat.PLANAR_YUV + VideoFormat.SEMIPLANAR_YUV
+        + VideoFormat.PACKED_YUV422)
 
 
 @register
@@ -98,10 +174,18 @@ class VideoConvert(Element):
                 f"videoconvert: unsupported source {in_spec.format}")
         require(self.props["format"] in _ALL,
                 f"videoconvert: unsupported target {self.props['format']}")
-        if self.props["format"] == VideoFormat.I420:
+        dst = self.props["format"]
+        if dst in (VideoFormat.I420, VideoFormat.YV12) \
+                or dst in VideoFormat.SEMIPLANAR_YUV:
             require(in_spec.width % 2 == 0 and in_spec.height % 2 == 0,
-                    "videoconvert: I420 needs even dimensions")
-        return in_spec.with_(format=self.props["format"])
+                    f"videoconvert: {dst} needs even dimensions")
+        elif dst == VideoFormat.Y42B or dst in VideoFormat.PACKED_YUV422:
+            require(in_spec.width % 2 == 0,
+                    f"videoconvert: {dst} needs even width")
+        elif dst == VideoFormat.Y41B:
+            require(in_spec.width % 4 == 0,
+                    "videoconvert: Y41B needs width % 4 == 0")
+        return in_spec.with_(format=dst)
 
     def process(self, params, state, batch: FrameBatch):
         src = self.in_spec.format

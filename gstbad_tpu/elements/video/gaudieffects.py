@@ -124,7 +124,10 @@ class Dilate(_GuintWordFilter):
                 out_k = jnp.where(take, n_k, out_k)
             return out_i
 
-        return key_fn, move_fn
+        # the "dilate3" tag lets a downstream fused tail run this stencil
+        # inside one Pallas kernel (ops/chainfuse.py): a sequential
+        # down/right/left best-key walk parameterized by `erode`
+        return key_fn, move_fn, "dilate3"
 
 
 @register

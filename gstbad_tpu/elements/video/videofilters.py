@@ -15,12 +15,16 @@ from gstbad_tpu.core.spec import MediaSpec, VideoFormat, require
 from gstbad_tpu.ops import pointops
 
 _PLANAR = (VideoFormat.I420,)
+# the reference zebrastripe/videodiff format breadth
+# (gstzebrastripe.c:145-148): every 8-bit YUV layout with a luma component
+_LUMA_FORMATS = VideoFormat.YUV_WITH_LUMA + (VideoFormat.GRAY8,)
 
 
 class _LumaFilter(VideoFilter):
-    """Filter that edits the luma plane of I420 (dict) or AYUV (channel 1)."""
+    """Filter that edits the luma component of any 8-bit YUV layout
+    (planar/semi-planar dicts, AYUV channel 1, YUY2/UYVY line strides)."""
 
-    FORMATS = _PLANAR + (VideoFormat.AYUV, VideoFormat.GRAY8)
+    FORMATS = _LUMA_FORMATS
 
     def negotiate(self, in_spec: MediaSpec) -> MediaSpec:
         require(in_spec.kind == "video", f"{self.NAME}: needs video")
@@ -29,18 +33,10 @@ class _LumaFilter(VideoFilter):
         return in_spec
 
     def _get_luma(self, data):
-        if isinstance(data, dict):
-            return data["y"]
-        if self.out_spec.format == VideoFormat.AYUV:
-            return data[..., 1]
-        return data
+        return VideoFormat.luma_view(self.out_spec.format, data)
 
     def _set_luma(self, data, y):
-        if isinstance(data, dict):
-            return {**data, "y": y}
-        if self.out_spec.format == VideoFormat.AYUV:
-            return data.at[..., 1].set(y)
-        return y
+        return VideoFormat.luma_set(self.out_spec.format, data, y)
 
 
 @register
@@ -50,7 +46,9 @@ class ZebraStripe(_LumaFilter):
     (gstzebrastripe.c:145-148,205-253)."""
 
     NAME = "zebrastripe"
-    FORMATS = _PLANAR + (VideoFormat.AYUV, VideoFormat.GRAY8)
+    # "{ I420, Y444, Y42B, Y41B, YUY2, UYVY, AYUV, NV12, NV21, YV12 }"
+    # (gstzebrastripe.c:81-82) + GRAY8 as this framework's extension
+    FORMATS = _LUMA_FORMATS
     PROPERTIES = (Property("threshold", int, 90, 0, 100, controllable=True),)
 
     def init_state(self, batch: int):
@@ -77,10 +75,35 @@ class ZebraStripe(_LumaFilter):
             return None
         thr = (16 + jnp.floor(0.5 + 2.19 * params["threshold"]
                               .astype(jnp.float64))).astype(jnp.int32)
-        thr = pointops._per_frame(thr, 3)
         b = chain.src_word.shape[0]
         h, w = chain.src_word.shape[-2:]
         tph = state + jnp.arange(b, dtype=jnp.int32)
+
+        # fused-kernel fast path: a deferred dilate3 stencil + this stripe
+        # select + the word materialization all run in ONE Pallas pass
+        # (ops/chainfuse.py) when tables are per-run and shapes tile
+        import jax
+        from gstbad_tpu.core import tablefuse
+        ps = chain.pending_stencil
+        if (ps is not None and ps[3] == "dilate3"
+                and chain.index_fn is not None
+                and jax.default_backend() == "tpu"
+                and h % 8 == 0 and w % 128 == 0
+                and ps[0].ndim == 1 and thr.ndim <= 1
+                and all((k == tablefuse.IDX and t.ndim == 1)
+                        or (k == tablefuse.CONST
+                            and jnp.asarray(t).ndim == 0)
+                        for k, t in chain.bytes_)):
+            from gstbad_tpu.ops import chainfuse
+            key_t, _move, sparams, _tag = ps
+            chain.pending_stencil = None
+            out = chainfuse.dilate_zebra_fused(
+                chain.src_word, chain.rank_table(key_t),
+                chain.word_table(), chain.index_fn,
+                sparams["erode"], thr, tph)
+            return state + b, pointops.unpack32(out)
+
+        thr = pointops._per_frame(thr, 3)
         i = jnp.arange(w, dtype=jnp.int32)[None, :]
         j = jnp.arange(h, dtype=jnp.int32)[:, None]
         stripe = (((i + j)[None] + tph[:, None, None]) & 0x4) != 0
@@ -99,7 +122,9 @@ class VideoDiff(_LumaFilter):
     The reference never increments its stripe phase t, so t=0."""
 
     NAME = "videodiff"
-    FORMATS = _PLANAR + (VideoFormat.GRAY8,)
+    # "{ I420, Y444, Y42B, Y41B }" (gstvideodiff.c:51) + GRAY8 extension
+    FORMATS = (VideoFormat.I420, VideoFormat.Y444, VideoFormat.Y42B,
+               VideoFormat.Y41B, VideoFormat.GRAY8)
 
     def init_state(self, batch: int):
         h, w = self.in_spec.height, self.in_spec.width
@@ -125,7 +150,9 @@ class SceneChange(_LumaFilter):
     scenechange message where the reference sends force-key-unit events."""
 
     NAME = "scenechange"
-    FORMATS = _PLANAR + (VideoFormat.GRAY8,)
+    # "{ I420, Y42B, Y41B, Y444 }" (gstscenechange.c:107) + GRAY8 extension
+    FORMATS = (VideoFormat.I420, VideoFormat.Y42B, VideoFormat.Y41B,
+               VideoFormat.Y444, VideoFormat.GRAY8)
 
     def init_state(self, batch: int):
         h, w = self.in_spec.height, self.in_spec.width

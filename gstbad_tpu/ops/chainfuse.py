@@ -1,0 +1,154 @@
+"""Fused chain kernel — the whole headline tail in ONE Pallas pass.
+
+The table-fusion pass (core/tablefuse.py) reduces a chain like
+sepia!solarize!...!exclusion!dilate!chromahold!videoconvert!zebrastripe
+to: idx = luma(src); idx' = dilate3(idx, rank[idx]); out =
+word_table[idx'] with a positional stripe select.  As separate XLA/Pallas
+stages that costs ~6 HBM traversals plus two kernel-launch grids; this
+kernel runs the entire tail in one pass over row blocks:
+
+  - the source word block (and its one-row-down shifted copy) come in as
+    two block inputs; luma, both 256-entry lookups (rank + final word),
+    the dilate3 neighbor walk, and the zebra stripe select all happen on
+    the block in VMEM,
+  - 256-entry tables ride as two 128-lane vregs each; table[idx] is the
+    VPU's batched 128-lane shuffle (the ops/warp_pallas.py primitive) —
+    two gathers + a select per [8, 128] tile,
+  - right/left dilate neighbors are lane rolls with frame-edge
+    replication; the down neighbor crosses the block boundary, hence the
+    shifted second input (the reference's dead `up` pointer means no up
+    halo is needed, gstdilate.c:291-300).
+
+Everything is int32 (the package enables global x64; Mosaic rejects i64).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gstbad_tpu.ops.lut import _dnums
+
+_ZEBRA_KEEP = np.int32(np.uint32(0xFFFF00FF))  # clear the AYUV Y byte
+
+
+def _gather256(table_ref, x, scratch):
+    """table[x] for a [2, 128] split 256-entry table over a [BR, W] block,
+    assembled per [8, 128] tile into `scratch`."""
+    t_lo = pltpu.repeat(table_ref[0:1, :], 8, axis=0)
+    t_hi = pltpu.repeat(table_ref[1:2, :], 8, axis=0)
+    br, w = x.shape
+    for r0 in range(0, br, 8):
+        for c0 in range(0, w, 128):
+            blk = x[r0:r0 + 8, c0:c0 + 128]
+            lo = blk & 127
+            va = lax.gather(t_lo, lo[..., None], _dnums(),
+                            slice_sizes=(1, 1),
+                            mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+            vb = lax.gather(t_hi, lo[..., None], _dnums(),
+                            slice_sizes=(1, 1),
+                            mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+            scratch[r0:r0 + 8, c0:c0 + 128] = jnp.where(blk < 128, va, vb)
+    return scratch[:]
+
+
+def _kernel(scal_ref, src_ref, dn_ref, rkt_ref, wdt_ref, out_ref,
+            s_rank, s_rank_dn, *, br, w, index_fn):
+    bi = pl.program_id(0)
+    rb = pl.program_id(1)
+    erode = scal_ref[0, bi]
+    thr = scal_ref[1, bi]
+    phase = scal_ref[2, bi]
+    src = src_ref[0]
+    dn = dn_ref[0]
+    idx = index_fn(src).astype(jnp.int32)
+    idx_dn = index_fn(dn).astype(jnp.int32)
+    rank = _gather256(rkt_ref, idx, s_rank)
+    rank_dn = _gather256(rkt_ref, idx_dn, s_rank_dn)
+
+    col = lax.broadcasted_iota(jnp.int32, (br, w), 1)
+    idx_r = pltpu.roll(idx, w - 1, 1)   # rotate by w-1 == shift left by 1
+    rank_r = pltpu.roll(rank, w - 1, 1)
+    idx_l = pltpu.roll(idx, 1, 1)
+    rank_l = pltpu.roll(rank, 1, 1)
+    last = col == (w - 1)
+    first = col == 0
+    idx_r = jnp.where(last, idx, idx_r)
+    rank_r = jnp.where(last, rank, rank_r)
+    idx_l = jnp.where(first, idx, idx_l)
+    rank_l = jnp.where(first, rank, rank_l)
+
+    # the reference's sequential down/right/left walk (gstdilate.c:273-350)
+    out_i, out_k = idx, rank
+    for n_i, n_k in ((idx_dn, rank_dn), (idx_r, rank_r), (idx_l, rank_l)):
+        take = jnp.where(erode != 0, n_k < out_k, n_k > out_k)
+        out_i = jnp.where(take, n_i, out_i)
+        out_k = jnp.where(take, n_k, out_k)
+
+    word = _gather256(wdt_ref, out_i, s_rank)  # rank scratch is free now
+    y = (word >> 8) & 255
+    row = rb * br + lax.broadcasted_iota(jnp.int32, (br, w), 0)
+    stripe = ((col + row + phase) & 4) != 0
+    zebra = (word & _ZEBRA_KEEP) | jnp.int32(16 << 8)
+    out_ref[0] = jnp.where(stripe & (y >= thr), zebra, word)
+
+
+def block_rows(h: int, cap: int = 128) -> int:
+    """Largest multiple-of-8 divisor of h that is <= cap (VMEM budget)."""
+    best = 0
+    for k in range(8, cap + 1, 8):
+        if h % k == 0:
+            best = k
+    return best
+
+
+def dilate_zebra_fused(src_word: jnp.ndarray, rank_table: jnp.ndarray,
+                       word_table: jnp.ndarray, index_fn, erode, thr,
+                       phase, interpret: bool = False) -> jnp.ndarray:
+    """[B, H, W] i32 source words -> final AYUV words, one kernel.
+
+    rank_table/word_table: [256] int32.  erode/thr/phase: per-frame [B]
+    int32.  index_fn: pure word -> index-in-[0,256) function traced into
+    the kernel body.
+    """
+    b, h, w = src_word.shape
+    br = block_rows(h)
+    assert br and w % 128 == 0
+    dn = jnp.concatenate([src_word[:, 1:, :], src_word[:, -1:, :]], axis=1)
+    scalars = jnp.stack([
+        jnp.broadcast_to(jnp.asarray(erode).astype(jnp.int32), (b,)),
+        jnp.broadcast_to(jnp.asarray(thr).astype(jnp.int32), (b,)),
+        jnp.broadcast_to(jnp.asarray(phase).astype(jnp.int32), (b,)),
+    ])
+    zero = np.int32(0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, h // br),
+        in_specs=[
+            pl.BlockSpec((1, br, w), lambda bi, r, s: (bi, r, zero),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, br, w), lambda bi, r, s: (bi, r, zero),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda bi, r, s: (zero, zero),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda bi, r, s: (zero, zero),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, br, w), lambda bi, r, s: (bi, r, zero),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((br, w), jnp.int32),
+                        pltpu.VMEM((br, w), jnp.int32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, br=br, w=w, index_fn=index_fn),
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(scalars, src_word, dn, rank_table.astype(jnp.int32).reshape(2, 128),
+      word_table.astype(jnp.int32).reshape(2, 128))

@@ -148,3 +148,99 @@ def test_multihost_feed_window_single_process(rng, mesh):
         assert batch.data.sharding.spec == ("dp", "sp", None, None)
         got = _step_outputs(p2, 8, batch)
     np.testing.assert_array_equal(got, want)
+
+
+def _run_windows(p, batches, collect_msgs=False):
+    """Drive `p` over consecutive windows with carried state; returns
+    (outputs per window, messages per window)."""
+    step = p.compile(batches[0].data.shape[0], jit=True, donate_state=False)
+    params = p.params()
+    states = p.init_states(batches[0].data.shape[0])
+    outs, msgs = [], []
+    for b in batches:
+        states, leaf, m = step(params, states, b)
+        outs.append(np.asarray(leaf[-1].data))
+        msgs.append({k: {kk: np.asarray(vv) for kk, vv in v.items()}
+                     for k, v in m.items()})
+    return outs, msgs
+
+
+def test_sharded_videodiff_state_spans_windows(rng, mesh):
+    """VERDICT r2 Missing #3: videodiff differences CONSECUTIVE frames
+    (gstvideodiff.c:128-174); under dp sharding the frame axis splits
+    across devices, so the one-frame shift becomes a GSPMD
+    collective-permute and the prev-frame carry crosses windows.  Sharded
+    must equal unsharded bit for bit across >= 2 windows."""
+    frames = rng.integers(0, 256, (16, 32, 128), dtype=np.uint8)
+    spec = MediaSpec(kind="video", format="GRAY8", width=128, height=32)
+    mk = lambda a: FrameBatch.make(jnp.asarray(a))
+    p = _build("videodiff ! fakesink", spec)
+    want, _ = _run_windows(p, [mk(frames[:8]), mk(frames[8:])])
+
+    p2 = _build("videodiff ! fakesink", spec)
+    with mesh:
+        got, _ = _run_windows(
+            p2, [shard_batch(mk(frames[:8]), mesh),
+                 shard_batch(mk(frames[8:]), mesh)])
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
+
+
+def test_sharded_scenechange_messages_span_windows(rng, mesh):
+    """scenechange scans consecutive-frame SADs with a 5-score ring
+    (gstscenechange.c:147-160); the sharded run must produce the same
+    decisions and counts across windows."""
+    frames = np.zeros((16, 32, 128), np.uint8)
+    # two hard cuts: frame 5 and frame 11
+    frames[:5] = 30
+    frames[5:11] = 200
+    frames[11:] = rng.integers(0, 40, (5, 32, 128), dtype=np.uint8)
+    spec = MediaSpec(kind="video", format="GRAY8", width=128, height=32)
+    mk = lambda a: FrameBatch.make(jnp.asarray(a))
+    p = _build("scenechange ! fakesink", spec)
+    _, want = _run_windows(p, [mk(frames[:8]), mk(frames[8:])])
+
+    p2 = _build("scenechange ! fakesink", spec)
+    with mesh:
+        _, got = _run_windows(
+            p2, [shard_batch(mk(frames[:8]), mesh),
+                 shard_batch(mk(frames[8:]), mesh)])
+    for w, g in zip(want, got):
+        assert sorted(w) == sorted(g)
+        for k in w:
+            np.testing.assert_array_equal(w[k]["_emit"], g[k]["_emit"])
+            np.testing.assert_array_equal(w[k]["count"], g[k]["count"])
+
+
+def test_sharded_ivtc_matches_unsharded(rng, mesh):
+    """interlace 2:3 -> ivtc holds a field queue across frames and windows
+    (gstivtc.c:284-307); the dp-sharded cadence must reconstruct the same
+    frames and validity mask."""
+    spec = MediaSpec(kind="video", format="GRAY8", width=128, height=32)
+
+    def build():
+        return _build(
+            "videotestsrc pattern=ball width=128 height=32 format=GRAY8 "
+            "framerate=24/1 ! interlace pattern=2:3 ! ivtc ! fakesink")
+
+    def run(p, use_mesh):
+        step = p.compile(8, jit=True, donate_state=False,
+                         mesh=use_mesh or None)
+        params = p.params()
+        states = p.init_states(8)
+        outs = []
+        for _ in range(2):
+            states, leaf, _ = step(params, states, None)
+            if use_mesh:
+                assert len(leaf[-1].data.sharding.device_set) == 8
+            outs.append((np.asarray(leaf[-1].data),
+                         np.asarray(leaf[-1].valid)))
+        return outs
+
+    want = run(build(), False)
+    p2 = build()
+    with mesh:
+        got = run(p2, mesh)
+    for (wd, wv), (gd, gv) in zip(want, got):
+        np.testing.assert_array_equal(wv, gv)
+        np.testing.assert_array_equal(wd[wv], gd[gv])

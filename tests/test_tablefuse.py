@@ -132,6 +132,65 @@ def test_word_lut_pallas_kernel_interpret(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_dilate_zebra_fused_kernel_interpret(rng):
+    """The one-pass chain kernel (ops/chainfuse.py) in interpret mode must
+    equal the step-by-step XLA formulation: luma index, rank-keyed dilate3
+    walk, word-table materialize, stripe select."""
+    import jax.numpy as jnp
+    from gstbad_tpu.core.tablefuse import TableChain
+    from gstbad_tpu.ops import chainfuse, pointops
+
+    b, h, w = 3, 16, 256
+    src = jnp.asarray(rng.integers(-2**31, 2**31, (b, h, w), dtype=np.int64)
+                      .astype(np.int32))
+    word_t = jnp.asarray(rng.integers(-2**31, 2**31, 256, dtype=np.int64)
+                         .astype(np.int32))
+    key_t = jnp.asarray(rng.integers(0, 60000, 256, dtype=np.int64)
+                        .astype(np.int32))
+    thr = jnp.int32(120)
+    phase = jnp.arange(b, dtype=jnp.int32) + 5
+
+    def index_fn(word):
+        r = pointops.byte_of(word, 2)
+        g = pointops.byte_of(word, 1)
+        bb = pointops.byte_of(word, 0)
+        return (((r << 8) * 54) + ((g << 8) * 183) + ((bb << 8) * 19)) >> 16
+
+    for erode in (jnp.bool_(False), jnp.bool_(True)):
+        got = np.asarray(chainfuse.dilate_zebra_fused(
+            src, TableChain.rank_table(key_t), word_t, index_fn,
+            erode, thr, phase, interpret=True))
+
+        # reference formulation: XLA shifts on the idx/rank planes
+        idx = index_fn(src)
+        rank = np.asarray(TableChain.rank_table(key_t))[np.asarray(idx)]
+        idxn, rankn = np.asarray(idx), rank
+
+        def shift_down(p):
+            return np.concatenate([p[:, 1:, :], p[:, -1:, :]], axis=1)
+
+        def shift_right(p):
+            return np.concatenate([p[:, :, 1:], p[:, :, -1:]], axis=2)
+
+        def shift_left(p):
+            return np.concatenate([p[:, :, :1], p[:, :, :-1]], axis=2)
+
+        oi, ok = idxn.copy(), rankn.copy()
+        for s in (shift_down, shift_right, shift_left):
+            ni, nk = s(idxn), s(rankn)
+            take = (nk < ok) if bool(erode) else (nk > ok)
+            oi = np.where(take, ni, oi)
+            ok = np.where(take, nk, ok)
+        word = np.asarray(word_t)[oi]
+        y = (word >> 8) & 255
+        ii = np.arange(w)[None, None, :]
+        jj = np.arange(h)[None, :, None]
+        stripe = ((ii + jj + np.asarray(phase)[:, None, None]) & 4) != 0
+        zebra = (word & np.int32(np.uint32(0xFFFF00FF))) | (16 << 8)
+        want = np.where(stripe & (y >= 120), zebra, word)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_bars_source_headline_graph():
     """The actual benchmark graph (videotestsrc-driven) fused vs unfused."""
     outs = {}
