@@ -1,11 +1,11 @@
-"""Device-side gst_fft_s16 model (see golden/ffts16.py for the spec and
-the documented divergence story: scale-faithful kissfft FIXED_POINT=16
-aggregate scaling, per-butterfly rounding noise not modeled).
+"""Device-side gst_fft_s16 — BIT-EXACT kissfft FIXED_POINT=16.
 
-The FFT itself rides XLA's native FFT (MXU-friendly batched transform)
-with the fixed-point scale applied afterwards — the TPU-first shape for
-this op: one fused rfft over the whole window instead of the
-reference's per-frame scalar butterfly walk."""
+Round 2 modeled only the aggregate fixed-point scale over XLA's float
+rfft; this now runs the actual integer butterfly pipeline
+(ops/kissfft_s16.py): each radix stage is one vectorized int32 pass over
+the whole window, so the per-frame scalar butterfly walk of the C
+becomes a handful of batched VPU ops and the spectra match gst_fft_s16
+bit for bit."""
 
 from __future__ import annotations
 
@@ -31,10 +31,7 @@ def window_hamming(s16: jnp.ndarray) -> jnp.ndarray:
 
 def fft_s16(s16: jnp.ndarray):
     """Batched [..., nfft] int-valued -> (real, imag) int32 pairs
-    [..., nfft/2+1] on the gst_fft_s16 fixed-point scale."""
-    nfft = s16.shape[-1]
-    x = jnp.fft.rfft(s16.astype(jnp.float64), axis=-1)
-    sc = fft_scale(nfft)
-    r = jnp.floor(x.real * sc + 0.5).astype(jnp.int32)
-    i = jnp.floor(x.imag * sc + 0.5).astype(jnp.int32)
-    return r, i
+    [..., nfft/2+1] — the BIT-EXACT kissfft FIXED_POINT=16 pipeline
+    (ops/kissfft_s16.py), vectorized per radix stage over the window."""
+    from gstbad_tpu.ops import kissfft_s16
+    return kissfft_s16.kiss_fftr_s16(jnp, s16, s16.shape[-1])

@@ -133,14 +133,16 @@ def test_ffts16_model_properties():
     assert gf.kf_factor(320 // 2) == [4, 4, 2, 5]
     assert gf.kf_factor(64) == [4, 4, 4]
     # a full-scale tone lands its energy in the right bin at the
-    # fixed-point scale (~ amplitude/4 at the bin, DFT/2N overall)
+    # fixed-point scale (~ amplitude/2 at the bin, DFT/N overall; the
+    # round-2 model's extra /2 was a bug caught by the exact kissfft —
+    # see golden/ffts16.fft_scale)
     n = 128
     tone = (16384 * np.cos(2 * np.pi * 8 * np.arange(n) / n)
             ).astype(np.int16)
     f = gf.fft_s16(tone)
     mags = np.abs(f)
     assert mags.argmax() == 8
-    assert abs(mags[8] - 16384 / 4) / (16384 / 4) < 0.01
+    assert abs(mags[8] - 16384 / 2) / (16384 / 2) < 0.01
     # device model matches golden bit-for-bit on CPU
     from gstbad_tpu.ops import ffts16 as df
     r, i = df.fft_s16(jnp.asarray(tone[None].astype(np.int32)))
