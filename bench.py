@@ -22,8 +22,18 @@ import sys
 import time
 
 
-def emit(rec):
+_RECORDS = []
+
+
+def emit(rec, persist: bool = True):
     print(json.dumps(rec), flush=True)
+    if persist:
+        _RECORDS.append(rec)
+        # the driver tail only captures stdout's last line; the full sweep
+        # (headline + every config) always lands in BENCH_SWEEP.json
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_SWEEP.json"), "w") as f:
+            json.dump({"records": _RECORDS}, f, indent=1)
 
 
 def time_pipeline(pipeline, window: int, n_windows: int, warmup: int = 2):

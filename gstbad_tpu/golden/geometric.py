@@ -380,6 +380,11 @@ def remap(img: np.ndarray, mp: np.ndarray, off_edge: str = "ignore",
         in_y = mod_float(in_y, h)
         in_x = np.where(in_x < 0, in_x + w, in_x)
         in_y = np.where(in_y < 0, in_y + h, in_y)
+    # NaNs from pathological map math (sqrt of negative in sphere/tunnel
+    # edge params) become invalid pixels, not a cast RuntimeWarning — the
+    # C's (gint)NaN is UB; -1 deterministically fails the bounds check
+    in_x = np.nan_to_num(in_x, nan=-1.0)
+    in_y = np.nan_to_num(in_y, nan=-1.0)
     tx = np.trunc(in_x).astype(np.int64)
     ty = np.trunc(in_y).astype(np.int64)
     valid = (tx >= 0) & (tx < w) & (ty >= 0) & (ty < h)

@@ -73,10 +73,13 @@ def _kernel(scal_ref, src_ref, dn_ref, rkt_ref, wdt_ref, out_ref,
     rank_dn = _gather256(rkt_ref, idx_dn, s_rank_dn)
 
     col = lax.broadcasted_iota(jnp.int32, (br, w), 1)
-    idx_r = pltpu.roll(idx, w - 1, 1)   # rotate by w-1 == shift left by 1
-    rank_r = pltpu.roll(rank, w - 1, 1)
-    idx_l = pltpu.roll(idx, 1, 1)
-    rank_l = pltpu.roll(rank, 1, 1)
+    # shifts must be i32 scalars (tpu.dynamic_rotate rejects the i64 a
+    # bare Python int traces to under the global x64)
+    left1 = jnp.int32(w - 1)   # rotate by w-1 == shift left by 1
+    idx_r = pltpu.roll(idx, left1, 1)
+    rank_r = pltpu.roll(rank, left1, 1)
+    idx_l = pltpu.roll(idx, jnp.int32(1), 1)
+    rank_l = pltpu.roll(rank, jnp.int32(1), 1)
     last = col == (w - 1)
     first = col == 0
     idx_r = jnp.where(last, idx, idx_r)

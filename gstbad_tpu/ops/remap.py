@@ -34,6 +34,11 @@ def fix_map(mp: np.ndarray, width: int, height: int, off_edge: str
         in_y = mod_float(in_y, height)
         in_x = np.where(in_x < 0, in_x + width, in_x)
         in_y = np.where(in_y < 0, in_y + height, in_y)
+    # NaNs from pathological map math (sqrt of negative in sphere/tunnel
+    # edge params) become invalid pixels, not a cast RuntimeWarning — the
+    # C's (gint)NaN is UB; -1 deterministically fails the bounds check
+    in_x = np.nan_to_num(in_x, nan=-1.0)
+    in_y = np.nan_to_num(in_y, nan=-1.0)
     tx = np.trunc(in_x).astype(np.int64)
     ty = np.trunc(in_y).astype(np.int64)
     valid = (tx >= 0) & (tx < width) & (ty >= 0) & (ty < height)

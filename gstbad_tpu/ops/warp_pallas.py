@@ -56,6 +56,15 @@ class WarpPlan(NamedTuple):
     lc: np.ndarray         # [H, W] int32 source col local to own tile window
     fix_src: np.ndarray    # [K] int32 flat src index for outlier-tile pixels
     fix_dst: np.ndarray    # [K] int32 flat dst index
+    # Rotation-dominant outlier tiles (windows taller than SR_CAP — the
+    # twirl center, ROADMAP r2 #1): their source windows fit the caps in
+    # the TRANSPOSED frame (a ~90deg local rotation swaps the window's
+    # aspect), so they run as a nested plan over the transposed image and
+    # a final elementwise select — no XLA gather.
+    t_plan: Optional["WarpPlan"] = None
+    t_shape: Optional[Tuple[int, int]] = None   # padded (rows, cols) of
+    #                                             the transposed problem
+    t_mask: Optional[np.ndarray] = None         # [H, W] bool outlier pixels
 
 
 def _class_menu(h: int, w: int):
@@ -66,7 +75,8 @@ def _class_menu(h: int, w: int):
 
 
 def plan(mp: np.ndarray, width: int, height: int, off_edge: str,
-         max_classes: int = MAX_CLASSES) -> Optional[WarpPlan]:
+         max_classes: int = MAX_CLASSES,
+         _allow_transpose: bool = True) -> Optional[WarpPlan]:
     """Build the tile-class plan from an inverse map, or None when the map
     isn't tileable / is gather-bound anyway (caller uses the XLA gather)."""
     from gstbad_tpu.ops.remap import fix_map
@@ -101,7 +111,29 @@ def plan(mp: np.ndarray, width: int, height: int, off_edge: str,
     need_c = cmax - c0u + 1
     ok = (need_r <= srs[-1]) & (need_c <= scs[-1])
     n_fix = int((~ok).sum())
-    if n_fix > MAX_FIX_FRAC * ok.size:
+
+    # rotation-dominant outliers -> nested transposed plan.  Non-outlier
+    # pixels are NaN'd in the swapped map so they become invalid and do
+    # not drag the transposed tiles' windows (fix_map turns NaN into an
+    # out-of-bounds index).
+    t_plan = None
+    t_shape = None
+    t_mask = None
+    if n_fix and _allow_transpose:
+        pix = np.repeat(np.repeat(~ok, TILE_H, 0), TILE_W, 1)  # [H, W]
+        h_t = -(-width // TILE_H) * TILE_H      # transposed rows = x
+        w_t = -(-height // TILE_W) * TILE_W     # transposed cols = y
+        mp_t = np.full((h_t, w_t, 2), np.nan)
+        sel_t = pix.T                            # [W, H]
+        mp_t[:width, :height, 0] = np.where(sel_t, mp[..., 1].T, np.nan)
+        mp_t[:width, :height, 1] = np.where(sel_t, mp[..., 0].T, np.nan)
+        cand = plan(mp_t, width=w_t, height=h_t, off_edge="ignore",
+                    max_classes=max_classes, _allow_transpose=False)
+        # only worth it if the transposed classes cover most of the
+        # outliers (its own residual fixup shrinks accordingly)
+        if cand is not None and len(cand.fix_dst) <= 0.25 * pix.sum():
+            t_plan, t_shape, t_mask = cand, (h_t, w_t), pix
+    if t_plan is None and n_fix > MAX_FIX_FRAC * ok.size:
         return None
 
     # bucket each coverable tile to the smallest fitting menu entry
@@ -149,17 +181,19 @@ def plan(mp: np.ndarray, width: int, height: int, off_edge: str,
             offs[t] = (r0, c0, i, j)
         classes.append(ClassPlan(sr, sc, np.ascontiguousarray(offs.T)))
 
-    # outlier tiles: their pixels go through one flat gather + scatter
-    if n_fix:
+    # residual outlier tiles (not covered by a transposed plan): their
+    # pixels go through one flat gather + scatter
+    if n_fix and t_plan is None:
         mask = np.zeros((n_th, n_tw), bool)
         mask[~ok] = True
-        pix = np.repeat(np.repeat(mask, TILE_H, 0), TILE_W, 1)
-        fix_dst = np.nonzero(pix.reshape(-1))[0].astype(np.int32)
+        pix2 = np.repeat(np.repeat(mask, TILE_H, 0), TILE_W, 1)
+        fix_dst = np.nonzero(pix2.reshape(-1))[0].astype(np.int32)
         fix_src = flat[fix_dst].astype(np.int32)
     else:
         fix_dst = np.zeros(0, np.int32)
         fix_src = np.zeros(0, np.int32)
-    return WarpPlan(tuple(classes), lr, lc, fix_src, fix_dst)
+    return WarpPlan(tuple(classes), lr, lc, fix_src, fix_dst,
+                    t_plan, t_shape, t_mask)
 
 
 def _kernel(offsets_ref, img_ref, out_init_ref, lr_ref, lc_ref, out_ref,
@@ -234,6 +268,15 @@ def warp_u32(img_u32: jnp.ndarray, plan_: WarpPlan,
     out = jnp.zeros((b, h, w), jnp.int32)
     for cls in plan_.classes:
         out = _class_call(img_u32, out, cls, plan_.lr, plan_.lc, interpret)
+    if plan_.t_plan is not None:
+        # rotation-dominant tiles: same engine over the transposed image,
+        # then one elementwise select — no gather
+        h_t, w_t = plan_.t_shape
+        img_t = jnp.transpose(img_u32, (0, 2, 1))
+        img_t = jnp.pad(img_t, ((0, 0), (0, h_t - w), (0, w_t - h)))
+        out_t = warp_u32(img_t, plan_.t_plan, interpret=interpret)
+        out_t = jnp.transpose(out_t[:, :w, :h], (0, 2, 1))
+        out = jnp.where(jnp.asarray(plan_.t_mask)[None], out_t, out)
     if len(plan_.fix_dst):
         vals = jnp.take(img_u32.reshape(b, h * w),
                         jnp.asarray(plan_.fix_src), axis=1)

@@ -62,7 +62,7 @@ def test_warp_outlier_fixup(rng):
     mp = mp.copy()
     mp[:8, :128, 0] = np.arange(128)[None, :].astype(np.float64)
     mp[:8, :128, 1] = (np.arange(8 * 128).reshape(8, 128) * 7.9) % h2
-    p = wp.plan(mp, w2, h2, "ignore")
+    p = wp.plan(mp, w2, h2, "ignore", _allow_transpose=False)
     assert p is not None and len(p.fix_dst) == 8 * 128
     img = rng.integers(0, 256, (2, h2, w2, 4), dtype=np.uint8)
     _, valid = fix_map(mp, w2, h2, "ignore")
@@ -70,6 +70,41 @@ def test_warp_outlier_fixup(rng):
     out = np.asarray(wp.warp_batch(jnp.asarray(img), p, jnp.asarray(valid),
                                    bg, interpret=True))
     want = np.stack([golden.remap(img[i], mp, "ignore") for i in range(2)])
+    np.testing.assert_array_equal(out, want)
+
+
+def test_warp_transposed_outlier_tiles(rng):
+    """Rotation-dominant tiles (windows taller than the row cap — the
+    twirl-center geometry, ROADMAP r2 #1) route through the nested
+    TRANSPOSED plan instead of the XLA gather, bit-exactly."""
+    h2, w2 = 256, 512
+    mp = golden.MAP_BUILDERS["rotate"](w2, h2, angle=1.45)  # ~83deg
+    p = wp.plan(mp, w2, h2, "ignore")
+    assert p is not None, "plan rejected a near-90deg rotation"
+    assert p.t_plan is not None, "expected a transposed sub-plan"
+    assert len(p.fix_dst) == 0
+    img = rng.integers(0, 256, (2, h2, w2, 4), dtype=np.uint8)
+    _, valid = fix_map(mp, w2, h2, "ignore")
+    bg = jnp.zeros(4, jnp.uint8)
+    out = np.asarray(wp.warp_batch(jnp.asarray(img), p, jnp.asarray(valid),
+                                   bg, interpret=True))
+    want = np.stack([golden.remap(img[i], mp, "ignore") for i in range(2)])
+    np.testing.assert_array_equal(out, want)
+
+
+def test_warp_twirl_heavy_angle_transposed(rng):
+    """A hard twirl (the config-4 shape) plans without any gather fixup
+    and stays bit-exact."""
+    h2, w2 = 256, 512
+    mp = golden.MAP_BUILDERS["twirl"](w2, h2, angle=2 * np.pi)
+    p = wp.plan(mp, w2, h2, "ignore")
+    assert p is not None
+    img = rng.integers(0, 256, (1, h2, w2, 4), dtype=np.uint8)
+    _, valid = fix_map(mp, w2, h2, "ignore")
+    bg = jnp.zeros(4, jnp.uint8)
+    out = np.asarray(wp.warp_batch(jnp.asarray(img), p, jnp.asarray(valid),
+                                   bg, interpret=True))
+    want = golden.remap(img[0], mp, "ignore")[None]
     np.testing.assert_array_equal(out, want)
 
 
