@@ -114,15 +114,20 @@ def c_baseline_fps():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="ten_element")
-    # window 8: larger windows measure faster (570/695/729/812 fps at
-    # 4/8/16/32 — the relay's ~2 ms per-execute dispatch amortizes) but
-    # both 16 and 32 blow the 600 s from-scratch compile watchdog on the
-    # relay; 8 is the largest that reliably compiles cold
-    ap.add_argument("--window", type=int, default=8)
+    # window 16: the fused chain kernel amortizes the relay's ~2 ms
+    # per-execute dispatch (round 3: 2368 fps at w16 vs 2093 at w8); the
+    # round-2 "16/32 blow the compile watchdog" no longer holds — the
+    # fused program is much smaller — but cold Mosaic compiles through
+    # the relay can still take ~10 min, hence the 1200 s watchdog.
+    ap.add_argument("--window", type=int, default=16)
     ap.add_argument("--windows", type=int, default=8)
     ap.add_argument("--all", action="store_true",
                     help="also sweep every BENCHMARKS config")
-    ap.add_argument("--init-timeout", type=int, default=600,
+    ap.add_argument("--profile", action="store_true",
+                    help="per-element marginal cost attribution on the "
+                         "headline graph (PipelineTracer.profile_elements; "
+                         "compiles one prefix program per element)")
+    ap.add_argument("--init-timeout", type=int, default=1200,
                     help="seconds to wait for device init before aborting")
     args = ap.parse_args()
 
@@ -200,6 +205,16 @@ def main():
         "achieved_min_gbps": round(achieved_gbps, 2),
         "pct_hbm_roofline_v5e": round(100 * achieved_gbps / 819, 2),
     }
+    if args.profile:
+        # per-element marginal attribution (VERDICT r3 evidence): emitted
+        # BEFORE the headline so the driver's last-line contract holds
+        from gstbad_tpu.utils.trace import PipelineTracer
+        prof_pipeline = build(args.config)
+        prof = PipelineTracer(prof_pipeline).profile_elements(
+            window=args.window, reps=3)
+        emit({"metric": "per_element_marginal_ms_per_window",
+              "window": args.window, "profile": prof})
+
     # Print the moment we have it — a sweep death must not erase evidence.
     emit(headline)
 

@@ -43,7 +43,16 @@ PATTERNS = {
 @register
 class Interlace(VideoFilter):
     NAME = "interlace"
-    FORMATS = (VideoFormat.I420, VideoFormat.AYUV, VideoFormat.GRAY8)
+    # the 8-bit subset of the reference's wide format list
+    # (gstinterlace.c:177-200: AYUV/Y444/YUY2/UYVY/Y42B/I420/YV12/NV12/
+    # NV21/Y41B ...; >8-bit depths are out of scope) + GRAY8 extension.
+    # The field machinery below is plane-generic: every plane interleaves
+    # its own rows, exactly like the reference's per-component
+    # copy_field/copy_fields walk (gstinterlace.c:1070-1171).
+    FORMATS = (VideoFormat.I420, VideoFormat.YV12, VideoFormat.Y444,
+               VideoFormat.Y42B, VideoFormat.Y41B, VideoFormat.NV12,
+               VideoFormat.NV21, VideoFormat.YUY2, VideoFormat.UYVY,
+               VideoFormat.AYUV, VideoFormat.GRAY8)
     PROPERTIES = (
         Property("top-field-first", bool, False, static=True),
         Property("pattern", str, "2:3", static=True),
@@ -70,7 +79,9 @@ class Interlace(VideoFilter):
         mode = ("mixed" if self.props["pattern"] not in ("1:1", "2:2")
                 else "interleaved")
         if self.props["alternate"]:
-            div = 4 if in_spec.format == VideoFormat.I420 else 2
+            sub420 = ((VideoFormat.I420, VideoFormat.YV12)
+                      + VideoFormat.SEMIPLANAR_YUV)
+            div = 4 if in_spec.format in sub420 else 2
             require(in_spec.height % div == 0,
                     f"interlace: alternate needs height % {div} == 0")
             return in_spec.with_(
@@ -92,14 +103,25 @@ class Interlace(VideoFilter):
     def init_state(self, batch: int):
         spec = self.in_spec
         h, w = spec.height, spec.width
-        if spec.format == VideoFormat.I420:
-            stored = {"y": jnp.zeros((h, w), jnp.uint8),
-                      "u": jnp.zeros((h // 2, w // 2), jnp.uint8),
-                      "v": jnp.zeros((h // 2, w // 2), jnp.uint8)}
-        elif spec.format == VideoFormat.AYUV:
-            stored = {"p": jnp.zeros((h, w, 4), jnp.uint8)}
+        fmt = spec.format
+        z = lambda *s: jnp.zeros(s, jnp.uint8)  # noqa: E731
+        if fmt in (VideoFormat.I420, VideoFormat.YV12):
+            stored = {"y": z(h, w), "u": z(h // 2, w // 2),
+                      "v": z(h // 2, w // 2)}
+        elif fmt == VideoFormat.Y444:
+            stored = {"y": z(h, w), "u": z(h, w), "v": z(h, w)}
+        elif fmt == VideoFormat.Y42B:
+            stored = {"y": z(h, w), "u": z(h, w // 2), "v": z(h, w // 2)}
+        elif fmt == VideoFormat.Y41B:
+            stored = {"y": z(h, w), "u": z(h, w // 4), "v": z(h, w // 4)}
+        elif fmt in VideoFormat.SEMIPLANAR_YUV:
+            stored = {"y": z(h, w), "uv": z(h // 2, w)}
+        elif fmt == VideoFormat.AYUV:
+            stored = {"p": z(h, w, 4)}
+        elif fmt in VideoFormat.PACKED_YUV422:
+            stored = {"p": z(h, 2 * w)}
         else:
-            stored = {"p": jnp.zeros((h, w), jnp.uint8)}
+            stored = {"p": z(h, w)}
         return {
             "phase": jnp.int32(self.props["pattern-offset"]),
             "field_index": jnp.int32(0 if self.props["top-field-first"]

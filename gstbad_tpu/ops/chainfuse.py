@@ -87,10 +87,13 @@ def _kernel(scal_ref, src_ref, dn_ref, rkt_ref, wdt_ref, out_ref,
     idx_l = jnp.where(first, idx, idx_l)
     rank_l = jnp.where(first, rank, rank_l)
 
-    # the reference's sequential down/right/left walk (gstdilate.c:273-350)
+    # the reference's sequential down/right/left walk (gstdilate.c:273-350);
+    # the erode flip is boolean arithmetic — Mosaic cannot legalize an
+    # arith.select with a scalar condition over vector operands
+    er = erode != 0
     out_i, out_k = idx, rank
     for n_i, n_k in ((idx_dn, rank_dn), (idx_r, rank_r), (idx_l, rank_l)):
-        take = jnp.where(erode != 0, n_k < out_k, n_k > out_k)
+        take = ((n_k < out_k) & er) | ((n_k > out_k) & (~er))
         out_i = jnp.where(take, n_i, out_i)
         out_k = jnp.where(take, n_k, out_k)
 

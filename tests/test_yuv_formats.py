@@ -132,3 +132,31 @@ def test_videodiff_scenechange_wide_formats(rng, fmt):
     p.negotiate(MediaSpec(kind="video", format=fmt, width=32, height=16))
     out = p.run(inputs=FrameBatch.make(_tree(data)))[0].data
     assert np.asarray(out["y"]).shape == y.shape
+
+
+@pytest.mark.parametrize("fmt", [VideoFormat.NV12, VideoFormat.YUY2,
+                                 VideoFormat.Y42B, VideoFormat.Y444,
+                                 VideoFormat.YV12, VideoFormat.UYVY])
+def test_interlace_wide_formats_static_weave(fmt):
+    """interlace pattern=2:2 on a STATIC source: weaving two fields of
+    identical frames reproduces the frame in every plane — exercises the
+    plane-generic field machinery (gstinterlace.c:1070-1171) on the wide
+    format list."""
+    p = gt.parse_launch(
+        f"videotestsrc pattern=bars width=64 height=16 format={fmt} "
+        "! interlace pattern=2:2 ! fakesink")
+    p.negotiate()
+    out = p.run(n_frames=4, window=4)
+    ref = gt.parse_launch(
+        f"videotestsrc pattern=bars width=64 height=16 format={fmt} "
+        "! fakesink")
+    ref.negotiate()
+    want = ref.run(n_frames=1, window=1)[0].data
+    got = out[0].data
+    if isinstance(want, dict):
+        for k in want:
+            np.testing.assert_array_equal(np.asarray(got[k][1]),
+                                          np.asarray(want[k][0]))
+    else:
+        np.testing.assert_array_equal(np.asarray(got[1]),
+                                      np.asarray(want[0]))
