@@ -65,6 +65,10 @@ class WarpPlan(NamedTuple):
     t_shape: Optional[Tuple[int, int]] = None   # padded (rows, cols) of
     #                                             the transposed problem
     t_mask: Optional[np.ndarray] = None         # [H, W] bool outlier pixels
+    # Tiles whose every pixel maps to itself (the region outside a warp's
+    # effect radius — most of a twirl/fisheye frame) skip the kernel
+    # entirely: one elementwise passthrough select instead of a gather.
+    ident_mask: Optional[np.ndarray] = None     # [H, W] bool identity px
 
 
 def _class_menu(h: int, w: int):
@@ -96,6 +100,15 @@ def plan(mp: np.ndarray, width: int, height: int, off_edge: str,
 
     ty_t, tx_t, v_t = tiles(ty), tiles(tx), tiles(v2d)
     any_v = v_t.any((2, 3))
+    # identity tiles: every pixel valid and mapped to itself — skipped
+    # entirely (warp_u32 passes the image through elementwise)
+    self_y = np.broadcast_to(np.arange(height)[:, None], (height, width))
+    self_x = np.broadcast_to(np.arange(width)[None, :], (height, width))
+    ident_pix = v2d & (ty == self_y) & (tx == self_x)
+    ident = tiles(ident_pix).all((2, 3))
+    # fully-invalid tiles (a NaN-masked transposed sub-plan's background)
+    # have nothing to compute either
+    planned = any_v & ~ident
     # off-edge pixels are overwritten by the background after the kernel;
     # exclude them from the window spans (they'd otherwise drag every edge
     # tile's window to (0,0))
@@ -109,7 +122,7 @@ def plan(mp: np.ndarray, width: int, height: int, off_edge: str,
     c0u = (cmin // TILE_W) * TILE_W
     need_r = rmax - r0u + 1            # window rows if origin not clipped
     need_c = cmax - c0u + 1
-    ok = (need_r <= srs[-1]) & (need_c <= scs[-1])
+    ok = (need_r <= srs[-1]) & (need_c <= scs[-1]) | ~planned
     n_fix = int((~ok).sum())
 
     # rotation-dominant outliers -> nested transposed plan.  Non-outlier
@@ -142,7 +155,7 @@ def plan(mp: np.ndarray, width: int, height: int, off_edge: str,
     bi_r = np.searchsorted(sr_arr, np.clip(need_r, 1, srs[-1]))
     bi_c = np.searchsorted(sc_arr, np.clip(need_c, 1, scs[-1]))
     buckets = {}
-    for (i, j) in zip(*np.nonzero(ok)):
+    for (i, j) in zip(*np.nonzero(ok & planned)):
         key = (int(sr_arr[bi_r[i, j]]), int(sc_arr[bi_c[i, j]]))
         buckets.setdefault(key, []).append((int(i), int(j)))
     # greedy merge to <= max_classes: fold the bucket with the least total
@@ -192,8 +205,11 @@ def plan(mp: np.ndarray, width: int, height: int, off_edge: str,
     else:
         fix_dst = np.zeros(0, np.int32)
         fix_src = np.zeros(0, np.int32)
+    ident_mask = None
+    if ident.any():
+        ident_mask = np.repeat(np.repeat(ident, TILE_H, 0), TILE_W, 1)
     return WarpPlan(tuple(classes), lr, lc, fix_src, fix_dst,
-                    t_plan, t_shape, t_mask)
+                    t_plan, t_shape, t_mask, ident_mask)
 
 
 def _kernel(offsets_ref, img_ref, out_init_ref, lr_ref, lc_ref, out_ref,
@@ -268,6 +284,8 @@ def warp_u32(img_u32: jnp.ndarray, plan_: WarpPlan,
     out = jnp.zeros((b, h, w), jnp.int32)
     for cls in plan_.classes:
         out = _class_call(img_u32, out, cls, plan_.lr, plan_.lc, interpret)
+    if plan_.ident_mask is not None:
+        out = jnp.where(jnp.asarray(plan_.ident_mask)[None], img_u32, out)
     if plan_.t_plan is not None:
         # rotation-dominant tiles: same engine over the transposed image,
         # then one elementwise select — no gather
