@@ -284,6 +284,24 @@ def _scan1(b: jnp.ndarray, coeff, y0, axis: int) -> jnp.ndarray:
     return y + powers * y0
 
 
+def _lowtri_powers_T(coeff, n: int) -> jnp.ndarray:
+    """Transposed lower-triangular power matrix: M[m, j] = coeff^(j-m) for
+    j >= m else 0, built WITHOUT a gather (TPU gathers run ~0.1 Gelem/s):
+    the classic tile/reshape Toeplitz trick — tiling a [2n] vector n times
+    and reshaping to [n, 2n-1] shifts each row by one.
+
+    y = scan1(b, coeff) becomes the MXU matmul y = b @ M (+ the carried
+    y0 term) — the per-block lag-1 recurrence stops being 11 serial
+    associative-scan sweeps and becomes one 47 MFLOP matmul."""
+    p = jnp.concatenate([jnp.ones((1,), jnp.float32),
+                         jnp.cumprod(jnp.full((n - 1,), coeff, jnp.float32))])
+    u = jnp.concatenate([jnp.zeros(n - 1, jnp.float32), p,
+                         jnp.zeros(1, jnp.float32)])          # [2n]
+    t = jnp.tile(u, n)[:n * (2 * n - 1)].reshape(n, 2 * n - 1)
+    # t[i, k] = u[(k - i) mod 2n]  ->  t[m, j + n - 1] = coeff^(j-m)|tril
+    return t[:, n - 1:]
+
+
 def _ring_head(line, d: int, t0) -> jnp.ndarray:
     """The next d taps of a d-length ring: head[s] = ring[(t0+s) mod d]."""
     ring = line[:d]
@@ -365,21 +383,33 @@ def _freeverb_process_fused(state, x, params, rate, mono):
         mask[i, int(D[i]):] = 1.0
     mask = jnp.asarray(mask)
 
-    store_buf = jnp.zeros((16, dmax + np_len), jnp.float32)
-    prev_last = store0
-    v_blocks = []
-    for k in range(K):
-        lo = k * B
-        sh = jnp.stack([store_buf[i, dmax + lo - int(D[i]):
-                                  dmax + lo + B - int(D[i])]
-                        for i in range(16)])
-        v_blk = (v_base[:, lo:lo + B]
-                 + (feedback * mask[:, lo:lo + B]) * sh)
-        st_blk = _scan1(damp2 * v_blk, damp1, prev_last, axis=1)
-        store_buf = store_buf.at[:, dmax + lo:dmax + lo + B].set(st_blk)
-        prev_last = st_blk[:, -1]
-        v_blocks.append(v_blk)
-    v = jnp.concatenate(v_blocks, axis=1)                # [16, np_len]
+    # the lag-1 filterstore recurrence per block as ONE matmul against
+    # the damp1-power matrix (see _lowtri_powers_T); the block walk is a
+    # lax.scan so XLA compiles a single body for the K serial steps
+    lt_T = _lowtri_powers_T(damp1, B)
+    p_next = damp1 * lt_T[0]            # damp1^(j+1), j = 0..B-1
+    fb_mask = feedback * mask           # [16, np_len]
+
+    def comb_block(carry, lo):
+        store_buf, prev_last = carry
+        sh = jnp.stack([lax.dynamic_slice(
+            store_buf[i], (dmax + lo - jnp.int32(int(D[i])),), (B,))
+            for i in range(16)])
+        zero = jnp.int32(0)
+        v_blk = (lax.dynamic_slice(v_base, (zero, lo), (16, B))
+                 + lax.dynamic_slice(fb_mask, (zero, lo), (16, B)) * sh)
+        st_blk = (jnp.dot(damp2 * v_blk, lt_T,
+                          precision=jax.lax.Precision.HIGHEST)
+                  + prev_last[:, None] * p_next[None, :])
+        store_buf = lax.dynamic_update_slice(store_buf, st_blk,
+                                             (jnp.int32(0), dmax + lo))
+        return (store_buf, st_blk[:, -1]), v_blk
+
+    los = (jnp.arange(K, dtype=jnp.int32) * B)
+    (store_buf, _), v_blocks = lax.scan(
+        comb_block,
+        (jnp.zeros((16, dmax + np_len), jnp.float32), store0), los)
+    v = jnp.transpose(v_blocks, (1, 0, 2)).reshape(16, np_len)
     outl = jnp.sum(v[:8], axis=0)[:n]
     outr = jnp.sum(v[8:], axis=0)[:n]
 
