@@ -328,8 +328,11 @@ def _freeverb_process_fused(state, x, params, rate, mono):
     recurrence is filterstore[t] = damp1*filterstore[t-1]
     + damp2*(in[t-D] + feedback*filterstore[t-D]).  Processing in blocks of
     B = min(D) makes every lag-D read land in an ALREADY-COMPUTED earlier
-    block, so each block is one lag-1 associative scan over the 16-comb
-    bank — serial depth O(N/B · log B) instead of O(N).
+    block; the per-block lag-1 solve is ONE MXU matmul against the
+    damp1-power Toeplitz matrix (_lowtri_powers_T) and the block walk is
+    a lax.scan whose carry is a 2-block aligned history, so every lag-D
+    read is a static per-row slice — the serial body is a matmul plus a
+    fused copy pass instead of O(log B) sweep steps.
 
     Allpasses (freeverb_allpass_process, gstfreeverb.c:198-208): the buffer
     recurrence buf[t] = x[t] + 0.5*buf[t-D] has NO lag-1 term, so it
@@ -385,31 +388,32 @@ def _freeverb_process_fused(state, x, params, rate, mono):
 
     # the lag-1 filterstore recurrence per block as ONE matmul against
     # the damp1-power matrix (see _lowtri_powers_T); the block walk is a
-    # lax.scan so XLA compiles a single body for the K serial steps
+    # lax.scan whose carry is a 2-block ALIGNED history, so every lag-D
+    # read (D in [B, 2B)) is a STATIC per-row slice — the serial body
+    # compiles to one matmul + one fused copy pass
     lt_T = _lowtri_powers_T(damp1, B)
     p_next = damp1 * lt_T[0]            # damp1^(j+1), j = 0..B-1
     fb_mask = feedback * mask           # [16, np_len]
+    v_xs = v_base.reshape(16, K, B).transpose(1, 0, 2)
+    fb_xs = fb_mask.reshape(16, K, B).transpose(1, 0, 2)
 
-    def comb_block(carry, lo):
-        store_buf, prev_last = carry
-        sh = jnp.stack([lax.dynamic_slice(
-            store_buf[i], (dmax + lo - jnp.int32(int(D[i])),), (B,))
-            for i in range(16)])
-        zero = jnp.int32(0)
-        v_blk = (lax.dynamic_slice(v_base, (zero, lo), (16, B))
-                 + lax.dynamic_slice(fb_mask, (zero, lo), (16, B)) * sh)
+    def comb_block(hist, xs):
+        v_bb, fb_bb = xs
+        # hist holds store for the previous 2 blocks; row i's lag-D_i
+        # window starts at the static offset 2B - D_i
+        sh = jnp.stack([hist[i, 2 * B - int(D[i]): 3 * B - int(D[i])]
+                        for i in range(16)])
+        v_blk = v_bb + fb_bb * sh
         st_blk = (jnp.dot(damp2 * v_blk, lt_T,
                           precision=jax.lax.Precision.HIGHEST)
-                  + prev_last[:, None] * p_next[None, :])
-        store_buf = lax.dynamic_update_slice(store_buf, st_blk,
-                                             (jnp.int32(0), dmax + lo))
-        return (store_buf, st_blk[:, -1]), v_blk
+                  + hist[:, -1][:, None] * p_next[None, :])
+        hist = jnp.concatenate([hist[:, B:], st_blk], axis=1)
+        return hist, (v_blk, st_blk)
 
-    los = (jnp.arange(K, dtype=jnp.int32) * B)
-    (store_buf, _), v_blocks = lax.scan(
-        comb_block,
-        (jnp.zeros((16, dmax + np_len), jnp.float32), store0), los)
+    hist0 = jnp.zeros((16, 2 * B), jnp.float32).at[:, -1].set(store0)
+    _, (v_blocks, st_blocks) = lax.scan(comb_block, hist0, (v_xs, fb_xs))
     v = jnp.transpose(v_blocks, (1, 0, 2)).reshape(16, np_len)
+    store_full = jnp.transpose(st_blocks, (1, 0, 2)).reshape(16, np_len)
     outl = jnp.sum(v[:8], axis=0)[:n]
     outr = jnp.sum(v[8:], axis=0)[:n]
 
@@ -419,7 +423,7 @@ def _freeverb_process_fused(state, x, params, rate, mono):
         d = int(D[i])
         inrow = in1l if i < 8 else in1r
         w_tail = (inrow[n - d:n]
-                  + feedback * store_buf[i, dmax + n - d:dmax + n])
+                  + feedback * store_full[i, n - d:n])
         new_bufs = new_bufs.at[i].set(_ring_store(new_bufs[i], d, t0 + n,
                                                   w_tail))
 
@@ -451,8 +455,8 @@ def _freeverb_process_fused(state, x, params, rate, mono):
     yr = outr * wet1 + outl * wet2 + in2r * dry
     new_state = {"combL_buf": new_bufs[:8], "combR_buf": new_bufs[8:],
                  "apL_buf": new_ap[0], "apR_buf": new_ap[1],
-                 "storeL": store_buf[:8, dmax + n - 1],
-                 "storeR": store_buf[8:, dmax + n - 1],
+                 "storeL": store_full[:8, n - 1],
+                 "storeR": store_full[8:, n - 1],
                  "t": t0 + n}
     return new_state, jnp.stack([yl, yr], axis=-1)
 
