@@ -54,14 +54,15 @@ window_info = {}
 if pid == 0:
     master = IpcMaster(ipc_name, slot_size=1 << 20, n_slots=4)
     # let the slave open the rings before the first chunk
-    time.sleep(0.5)
+    time.sleep(1.0)
     master.send_event({"type": "window", "pts0": 0, "window": 2 * B_LOCAL})
-    assert master.set_state("playing") == STATE_CHANGE_SUCCESS
+    assert master.set_state("playing",
+                            timeout_ms=120000) == STATE_CHANGE_SUCCESS
     meta = FrameBatch.make(np.zeros((1, 4), np.uint8),
                            pts=np.zeros(1, np.int64))
     master.push_buffer(meta, MediaSpec(kind="bytes", format="window-desc"))
 else:
-    deadline = time.time() + 20
+    deadline = time.time() + 120
     slave = None
     while slave is None:
         try:
@@ -71,7 +72,7 @@ else:
             if time.time() > deadline:
                 raise
             time.sleep(0.1)
-    got = slave.pull_buffer(20000)
+    got = slave.pull_buffer(120000)
     assert got is not None, "control buffer never arrived"
     assert window_info.get("type") == "window", window_info
     assert slave.state == "playing"

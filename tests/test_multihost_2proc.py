@@ -40,7 +40,7 @@ def test_two_process_distributed_feed_window(tmp_path):
     outs = []
     for i, pr in enumerate(procs):
         try:
-            so, se = pr.communicate(timeout=180)
+            so, se = pr.communicate(timeout=420)
         except subprocess.TimeoutExpired:
             for p2 in procs:
                 p2.kill()

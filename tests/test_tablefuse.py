@@ -203,3 +203,23 @@ def test_bars_source_headline_graph():
         res = p.run(n_frames=8, window=4)
         outs[fuse] = np.concatenate([np.asarray(b.data) for b in res])
     np.testing.assert_array_equal(outs[True], outs[False])
+
+
+def test_rgb_permute_convert_in_chain(img):
+    """videoconvert BGRx->RGBx inside a fused chain is a word byte
+    shuffle evaluated on the tables."""
+    chain = ("coloreffects preset=sepia ! burn ! videoconvert format=RGBx "
+             "! exclusion ! fakesink")
+    a = _run(chain, img, fuse=True)
+    b = _run(chain, img, fuse=False)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_non_luma_preset_byte_map_chain(img):
+    """xpro maps each channel through its own LUT column (byte_map path
+    with an identity fill kind) and composes with downstream word maps."""
+    chain = ("coloreffects preset=xpro ! solarize ! exclusion ! dilate "
+             "! chromahold ! fakesink")
+    a = _run(chain, img, fuse=True)
+    b = _run(chain, img, fuse=False)
+    np.testing.assert_array_equal(a, b)
