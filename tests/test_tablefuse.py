@@ -223,3 +223,14 @@ def test_non_luma_preset_byte_map_chain(img):
     a = _run(chain, img, fuse=True)
     b = _run(chain, img, fuse=False)
     np.testing.assert_array_equal(a, b)
+
+
+def test_chromahold_achromatic_target_in_chain(img):
+    """target r==g==b gives hue -1 (gstchromahold.c:271-299 G_MAXUINT) —
+    everything greys; table evaluation must match per-pixel."""
+    chain = ("coloreffects preset=sepia ! burn ! chromahold target-r=90 "
+             "target-g=90 target-b=90 ! videoconvert format=AYUV "
+             "! zebrastripe ! fakesink")
+    a = _run(chain, img, fuse=True)
+    b = _run(chain, img, fuse=False)
+    np.testing.assert_array_equal(a, b)
