@@ -216,12 +216,37 @@ def _kernel(offsets_ref, img_ref, out_init_ref, lr_ref, lc_ref, out_ref,
             win, sem, *, sr: int, sc: int):
     del out_init_ref  # aliased with out_ref; untouched tiles pass through
     bi, t = pl.program_id(0), pl.program_id(1)
-    r0 = pl.multiple_of(offsets_ref[0, t], 8)
-    c0 = pl.multiple_of(offsets_ref[1, t], TILE_W)
-    cp = pltpu.make_async_copy(
-        img_ref.at[bi, pl.ds(r0, sr), pl.ds(c0, sc)], win, sem)
-    cp.start()
-    cp.wait()
+    n_t = pl.num_programs(1)
+    # slot parity must follow the GLOBAL step (not t): with odd n_t the
+    # cross-batch prefetch lands in the opposite slot from what a per-t
+    # parity would read at (bi+1, t=0)
+    slot = jax.lax.rem(bi * n_t + t, jnp.int32(2))
+    nslot = 1 - slot
+
+    def tile_copy(b_idx, t_idx, s):
+        r0 = pl.multiple_of(offsets_ref[0, t_idx], 8)
+        c0 = pl.multiple_of(offsets_ref[1, t_idx], TILE_W)
+        return pltpu.make_async_copy(
+            img_ref.at[b_idx, pl.ds(r0, sr), pl.ds(c0, sc)],
+            win.at[s], sem.at[s])
+
+    # double-buffered window DMA: tile t's copy was started by step t-1
+    # (cold start only at the very first grid step); step t prefetches
+    # t+1 — across the batch boundary too, so only the first window pays
+    # the DMA latency
+    @pl.when((bi == 0) & (t == 0))
+    def _():
+        tile_copy(bi, t, slot).start()
+
+    @pl.when(t + 1 < n_t)
+    def _():
+        tile_copy(bi, t + 1, nslot).start()
+
+    @pl.when((t + 1 >= n_t) & (bi + 1 < pl.num_programs(0)))
+    def _():
+        tile_copy(bi + 1, 0, nslot).start()
+
+    tile_copy(bi, t, slot).wait()
     n_blk = sc // TILE_W
     lr = lr_ref[:]
     lc = lc_ref[:]
@@ -235,8 +260,9 @@ def _kernel(offsets_ref, img_ref, out_init_ref, lr_ref, lc_ref, out_ref,
     acc = jnp.zeros((TILE_H, TILE_W), jnp.int32)
     for r in range(sr):
         for b in range(n_blk):
-            seg = pltpu.repeat(win[r:r + 1, b * TILE_W:(b + 1) * TILE_W],
-                               TILE_H, axis=0)
+            seg = pltpu.repeat(
+                win[slot, r:r + 1, b * TILE_W:(b + 1) * TILE_W],
+                TILE_H, axis=0)
             vals = lax.gather(seg, rem[..., None], dnums, slice_sizes=(1, 1),
                               mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
             acc = jnp.where(code == r * n_blk + b, vals, acc)
@@ -264,8 +290,8 @@ def _class_call(img_u32, out, cls: ClassPlan, lr, lc, interpret: bool):
                                lambda bi, t, offs: (bi, offs[2, t],
                                                     offs[3, t]),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((cls.sr, cls.sc), jnp.int32),
-                        pltpu.SemaphoreType.DMA],
+        scratch_shapes=[pltpu.VMEM((2, cls.sr, cls.sc), jnp.int32),
+                        pltpu.SemaphoreType.DMA((2,))],
     )
     return pl.pallas_call(
         functools.partial(_kernel, sr=cls.sr, sc=cls.sc),
