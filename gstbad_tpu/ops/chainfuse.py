@@ -7,17 +7,23 @@ word_table[idx'] with a positional stripe select.  As separate XLA/Pallas
 stages that costs ~6 HBM traversals plus two kernel-launch grids; this
 kernel runs the entire tail in one pass over row blocks:
 
-  - the source word block (and its one-row-down shifted copy) come in as
-    two block inputs; luma, both 256-entry lookups (rank + final word),
-    the dilate3 neighbor walk, and the zebra stripe select all happen on
-    the block in VMEM,
+  - the source word block comes in as one block input; luma, both
+    256-entry lookups (rank + final word), the dilate3 neighbor walk, and
+    the zebra stripe select all happen on the block in VMEM,
+  - the dilate down-neighbor crosses the block boundary: instead of a
+    full one-row-shifted COPY of the frame (a wasted write+read of the
+    whole window, ~264 MB at 1080p w16), a second BlockSpec over the SAME
+    source array delivers just the next block's first 8-row subtile; the
+    in-block down rows are a static sublane shift of the already-loaded
+    planes (which also replaces the second full-block rank gather the
+    shifted-copy formulation needed),
   - 256-entry tables ride as two 128-lane vregs each; table[idx] is the
     VPU's batched 128-lane shuffle (the ops/warp_pallas.py primitive) —
     two gathers + a select per [8, 128] tile,
   - right/left dilate neighbors are lane rolls with frame-edge
-    replication; the down neighbor crosses the block boundary, hence the
-    shifted second input (the reference's dead `up` pointer means no up
-    halo is needed, gstdilate.c:291-300).
+    replication; the frame's LAST row replicates itself as its own down
+    neighbor (the reference's dead `up` pointer means no up halo is
+    needed, gstdilate.c:291-300).
 
 Everything is int32 (the package enables global x64; Mosaic rejects i64).
 """
@@ -58,19 +64,29 @@ def _gather256(table_ref, x, scratch):
     return scratch[:]
 
 
-def _kernel(scal_ref, src_ref, dn_ref, rkt_ref, wdt_ref, out_ref,
-            s_rank, s_rank_dn, *, br, w, index_fn):
+def _kernel(scal_ref, src_ref, nxt_ref, rkt_ref, wdt_ref, out_ref,
+            s_rank, s_nxt, *, br, w, h, index_fn):
     bi = pl.program_id(0)
     rb = pl.program_id(1)
     erode = scal_ref[0, bi]
     thr = scal_ref[1, bi]
     phase = scal_ref[2, bi]
     src = src_ref[0]
-    dn = dn_ref[0]
     idx = index_fn(src).astype(jnp.int32)
-    idx_dn = index_fn(dn).astype(jnp.int32)
     rank = _gather256(rkt_ref, idx, s_rank)
-    rank_dn = _gather256(rkt_ref, idx_dn, s_rank_dn)
+
+    # down neighbors: rows 1..br-1 of this block via a static sublane
+    # shift; the bottom row comes from the next block's first row (nxt is
+    # an 8-row subtile of the SAME source array, clamped at the frame end)
+    nxt = nxt_ref[0]
+    idx_nx = index_fn(nxt).astype(jnp.int32)
+    rank_nx = _gather256(rkt_ref, idx_nx, s_nxt)
+    idx_dn = jnp.concatenate([idx[1:], idx_nx[0:1]], axis=0)
+    rank_dn = jnp.concatenate([rank[1:], rank_nx[0:1]], axis=0)
+    row = rb * br + lax.broadcasted_iota(jnp.int32, (br, w), 0)
+    last_row = row == (h - 1)  # the frame's last row is its own neighbor
+    idx_dn = jnp.where(last_row, idx, idx_dn)
+    rank_dn = jnp.where(last_row, rank, rank_dn)
 
     col = lax.broadcasted_iota(jnp.int32, (br, w), 1)
     # shifts must be i32 scalars (tpu.dynamic_rotate rejects the i64 a
@@ -99,7 +115,6 @@ def _kernel(scal_ref, src_ref, dn_ref, rkt_ref, wdt_ref, out_ref,
 
     word = _gather256(wdt_ref, out_i, s_rank)  # rank scratch is free now
     y = (word >> 8) & 255
-    row = rb * br + lax.broadcasted_iota(jnp.int32, (br, w), 0)
     stripe = ((col + row + phase) & 4) != 0
     zebra = (word & _ZEBRA_KEEP) | jnp.int32(16 << 8)
     out_ref[0] = jnp.where(stripe & (y >= thr), zebra, word)
@@ -126,21 +141,27 @@ def dilate_zebra_fused(src_word: jnp.ndarray, rank_table: jnp.ndarray,
     b, h, w = src_word.shape
     br = block_rows(h)
     assert br and w % 128 == 0
-    dn = jnp.concatenate([src_word[:, 1:, :], src_word[:, -1:, :]], axis=1)
+    sub = br // 8       # 8-row subtiles per block
+    nsub = h // 8       # 8-row subtiles per frame
     scalars = jnp.stack([
         jnp.broadcast_to(jnp.asarray(erode).astype(jnp.int32), (b,)),
         jnp.broadcast_to(jnp.asarray(thr).astype(jnp.int32), (b,)),
         jnp.broadcast_to(jnp.asarray(phase).astype(jnp.int32), (b,)),
     ])
     zero = np.int32(0)
+
+    def nxt_index(bi, r, s):
+        # first 8-row subtile of the NEXT block, clamped to the frame end
+        # (the clamped tile's first row is then masked off in-kernel)
+        return (bi, jnp.minimum((r + 1) * sub, nsub - 1), zero)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, h // br),
         in_specs=[
             pl.BlockSpec((1, br, w), lambda bi, r, s: (bi, r, zero),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, br, w), lambda bi, r, s: (bi, r, zero),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, w), nxt_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 128), lambda bi, r, s: (zero, zero),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 128), lambda bi, r, s: (zero, zero),
@@ -149,12 +170,13 @@ def dilate_zebra_fused(src_word: jnp.ndarray, rank_table: jnp.ndarray,
         out_specs=pl.BlockSpec((1, br, w), lambda bi, r, s: (bi, r, zero),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((br, w), jnp.int32),
-                        pltpu.VMEM((br, w), jnp.int32)],
+                        pltpu.VMEM((8, w), jnp.int32)],
     )
     return pl.pallas_call(
-        functools.partial(_kernel, br=br, w=w, index_fn=index_fn),
+        functools.partial(_kernel, br=br, w=w, h=h, index_fn=index_fn),
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(scalars, src_word, dn, rank_table.astype(jnp.int32).reshape(2, 128),
+    )(scalars, src_word, src_word,
+      rank_table.astype(jnp.int32).reshape(2, 128),
       word_table.astype(jnp.int32).reshape(2, 128))
