@@ -12,33 +12,57 @@ libass itself is absent; parse + layout are implemented from the SSA/
 ASS format spec:
 - [Script Info] PlayResX/PlayResY;
 - [V4+ Styles] / [V4 Styles] Format-driven style lines (Fontsize,
-  PrimaryColour/OutlineColour in &HAABBGGRR with inverted alpha,
-  Bold/Italic flags, Alignment incl. the legacy SSA +4/+8 encoding,
-  MarginL/R/V, Outline);
-- [Events] Format-driven Dialogue lines (h:mm:ss.cc times) and
-  Matroska ASS chunks ("ReadOrder,Layer,Style,Name,MarginL,MarginR,
-  MarginV,Effect,Text" with buffer pts/duration, the
-  ass_process_chunk shape);
-- text handling: \\N and \\n line breaks, \\h hard space, override
-  blocks {\\...} with \\an/\\a alignment and \\pos(x,y) honoured and
-  every other tag stripped (documented divergence — libass implements
-  the full tag machine);
-- layout: numpad alignment 1-9 against PlayRes with margins, events
-  stacked bottom-up for bottom alignments like libass' collision
-  handling, glyphs from the framework's bitmap face with a 1-px
-  outline in the outline colour (libass' FreeType rasterization is
-  the documented divergence, same family as ttml/ceaccoverlay)."""
+  PrimaryColour/SecondaryColour/OutlineColour/BackColour in &HAABBGGRR
+  with inverted alpha, Bold/Italic/Underline/StrikeOut flags,
+  ScaleX/ScaleY/Spacing, Alignment incl. the legacy SSA +4/+8
+  encoding, MarginL/R/V, Outline, Shadow, BorderStyle);
+- [Events] Format-driven Dialogue lines (h:mm:ss.cc times, Layer
+  compositing order) and Matroska ASS chunks ("ReadOrder,Layer,Style,
+  Name,MarginL,MarginR,MarginV,Effect,Text" with buffer pts/duration,
+  the ass_process_chunk shape);
+- the override-tag machine, applied per span in document order like
+  libass' render state:
+    \\N \\n \\h               line breaks / hard space
+    \\an \\a                  alignment (numpad / legacy SSA codes)
+    \\pos \\move              positioning (+ time-interpolated move)
+    \\org \\frz \\fr          z-rotation about an origin (nearest-
+                              neighbour bitmap rotation)
+    \\fad \\fade              alpha fades (simple + 7-argument form)
+    \\b \\i \\u \\s           bold / italic / underline / strikeout
+    \\fs \\fs+ \\fs- \\fscx \\fscy \\fsp   size, scales, letter spacing
+    \\c \\1c \\2c \\3c \\4c   fill / karaoke / outline / back colours
+    \\alpha \\1a \\2a \\3a \\4a           the matching alphas
+    \\bord \\shad             outline width / shadow offset
+    \\be \\blur               edge blur (box-blur rounds)
+    \\k \\K \\kf \\ko         karaoke (secondary colour until the
+                              syllable's start; \\ko hides the outline;
+                              \\K/\\kf highlight without the sweep
+                              gradient — documented)
+    \\r \\rStyle              reset to the event's / a named style
+    \\clip \\iclip            rectangular clips
+  \\t animation, \\frx/\\fry 3D rotations, \\fn font selection, \\q
+  wrapping and drawing mode \\p are parsed-and-ignored (documented
+  divergences, as is the bitmap face vs FreeType rasterization —
+  same family as ttml/ceaccoverlay);
+- layout: numpad alignment 1-9 against PlayRes with margins, per-event
+  Layer ordering, events stacked bottom-up for bottom alignments like
+  libass' collision handling, glyphs from the framework's bitmap face
+  with an Outline-width square dilate in the outline colour and a
+  Shadow-offset back-colour copy."""
 
 from __future__ import annotations
 
+import math
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+RGBA = Tuple[int, int, int, int]
 
-def parse_ass_color(s: str) -> Tuple[int, int, int, int]:
+
+def parse_ass_color(s: str) -> RGBA:
     """&HAABBGGRR (alpha inverted: 00 = opaque) -> (r, g, b, a)."""
     s = s.strip().lstrip("&Hh").rstrip("&")
     try:
@@ -50,6 +74,23 @@ def parse_ass_color(s: str) -> Tuple[int, int, int, int]:
     r = v & 0xFF
     a = 255 - ((v >> 24) & 0xFF)
     return (r, g, b, a)
+
+
+def _parse_tag_color(s: str) -> Optional[Tuple[int, int, int]]:
+    """\\c&HBBGGRR& (no alpha byte) -> (r, g, b)."""
+    m = re.match(r"&?[Hh]?([0-9a-fA-F]{1,8})", s.strip().lstrip("&"))
+    if not m:
+        return None
+    v = int(m.group(1), 16)
+    return (v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF)
+
+
+def _parse_tag_alpha(s: str) -> Optional[int]:
+    """\\alpha&HAA& -> plain alpha (inverted on parse like colours)."""
+    m = re.match(r"&?[Hh]?([0-9a-fA-F]{1,2})", s.strip().lstrip("&"))
+    if not m:
+        return None
+    return 255 - int(m.group(1), 16)
 
 
 def parse_ass_time(s: str) -> int:
@@ -65,12 +106,20 @@ def parse_ass_time(s: str) -> int:
 class AssStyle:
     name: str = "Default"
     fontsize: float = 20.0
-    primary: Tuple[int, int, int, int] = (255, 255, 255, 255)
-    outline_color: Tuple[int, int, int, int] = (0, 0, 0, 255)
-    back: Tuple[int, int, int, int] = (0, 0, 0, 128)
+    primary: RGBA = (255, 255, 255, 255)
+    secondary: RGBA = (255, 0, 0, 255)
+    outline_color: RGBA = (0, 0, 0, 255)
+    back: RGBA = (0, 0, 0, 128)
     bold: bool = False
     italic: bool = False
+    underline: bool = False
+    strikeout: bool = False
+    scale_x: float = 100.0
+    scale_y: float = 100.0
+    spacing: float = 0.0
     outline: float = 2.0
+    shadow: float = 0.0
+    border_style: int = 1
     alignment: int = 2
     margin_l: int = 10
     margin_r: int = 10
@@ -78,11 +127,65 @@ class AssStyle:
 
 
 @dataclass
+class SpanState:
+    """The per-span render state the tag machine mutates (libass
+    render_context analog)."""
+    font_size: float = 20.0
+    scale_x: float = 100.0
+    scale_y: float = 100.0
+    spacing: float = 0.0
+    bold: bool = False
+    italic: bool = False
+    underline: bool = False
+    strikeout: bool = False
+    primary: RGBA = (255, 255, 255, 255)
+    secondary: RGBA = (255, 0, 0, 255)
+    outline_color: RGBA = (0, 0, 0, 255)
+    back: RGBA = (0, 0, 0, 128)
+    border: float = 2.0
+    shadow: float = 0.0
+    blur: float = 0.0
+    k_start_cs: int = -1      # highlight start (cs from event start); -1 = none
+    k_outline: bool = False   # \ko: outline hidden until k_start
+
+    @classmethod
+    def from_style(cls, st: AssStyle) -> "SpanState":
+        return cls(font_size=st.fontsize, scale_x=st.scale_x,
+                   scale_y=st.scale_y, spacing=st.spacing, bold=st.bold,
+                   italic=st.italic, underline=st.underline,
+                   strikeout=st.strikeout, primary=st.primary,
+                   secondary=st.secondary, outline_color=st.outline_color,
+                   back=st.back, border=st.outline, shadow=st.shadow)
+
+
+@dataclass
+class Span:
+    text: str
+    state: SpanState
+
+
+@dataclass
+class EventLayout:
+    """Event-level tag results (first occurrence wins, like libass)."""
+    align: Optional[int] = None
+    pos: Optional[Tuple[float, float]] = None
+    move: Optional[Tuple[float, ...]] = None   # x1,y1,x2,y2[,t1,t2] (ms)
+    org: Optional[Tuple[float, float]] = None
+    frz: float = 0.0
+    fad: Optional[Tuple[float, float]] = None            # ms in, ms out
+    fade: Optional[Tuple[float, ...]] = None   # a1,a2,a3,t1,t2,t3,t4
+    clip: Optional[Tuple[float, float, float, float]] = None
+    iclip: Optional[Tuple[float, float, float, float]] = None
+
+
+@dataclass
 class AssEvent:
     start: int
     end: int
     style: str
-    text: str
+    text: str                      # tag-stripped plain text (messages/tests)
+    raw_text: str = ""             # original text, tags included
+    layer: int = 0
     margin_l: int = 0
     margin_r: int = 0
     margin_v: int = 0
@@ -101,27 +204,185 @@ def _legacy_alignment(a: int) -> int:
     return sub if sub else 2
 
 
+def _floats(argstr: str) -> List[float]:
+    return [float(x) for x in re.findall(r"-?[\d.]+", argstr)]
+
+
+def _apply_tag(tok: str, st: SpanState, base: AssStyle,
+               styles: Dict[str, AssStyle], lay: EventLayout,
+               k_acc: List[int]) -> SpanState:
+    """One override token (no leading backslash) -> new span state.
+    Mutates `lay` for event-level tags.  k_acc is the single-element
+    karaoke clock (centiseconds accumulated so far)."""
+
+    def num(rest: str, default=None):
+        m = re.match(r"[-+]?[\d.]+", rest.strip())
+        return float(m.group(0)) if m else default
+
+    def paren(rest: str) -> str:
+        m = re.match(r"\s*\(([^)]*)\)?", rest)
+        return m.group(1) if m else ""
+
+    # longest-prefix-first dispatch
+    if tok.startswith("alpha"):
+        a = _parse_tag_alpha(tok[5:])
+        if a is None:
+            a = base.primary[3]
+        st = replace(st, primary=st.primary[:3] + (a,),
+                     secondary=st.secondary[:3] + (a,),
+                     outline_color=st.outline_color[:3] + (a,),
+                     back=st.back[:3] + (a,))
+    elif tok.startswith("an"):
+        m = re.match(r"an(\d)", tok)
+        if m and lay.align is None:
+            lay.align = int(m.group(1))
+    elif tok.startswith("a") and re.match(r"a\d", tok):
+        if lay.align is None:
+            lay.align = _legacy_alignment(int(re.match(r"a(\d+)",
+                                                       tok).group(1)))
+    elif tok.startswith("blur"):
+        st = replace(st, blur=num(tok[4:], 0.0) or 0.0)
+    elif tok.startswith("bord"):
+        st = replace(st, border=max(0.0, num(tok[4:], base.outline)))
+    elif tok.startswith("be"):
+        st = replace(st, blur=float(num(tok[2:], 0.0) or 0.0))
+    elif tok.startswith("b") and re.match(r"b[-+\d]", tok):
+        v = num(tok[1:], 0)
+        st = replace(st, bold=bool(v) and v != 0)
+    elif tok.startswith("fscx"):
+        st = replace(st, scale_x=num(tok[4:], base.scale_x)
+                     or base.scale_x)
+    elif tok.startswith("fscy"):
+        st = replace(st, scale_y=num(tok[4:], base.scale_y)
+                     or base.scale_y)
+    elif tok.startswith("fsp"):
+        st = replace(st, spacing=num(tok[3:], base.spacing) or 0.0)
+    elif tok.startswith("fs"):
+        rest = tok[2:].strip()
+        if rest.startswith("+") or rest.startswith("-"):
+            st = replace(st, font_size=max(1.0, st.font_size
+                                           + (num(rest, 0.0) or 0.0)))
+        else:
+            v = num(rest, None)
+            st = replace(st, font_size=v if v else base.fontsize)
+    elif tok.startswith("frz") or re.match(r"fr(?![xy])", tok):
+        off = 3 if tok.startswith("frz") else 2
+        lay.frz = num(tok[off:], 0.0) or 0.0
+    elif tok.startswith("frx") or tok.startswith("fry"):
+        pass                       # 3D rotations: documented divergence
+    elif tok.startswith("fade"):
+        args = _floats(paren(tok[4:]))
+        if len(args) >= 7 and lay.fade is None:
+            lay.fade = tuple(args[:7])
+    elif tok.startswith("fad"):
+        args = _floats(paren(tok[3:]))
+        if len(args) >= 2 and lay.fad is None:
+            lay.fad = (args[0], args[1])
+    elif tok.startswith("fn") or tok.startswith("fe"):
+        pass                       # font/encoding selection: bitmap face
+    elif tok.startswith("iclip"):
+        args = _floats(paren(tok[5:]))
+        if len(args) >= 4 and lay.iclip is None:
+            lay.iclip = tuple(args[:4])
+    elif tok.startswith("i") and re.match(r"i[01\d]", tok):
+        st = replace(st, italic=bool(num(tok[1:], 0)))
+    elif tok.startswith("ko") or tok.startswith("K") \
+            or tok.startswith("kf") or tok.startswith("k"):
+        off = 2 if tok.startswith(("ko", "kf")) else 1
+        dur = int(num(tok[off:], 0) or 0)
+        st = replace(st, k_start_cs=k_acc[0],
+                     k_outline=tok.startswith("ko"))
+        k_acc[0] += dur
+    elif tok.startswith("move"):
+        args = _floats(paren(tok[4:]))
+        if len(args) >= 4 and lay.move is None and lay.pos is None:
+            lay.move = tuple(args[:6])
+    elif tok.startswith("org"):
+        args = _floats(paren(tok[3:]))
+        if len(args) >= 2 and lay.org is None:
+            lay.org = (args[0], args[1])
+    elif tok.startswith("pos"):
+        args = _floats(paren(tok[3:]))
+        if len(args) >= 2 and lay.pos is None and lay.move is None:
+            lay.pos = (args[0], args[1])
+    elif tok.startswith("pbo") or tok.startswith("p") \
+            or tok.startswith("q"):
+        pass                       # drawing mode / wrap style
+    elif tok.startswith("r"):
+        name = tok[1:].strip()
+        target = styles.get(name, base) if name else base
+        keep = dict(k_start_cs=st.k_start_cs, k_outline=st.k_outline)
+        st = replace(SpanState.from_style(target), **keep)
+    elif tok.startswith("shad"):
+        st = replace(st, shadow=max(0.0, num(tok[4:], base.shadow)))
+    elif tok.startswith("s") and re.match(r"s[01\d]", tok):
+        st = replace(st, strikeout=bool(num(tok[1:], 0)))
+    elif tok.startswith("u") and re.match(r"u[01\d]", tok):
+        st = replace(st, underline=bool(num(tok[1:], 0)))
+    elif tok.startswith("clip"):
+        args = _floats(paren(tok[4:]))
+        if len(args) >= 4 and lay.clip is None:
+            lay.clip = tuple(args[:4])
+    elif tok.startswith("t"):
+        pass                       # \t animation: documented divergence
+    elif re.match(r"[1-4]c", tok):
+        n = int(tok[0])
+        c = _parse_tag_color(tok[2:])
+        if c is not None:
+            attr = {1: "primary", 2: "secondary", 3: "outline_color",
+                    4: "back"}[n]
+            cur = getattr(st, attr)
+            st = replace(st, **{attr: c + (cur[3],)})
+    elif re.match(r"[1-4]a", tok):
+        n = int(tok[0])
+        a = _parse_tag_alpha(tok[2:])
+        if a is not None:
+            attr = {1: "primary", 2: "secondary", 3: "outline_color",
+                    4: "back"}[n]
+            cur = getattr(st, attr)
+            st = replace(st, **{attr: cur[:3] + (a,)})
+    elif tok.startswith("c"):
+        c = _parse_tag_color(tok[1:])
+        if c is not None:
+            st = replace(st, primary=c + (st.primary[3],))
+    return st
+
+
+def parse_dialogue_text(text: str, base: AssStyle,
+                        styles: Dict[str, AssStyle]
+                        ) -> Tuple[List[List[Span]], EventLayout]:
+    """The tag machine: text with {\\...} blocks -> lines of styled
+    spans + the event-level layout overrides."""
+    lay = EventLayout()
+    st = SpanState.from_style(base)
+    k_acc = [0]
+    lines: List[List[Span]] = [[]]
+    for part in re.split(r"(\{[^}]*\})", text):
+        if not part:
+            continue
+        if part.startswith("{") and part.endswith("}"):
+            for tok in part[1:-1].split("\\"):
+                tok = tok.strip()
+                if tok:
+                    st = _apply_tag(tok, st, base, styles, lay, k_acc)
+            continue
+        run = part.replace("\\h", " ")
+        pieces = re.split(r"\\[Nn]", run)
+        for i, piece in enumerate(pieces):
+            if i:
+                lines.append([])
+            if piece:
+                lines[-1].append(Span(piece, st))
+    return lines, lay
+
+
 def strip_override_tags(text: str
                         ) -> Tuple[str, Optional[int],
                                    Optional[Tuple[float, float]]]:
-    """Remove {\\...} blocks, honouring \\an, \\a and \\pos."""
-    align = None
-    pos = None
-    for block in re.findall(r"\{([^}]*)\}", text):
-        m = re.search(r"\\an(\d)", block)
-        if m:
-            align = int(m.group(1))
-        else:
-            m = re.search(r"\\a(\d+)", block)
-            if m:
-                align = _legacy_alignment(int(m.group(1)))
-        m = re.search(r"\\pos\(\s*([\d.]+)\s*,\s*([\d.]+)\s*\)", block)
-        if m:
-            pos = (float(m.group(1)), float(m.group(2)))
-    text = re.sub(r"\{[^}]*\}", "", text)
-    text = text.replace("\\N", "\n").replace("\\n", "\n")
-    text = text.replace("\\h", "\u00a0")
-    return text, align, pos
+    """Back-compat surface: plain text + \\an/\\a alignment + \\pos."""
+    lines, lay = parse_dialogue_text(text, AssStyle(), {})
+    plain = "\n".join("".join(s.text for s in line) for line in lines)
+    return plain, lay.align, lay.pos
 
 
 class AssTrack:
@@ -144,7 +405,7 @@ class AssTrack:
     def process_script(self, data: str, events: bool = True) -> None:
         section = ""
         for raw in data.splitlines():
-            line = raw.strip().lstrip("\ufeff")
+            line = raw.strip().lstrip("﻿")
             if not line or line.startswith(";"):
                 continue
             if line.startswith("["):
@@ -179,6 +440,8 @@ class AssTrack:
             st.fontsize = float(d["Fontsize"])
         if "PrimaryColour" in d:
             st.primary = parse_ass_color(d["PrimaryColour"])
+        if "SecondaryColour" in d:
+            st.secondary = parse_ass_color(d["SecondaryColour"])
         if "OutlineColour" in d:
             st.outline_color = parse_ass_color(d["OutlineColour"])
         elif "TertiaryColour" in d:                  # SSA name
@@ -189,9 +452,21 @@ class AssTrack:
             st.bold = d["Bold"] not in ("0", "")
         if "Italic" in d:
             st.italic = d["Italic"] not in ("0", "")
-        if "Outline" in d:
+        if "Underline" in d:
+            st.underline = d["Underline"] not in ("0", "")
+        if "StrikeOut" in d:
+            st.strikeout = d["StrikeOut"] not in ("0", "")
+        for key, attr in (("ScaleX", "scale_x"), ("ScaleY", "scale_y"),
+                          ("Spacing", "spacing"), ("Outline", "outline"),
+                          ("Shadow", "shadow")):
+            if key in d:
+                try:
+                    setattr(st, attr, float(d[key]))
+                except ValueError:
+                    pass
+        if "BorderStyle" in d:
             try:
-                st.outline = float(d["Outline"])
+                st.border_style = int(float(d["BorderStyle"]))
             except ValueError:
                 pass
         if "Alignment" in d:
@@ -209,12 +484,17 @@ class AssTrack:
     def _add_dialogue(self, value: str) -> None:
         fields = value.split(",", len(self._event_format) - 1)
         d = {k: v for k, v in zip(self._event_format, fields)}
-        text, align, pos = strip_override_tags(d.get("Text", ""))
+        raw = d.get("Text", "")
+        text, align, pos = strip_override_tags(raw)
+        try:
+            layer = int(float(d.get("Layer", "0") or 0))
+        except ValueError:
+            layer = 0
         self.events.append(AssEvent(
             start=parse_ass_time(d.get("Start", "0:00:00.00")),
             end=parse_ass_time(d.get("End", "0:00:00.00")),
             style=d.get("Style", "Default").strip(),
-            text=text,
+            text=text, raw_text=raw, layer=layer,
             margin_l=int(float(d.get("MarginL", "0") or 0)),
             margin_r=int(float(d.get("MarginR", "0") or 0)),
             margin_v=int(float(d.get("MarginV", "0") or 0)),
@@ -232,9 +512,14 @@ class AssTrack:
         if any(e.read_order == read_order for e in self.events):
             return
         text, align, pos = strip_override_tags(fields[8])
+        try:
+            layer = int(fields[1] or 0)
+        except ValueError:
+            layer = 0
         self.events.append(AssEvent(
             start=pts_ns, end=pts_ns + duration_ns,
-            style=fields[2].strip(), text=text,
+            style=fields[2].strip(), text=text, raw_text=fields[8],
+            layer=layer,
             margin_l=int(fields[4] or 0), margin_r=int(fields[5] or 0),
             margin_v=int(fields[6] or 0),
             alignment_override=align, pos=pos,
@@ -248,48 +533,233 @@ def _glyph(ch: int, h: int, w: int) -> np.ndarray:
     return g(ch, h, w)
 
 
+def _span_metrics(st: SpanState, sy: float, sx: float
+                  ) -> Tuple[int, int, int]:
+    """(font_h, char_w, advance) in output pixels."""
+    font_h = max(4, int(st.font_size * sy * st.scale_y / 100.0))
+    char_w = max(2, int(st.font_size * sy * (14 / 26)
+                        * st.scale_x / 100.0))
+    adv = char_w + int(round(st.spacing * sx))
+    return font_h, char_w, adv
+
+
+def _span_bitmap(span: Span, line_h: int, sy: float,
+                 sx: float) -> np.ndarray:
+    """Rasterize one span onto a line-height bitmap (0/255 coverage),
+    applying bold / italic / underline / strikeout."""
+    st = span.state
+    font_h, char_w, adv = _span_metrics(st, sy, sx)
+    n = len(span.text)
+    shear = font_h // 4 if st.italic else 0
+    w = max(1, n * adv - (adv - char_w) if n else 1) + shear
+    bm = np.zeros((line_h, w), np.uint8)
+    y0 = line_h - font_h                      # baseline-align at bottom
+    for ci, ch in enumerate(span.text):
+        if ch == " ":
+            continue
+        g = _glyph(ord(ch) if ord(ch) < 128 else ord("?"),
+                   font_h, char_w)
+        x = ci * adv
+        np.maximum(bm[y0:y0 + font_h, x:x + char_w],
+                   np.where(g, 255, 0).astype(np.uint8),
+                   out=bm[y0:y0 + font_h, x:x + char_w])
+    if st.bold:
+        bm[:, 1:] = np.maximum(bm[:, 1:], bm[:, :-1])
+    if shear:
+        out = np.zeros_like(bm)
+        for r in range(y0, line_h):
+            off = int(shear * (line_h - 1 - r) / max(1, font_h - 1))
+            if off:
+                out[r, off:] = bm[r, :-off]
+            else:
+                out[r] = bm[r]
+        bm = out
+    if st.underline and font_h >= 4:
+        bm[line_h - 2:line_h, :max(1, n * adv - (adv - char_w))] = 255
+    if st.strikeout and font_h >= 4:
+        mid = y0 + font_h * 5 // 9
+        bm[mid:mid + max(1, font_h // 10),
+           :max(1, n * adv - (adv - char_w))] = 255
+    return bm
+
+
+def _grow(bm: np.ndarray, r: int) -> np.ndarray:
+    """Square dilate by r px with a r-px border (libass outline analog)."""
+    h, w = bm.shape
+    out = np.zeros((h + 2 * r, w + 2 * r), np.uint8)
+    for dy in range(2 * r + 1):
+        for dx in range(2 * r + 1):
+            np.maximum(out[dy:dy + h, dx:dx + w], bm,
+                       out=out[dy:dy + h, dx:dx + w])
+    return out
+
+
+def _box_blur(bm: np.ndarray, rounds: int) -> np.ndarray:
+    """\\be / \\blur analog: `rounds` passes of a 3x3 box mean."""
+    x = bm.astype(np.float32)
+    for _ in range(rounds):
+        p = np.pad(x, 1, mode="constant")
+        x = sum(p[dy:dy + bm.shape[0], dx:dx + bm.shape[1]]
+                for dy in (0, 1, 2) for dx in (0, 1, 2)) / 9.0
+    return np.clip(np.rint(x), 0, 255).astype(np.uint8)
+
+
+def _rotate_image(im: dict, deg: float, ox: float, oy: float) -> dict:
+    """Nearest-neighbour rotation of an image's coverage bitmap about the
+    global point (ox, oy) (libass \\frz; screen y grows down so positive
+    angles turn counter-clockwise like libass)."""
+    bm = im["bitmap"]
+    h, w = bm.shape
+    th = math.radians(deg)
+    c, s = math.cos(th), math.sin(th)
+    # corners relative to the origin
+    xs, ys = [], []
+    for (cy, cx) in ((0, 0), (0, w), (h, 0), (h, w)):
+        dx = im["dst_x"] + cx - ox
+        dy = im["dst_y"] + cy - oy
+        xs.append(ox + dx * c + dy * s)
+        ys.append(oy - dx * s + dy * c)
+    nx0, ny0 = int(math.floor(min(xs))), int(math.floor(min(ys)))
+    nx1, ny1 = int(math.ceil(max(xs))), int(math.ceil(max(ys)))
+    nh, nw = ny1 - ny0, nx1 - nx0
+    if nh <= 0 or nw <= 0:
+        return im
+    yy, xx = np.mgrid[ny0:ny1, nx0:nx1]
+    dx = xx - ox
+    dy = yy - oy
+    sxp = ox + dx * c - dy * s - im["dst_x"]
+    syp = oy + dx * s + dy * c - im["dst_y"]
+    sxi = np.rint(sxp).astype(np.int64)
+    syi = np.rint(syp).astype(np.int64)
+    ok = (sxi >= 0) & (sxi < w) & (syi >= 0) & (syi < h)
+    out = np.zeros((nh, nw), np.uint8)
+    out[ok] = bm[syi[ok], sxi[ok]]
+    return {**im, "bitmap": out, "dst_x": nx0, "dst_y": ny0}
+
+
+def _clip_image(im: dict, rect, inverse: bool) -> Optional[dict]:
+    x1, y1, x2, y2 = (int(round(v)) for v in rect)
+    bm = im["bitmap"].copy()
+    h, w = bm.shape
+    gy, gx = im["dst_y"], im["dst_x"]
+    if inverse:
+        iy0 = max(0, y1 - gy)
+        iy1 = min(h, y2 - gy)
+        ix0 = max(0, x1 - gx)
+        ix1 = min(w, x2 - gx)
+        if iy1 > iy0 and ix1 > ix0:
+            bm[iy0:iy1, ix0:ix1] = 0
+    else:
+        mask = np.zeros_like(bm, bool)
+        iy0 = max(0, y1 - gy)
+        iy1 = min(h, y2 - gy)
+        ix0 = max(0, x1 - gx)
+        ix1 = min(w, x2 - gx)
+        if iy1 > iy0 and ix1 > ix0:
+            mask[iy0:iy1, ix0:ix1] = True
+        bm[~mask] = 0
+    if not bm.any():
+        return None
+    return {**im, "bitmap": bm}
+
+
+def _fade_mult(lay: EventLayout, rel_ms: float, dur_ms: float) -> float:
+    """\\fad/\\fade alpha multiplier in [0, 1] at rel_ms."""
+    if lay.fade is not None:
+        a1, a2, a3, t1, t2, t3, t4 = lay.fade
+        if rel_ms < t1:
+            a = a1
+        elif rel_ms < t2:
+            a = a1 + (a2 - a1) * (rel_ms - t1) / max(1e-9, t2 - t1)
+        elif rel_ms < t3:
+            a = a2
+        elif rel_ms < t4:
+            a = a2 + (a3 - a2) * (rel_ms - t3) / max(1e-9, t4 - t3)
+        else:
+            a = a3
+        return 1.0 - min(255.0, max(0.0, a)) / 255.0
+    if lay.fad is not None:
+        t_in, t_out = lay.fad
+        m = 1.0
+        if t_in > 0 and rel_ms < t_in:
+            m = min(m, rel_ms / t_in)
+        if t_out > 0 and rel_ms > dur_ms - t_out:
+            m = min(m, max(0.0, (dur_ms - rel_ms) / t_out))
+        return max(0.0, min(1.0, m))
+    return 1.0
+
+
+def _color_field(rgb_a: RGBA, fade: float) -> int:
+    """(r,g,b,a) + fade multiplier -> libass 0xRRGGBBAA inverted-alpha."""
+    a = int(round(rgb_a[3] * fade))
+    return ((rgb_a[0] << 24) | (rgb_a[1] << 16) | (rgb_a[2] << 8)
+            | (255 - max(0, min(255, a))))
+
+
 def render_events(track: AssTrack, time_ns: int, width: int,
                   height: int) -> List[dict]:
     """ASS_Image-list analog: [{'bitmap': [h, w] u8, 'dst_x', 'dst_y',
     'color': 0xRRGGBBAA with INVERTED alpha byte like libass}] for the
-    events active at @time_ns."""
-    images = []
+    events active at @time_ns.  Events composite in (layer, order)."""
+    images: List[dict] = []
     sx = width / track.play_res_x
     sy = height / track.play_res_y
     bottom_stack = height
-    for ev in track.events:
-        if not (ev.start <= time_ns < ev.end):
-            continue
+    active = [ev for ev in track.events if ev.start <= time_ns < ev.end]
+    for ev in sorted(active, key=lambda e: e.layer):
         style = track.styles.get(ev.style,
-                                 track.styles.get("Default",
-                                                  AssStyle()))
-        align = ev.alignment_override or style.alignment
+                                 track.styles.get("Default", AssStyle()))
+        lines, lay = parse_dialogue_text(ev.raw_text or ev.text, style,
+                                         track.styles)
+        align = lay.align or style.alignment
+        rel_ms = (time_ns - ev.start) / 1e6
+        dur_ms = (ev.end - ev.start) / 1e6
+        fade = _fade_mult(lay, rel_ms, dur_ms)
+        if fade <= 0.0:
+            continue
+        rel_cs = rel_ms / 10.0
         ml = (ev.margin_l or style.margin_l) * sx
         mr = (ev.margin_r or style.margin_r) * sx
         mv = (ev.margin_v or style.margin_v) * sy
-        font_h = max(4, int(style.fontsize * sy))
-        char_w = max(2, int(font_h * 14 / 26))
-        lines = ev.text.split("\n")
-        text_h = len(lines) * font_h
-        bitmaps = []
-        for li, line in enumerate(lines):
-            lw = len(line) * char_w
-            bm = np.zeros((font_h, max(1, lw)), np.uint8)
-            for ci, ch in enumerate(line):
-                if ch == "\u00a0":
-                    continue
-                g = _glyph(ord(ch) if ord(ch) < 128 else ord("?"),
-                           font_h, char_w)
-                bm[:, ci * char_w:(ci + 1) * char_w] = \
-                    np.where(g, 255, 0)
-            bitmaps.append(bm)
-        max_w = max(bm.shape[1] for bm in bitmaps)
-        if ev.pos is not None:
-            x0 = ev.pos[0] * sx - max_w / 2
-            y0 = ev.pos[1] * sy - text_h
+
+        # metrics: per-line height = max span height; width = sum widths
+        line_dims: List[Tuple[int, List[Tuple[Span, int]]]] = []
+        for line in lines:
+            if not line:
+                fh = max(4, int(style.fontsize * sy))
+                line_dims.append((fh, []))
+                continue
+            lh = max(_span_metrics(s.state, sy, sx)[0] for s in line)
+            widths = []
+            for s in line:
+                fh, cw, adv = _span_metrics(s.state, sy, sx)
+                n = len(s.text)
+                shear = fh // 4 if s.state.italic else 0
+                widths.append((s, (n * adv - (adv - cw) if n else 0)
+                               + shear))
+            line_dims.append((lh, widths))
+        text_h = sum(lh for lh, _ in line_dims)
+        line_ws = [sum(w for _, w in ws) for _, ws in line_dims]
+        max_w = max(line_ws) if line_ws else 1
+
+        pos = lay.pos
+        if lay.move is not None:
+            x1, y1, x2, y2 = lay.move[:4]
+            t1, t2 = (lay.move[4], lay.move[5]) \
+                if len(lay.move) >= 6 else (0.0, dur_ms)
+            if t2 <= t1:
+                f = 1.0 if rel_ms >= t2 else 0.0
+            else:
+                f = max(0.0, min(1.0, (rel_ms - t1) / (t2 - t1)))
+            pos = (x1 + (x2 - x1) * f, y1 + (y2 - y1) * f)
+
+        col = (align - 1) % 3                # 0 left, 1 center, 2 right
+        rowp = (align - 1) // 3              # 0 bottom, 1 mid, 2 top
+        if pos is not None:
+            px, py = pos[0] * sx, pos[1] * sy
+            x0 = px - (0, max_w / 2, max_w)[col]
+            y0 = py - (text_h, text_h / 2, 0)[rowp]
         else:
-            col = (align - 1) % 3            # 0 left, 1 center, 2 right
-            rowp = (align - 1) // 3          # 0 bottom, 1 mid, 2 top
             if col == 0:
                 x0 = ml
             elif col == 1:
@@ -303,34 +773,91 @@ def render_events(track: AssTrack, time_ns: int, width: int,
             else:
                 y0 = bottom_stack - mv - text_h
                 bottom_stack = y0
-        for li, bm in enumerate(bitmaps):
-            lw = bm.shape[1]
-            col = (align - 1) % 3
+
+        if lay.org is not None:
+            org = (lay.org[0] * sx, lay.org[1] * sy)
+        elif pos is not None:
+            org = (pos[0] * sx, pos[1] * sy)
+        else:
+            org = (x0 + max_w / 2, y0 + text_h / 2)
+
+        ev_images: List[dict] = []
+        ly = y0
+        for (lh, widths), lw in zip(line_dims, line_ws):
             if col == 1:
                 lx = x0 + (max_w - lw) / 2
             elif col == 2:
                 lx = x0 + (max_w - lw)
             else:
                 lx = x0
-            ly = y0 + li * font_h
-            if style.outline > 0:
-                grown = np.zeros((bm.shape[0] + 2, lw + 2), np.uint8)
-                for dy in (0, 1, 2):
-                    for dx in (0, 1, 2):
-                        np.maximum(grown[dy:dy + bm.shape[0],
-                                         dx:dx + lw], bm, grown[
-                                   dy:dy + bm.shape[0], dx:dx + lw])
-                oc = style.outline_color
-                images.append({
-                    "bitmap": grown, "dst_x": int(lx) - 1,
-                    "dst_y": int(ly) - 1,
-                    "color": (oc[0] << 24) | (oc[1] << 16)
-                    | (oc[2] << 8) | (255 - oc[3])})
-            pc = style.primary
-            images.append({
-                "bitmap": bm, "dst_x": int(lx), "dst_y": int(ly),
-                "color": (pc[0] << 24) | (pc[1] << 16) | (pc[2] << 8)
-                | (255 - pc[3])})
+            for span, w_span in widths:
+                st = span.state
+                if not span.text or w_span <= 0:
+                    lx += w_span
+                    continue
+                bm = _span_bitmap(span, lh, sy, sx)
+                k_on = (st.k_start_cs < 0 or rel_cs >= st.k_start_cs)
+                fill = st.primary if (st.k_start_cs < 0 or k_on
+                                      or st.k_outline) else st.secondary
+                if st.k_start_cs >= 0 and not st.k_outline and not k_on:
+                    fill = st.secondary
+                blur_n = int(round(st.blur))
+                shad = int(round(st.shadow * sy))
+                bord = int(round(st.border * sy)) \
+                    if st.border > 0 else 0
+                show_outline = bord > 0 and (not st.k_outline or k_on)
+                if shad > 0:
+                    sb = _grow(bm, bord) if show_outline else bm
+                    if blur_n:
+                        sb = _box_blur(sb, blur_n)
+                    ev_images.append({
+                        "bitmap": sb,
+                        "dst_x": int(lx) + shad - (bord
+                                                   if show_outline
+                                                   else 0),
+                        "dst_y": int(ly) + shad - (bord
+                                                   if show_outline
+                                                   else 0),
+                        "color": _color_field(st.back, fade)})
+                if show_outline:
+                    ob = _grow(bm, bord)
+                    if blur_n:
+                        ob = _box_blur(ob, blur_n)
+                    ev_images.append({
+                        "bitmap": ob, "dst_x": int(lx) - bord,
+                        "dst_y": int(ly) - bord,
+                        "color": _color_field(st.outline_color, fade)})
+                fb = _box_blur(bm, blur_n) \
+                    if (blur_n and not show_outline) else bm
+                ev_images.append({
+                    "bitmap": fb, "dst_x": int(lx), "dst_y": int(ly),
+                    "color": _color_field(fill, fade)})
+                lx += w_span
+            ly += lh
+
+        if lay.frz:
+            ev_images = [_rotate_image(im, lay.frz, org[0], org[1])
+                         for im in ev_images]
+        clip_rect = None
+        if lay.clip is not None:
+            clip_rect = tuple(v * (sx if i % 2 == 0 else sy)
+                              for i, v in enumerate(lay.clip))
+        iclip_rect = None
+        if lay.iclip is not None:
+            iclip_rect = tuple(v * (sx if i % 2 == 0 else sy)
+                               for i, v in enumerate(lay.iclip))
+        for im in ev_images:
+            if clip_rect is not None:
+                im = _clip_image(im, clip_rect, False)
+                if im is None:
+                    continue
+            if iclip_rect is not None:
+                im = _clip_image(im, iclip_rect, True)
+                if im is None:
+                    continue
+            if (im["color"] & 0xFF) == 0xFF:
+                continue                     # fully transparent
+            images.append(im)
     return images
 
 

@@ -133,3 +133,190 @@ def test_assrender_element():
     out2 = np.asarray(p2.run(inputs=FrameBatch.make(
         jnp.asarray(img), pts=pts))[0].data)
     np.testing.assert_array_equal(out2, img)
+
+
+# -- the override-tag machine (io/ass.py parse_dialogue_text) ---------------
+
+def _track(script=SCRIPT):
+    t = ass.AssTrack()
+    t.process_script(script)
+    return t
+
+
+def _spans(text, style=None, styles=None):
+    return ass.parse_dialogue_text(text, style or ass.AssStyle(),
+                                   styles or {})
+
+
+def test_tag_spans_colors_and_sizes():
+    lines, lay = _spans(r"Red{\c&H0000FF&\fs30}Big{\r}Back")
+    (l,) = lines
+    assert [s.text for s in l] == ["Red", "Big", "Back"]
+    assert l[0].state.primary[:3] == (255, 255, 255)
+    assert l[1].state.primary[:3] == (255, 0, 0)       # &H0000FF = red
+    assert l[1].state.font_size == 30
+    # \r resets to the base style
+    assert l[2].state.primary[:3] == (255, 255, 255)
+    assert l[2].state.font_size == 20
+
+
+def test_tag_named_reset():
+    styles = {"Big": ass.AssStyle(name="Big", fontsize=44,
+                                  primary=(0, 255, 0, 255))}
+    lines, _ = _spans(r"a{\rBig}b", styles=styles)
+    (l,) = lines
+    assert l[1].state.font_size == 44
+    assert l[1].state.primary[:3] == (0, 255, 0)
+
+
+def test_tag_bold_italic_underline_strike():
+    lines, _ = _spans(r"{\b1\i1\u1\s1}x{\b0\i0\u0\s0}y")
+    (l,) = lines
+    assert l[0].state.bold and l[0].state.italic
+    assert l[0].state.underline and l[0].state.strikeout
+    assert not (l[1].state.bold or l[1].state.italic
+                or l[1].state.underline or l[1].state.strikeout)
+
+
+def test_tag_scales_spacing_relative_fs():
+    lines, _ = _spans(r"{\fscx150\fscy50\fsp3\fs+4}x")
+    st = lines[0][0].state
+    assert st.scale_x == 150 and st.scale_y == 50 and st.spacing == 3
+    assert st.font_size == 24      # 20 + 4
+
+
+def test_tag_component_colors_and_alphas():
+    lines, _ = _spans(
+        r"{\3c&HFF0000&\4c&H00FF00&\2a&H80&\alpha&H40&}x")
+    st = lines[0][0].state
+    assert st.outline_color[:3] == (0, 0, 255)   # &HFF0000 = blue
+    assert st.back[:3] == (0, 255, 0)
+    # \alpha overwrote every component alpha: 255 - 0x40 = 191
+    assert st.primary[3] == 191 and st.outline_color[3] == 191
+
+
+def test_tag_pos_move_first_wins():
+    _, lay = _spans(r"{\pos(10,20)}a{\pos(99,99)}b")
+    assert lay.pos == (10.0, 20.0)
+    _, lay2 = _spans(r"{\move(0,0,100,50)}x")
+    assert lay2.move == (0.0, 0.0, 100.0, 50.0)
+    # \pos and \move are mutually exclusive — first wins
+    _, lay3 = _spans(r"{\pos(1,2)\move(0,0,9,9)}x")
+    assert lay3.pos == (1.0, 2.0) and lay3.move is None
+
+
+def test_tag_fad_fade_org_frz_clip():
+    _, lay = _spans(r"{\fad(200,300)\org(5,6)\frz45"
+                    r"\clip(0,0,50,60)}x")
+    assert lay.fad == (200.0, 300.0)
+    assert lay.org == (5.0, 6.0)
+    assert lay.frz == 45.0
+    assert lay.clip == (0.0, 0.0, 50.0, 60.0)
+    _, lay2 = _spans(r"{\fade(255,0,255,0,100,900,1000)\iclip(1,2,3,4)}x")
+    assert lay2.fade == (255.0, 0.0, 255.0, 0.0, 100.0, 900.0, 1000.0)
+    assert lay2.iclip == (1.0, 2.0, 3.0, 4.0)
+
+
+def test_tag_karaoke_clock():
+    lines, _ = _spans(r"{\k50}one{\k30}two{\ko20}three")
+    (l,) = lines
+    assert l[0].state.k_start_cs == 0
+    assert l[1].state.k_start_cs == 50
+    assert l[2].state.k_start_cs == 80
+    assert l[2].state.k_outline and not l[1].state.k_outline
+
+
+def test_render_move_interpolates():
+    script = SCRIPT.split("[Events]")[0] + """[Events]
+Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text
+Dialogue: 0,0:00:00.00,0:00:10.00,Default,,0,0,0,,{\\an7\\move(0,0,100,0,0,10000)}mv
+"""
+    t = _track(script)
+    xs = []
+    for tm in (0, int(5e9)):
+        imgs = ass.render_events(t, tm, 640, 480)
+        xs.append(min(im["dst_x"] for im in imgs))
+    assert xs[1] > xs[0] + 30      # moved right ~50 PlayRes px
+
+
+def test_render_fad_scales_alpha():
+    script = SCRIPT.split("[Events]")[0] + """[Events]
+Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text
+Dialogue: 0,0:00:00.00,0:00:10.00,Default,,0,0,0,,{\\fad(1000,0)}f
+"""
+    t = _track(script)
+    a_early = [255 - (im["color"] & 0xFF)
+               for im in ass.render_events(t, int(0.25e9), 640, 480)]
+    a_late = [255 - (im["color"] & 0xFF)
+              for im in ass.render_events(t, int(5e9), 640, 480)]
+    assert max(a_early) < 80       # 25% through the 1 s fade-in
+    assert max(a_late) == 255
+
+
+def test_render_karaoke_secondary_until_start():
+    script = SCRIPT.split("[Events]")[0] + """[Events]
+Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text
+Dialogue: 0,0:00:00.00,0:00:10.00,Default,,0,0,0,,{\\k200}aa{\\k100}bb
+"""
+    t = _track(script)
+
+    def fills(tm):
+        return {(im["color"] >> 8) & 0xFFFFFF
+                for im in ass.render_events(t, tm, 640, 480)
+                if im["color"] >> 8 != 0}  # skip black outline
+    # style secondary defaults to red; at t=1s "bb" still unhighlighted
+    assert 0xFF0000 in fills(int(1e9))     # red present (secondary)
+    assert 0xFF0000 not in fills(int(4e9))  # all highlighted by t=4s
+
+
+def test_render_clip_crops():
+    head = SCRIPT.split("[Events]")[0]
+    t_all = _track(head + """[Events]
+Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text
+Dialogue: 0,0:00:00.00,0:00:10.00,Default,,0,0,0,,{\\an7\\pos(0,0)}wide text
+""")
+    t_clip = _track(head + """[Events]
+Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text
+Dialogue: 0,0:00:00.00,0:00:10.00,Default,,0,0,0,,{\\an7\\pos(0,0)\\clip(0,0,30,480)}wide text
+""")
+    ov_all = ass.blit_bgra_premultiplied(
+        ass.render_events(t_all, int(1e9), 640, 480), 640, 480)
+    ov_clip = ass.blit_bgra_premultiplied(
+        ass.render_events(t_clip, int(1e9), 640, 480), 640, 480)
+    assert (ov_all[..., 3] > 0).any(axis=0)[60:].any()   # text past x=60
+    assert not (ov_clip[..., 3] > 0).any(axis=0)[60:].any()  # clipped
+    assert (ov_clip[..., 3] > 0).any()                   # but not empty
+
+
+def test_render_frz_rotates():
+    head = SCRIPT.split("[Events]")[0]
+    ev = ("Dialogue: 0,0:00:00.00,0:00:10.00,Default,,0,0,0,,"
+          "{{\\pos(320,240){}}}IIIIIIII\n")
+    fmt = ("[Events]\nFormat: Layer, Start, End, Style, Name, MarginL, "
+           "MarginR, MarginV, Effect, Text\n")
+    t0 = _track(head + fmt + ev.format(""))
+    t90 = _track(head + fmt + ev.format("\\frz90"))
+    ov0 = ass.blit_bgra_premultiplied(
+        ass.render_events(t0, int(1e9), 640, 480), 640, 480)
+    ov90 = ass.blit_bgra_premultiplied(
+        ass.render_events(t90, int(1e9), 640, 480), 640, 480)
+    ys0, xs0 = np.where(ov0[..., 3] > 0)
+    ys9, xs9 = np.where(ov90[..., 3] > 0)
+    # a wide flat run becomes tall and narrow under 90 degrees
+    assert np.ptp(xs0) > 2.5 * np.ptp(ys0)
+    assert np.ptp(ys9) > 2.5 * np.ptp(xs9)
+
+
+def test_render_underline_layers_shadow():
+    head = SCRIPT.split("[Events]")[0]
+    t = _track(head + """[Events]
+Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text
+Dialogue: 1,0:00:00.00,0:00:10.00,Default,,0,0,0,,{\\u1\\shad3\\bord0}под
+Dialogue: 0,0:00:00.00,0:00:10.00,Default,,0,0,0,,base
+""")
+    imgs = ass.render_events(t, int(1e9), 640, 480)
+    assert imgs
+    # layer 0 composites before layer 1 regardless of script order
+    # (shadow image of the layer-1 event uses the back colour)
+    backs = [im for im in imgs if (im["color"] >> 8) & 0xFFFFFF == 0]
+    assert backs                   # shadow/outline images present
