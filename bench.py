@@ -114,12 +114,13 @@ def c_baseline_fps():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="ten_element")
-    # window 16: the fused chain kernel amortizes the relay's ~2 ms
-    # per-execute dispatch (round 3: 2368 fps at w16 vs 2093 at w8); the
-    # round-2 "16/32 blow the compile watchdog" no longer holds — the
-    # fused program is much smaller — but cold Mosaic compiles through
-    # the relay can still take ~10 min, hence the 1200 s watchdog.
-    ap.add_argument("--window", type=int, default=16)
+    # window 128: the fused chain kernel amortizes the relay's ~2 ms
+    # per-execute dispatch; after the boundary-halo rework the program is
+    # dispatch-bound until ~w128 (round 3: 2622 fps @w16, 3704 @w32,
+    # 5668 @w128, flat by w256 at ~0.17 ms/frame compute).  Compile at
+    # w128 measured 29 s on the relay; cold Mosaic compiles can still
+    # take ~10 min, hence the 1200 s watchdog.
+    ap.add_argument("--window", type=int, default=128)
     ap.add_argument("--windows", type=int, default=8)
     ap.add_argument("--all", action="store_true",
                     help="also sweep every BENCHMARKS config")
@@ -219,14 +220,22 @@ def main():
     emit(headline)
 
     if args.all:
+        # per-config window caps: 4K frames are 33 MB — w128 x a few
+        # buffers would exceed v5e HBM; 1080p float paths (blur) hold
+        # f32 intermediates.  The headline config is uncapped.
+        caps = {"config4_warp": 16, "warp_4k": 16, "warp_1080p": 32,
+                "config2_blur": 32, "config1_sepia": 64,
+                "config2_gaudi": 64}
         for name in BENCHMARKS:
             if name == args.config:
                 continue
             try:
                 p = build(name)
-                f = time_pipeline(p, args.window, args.windows)
+                w = min(args.window, caps.get(name, args.window))
+                f = time_pipeline(p, w, args.windows)
                 emit({"metric": f"fps_{name}", "value": round(f, 2),
-                      "unit": "frames/s", "vs_baseline": None})
+                      "unit": "frames/s", "vs_baseline": None,
+                      "window": w})
             except Exception as e:  # noqa: BLE001
                 print(f"{name}: FAILED {e}", file=sys.stderr)
         # the driver reads the LAST stdout line: re-print the headline

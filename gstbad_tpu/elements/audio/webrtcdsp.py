@@ -12,9 +12,15 @@ internals are an external library, not in-tree):
 - high-pass-filter: 2nd-order Butterworth at 90 Hz, run as ONE parallel
   associative scan over 2x2 affine maps (ops/audio.biquad) — no
   sample-serial loop.
-- noise-suppression: Hann-windowed 50%-overlap STFT spectral subtraction
-  with a scanned per-frame noise-floor track; suppression level maps to
-  the max attenuation low/moderate/high/very-high -> 6/10/15/25 dB.
+- noise-suppression: the published WebRTC NS float algorithm's structure
+  over a Hann 50%-overlap STFT (ops/audio.noise_suppress): staggered
+  3-window log-quantile noise estimation, time-averaged per-bin LRT +
+  spectral flatness + template-difference speech probability,
+  speech-gated noise update and a decision-directed Wiener gain;
+  suppression level maps to the mode attenuation caps
+  low/moderate/high/very-high -> 6/10/15/25 dB.  Parameters follow the
+  published ns_core.c; the library is absent here so the output is
+  structurally (not bit-) validated.
 - gain-control: adaptive-digital mode walks a dB gain toward
   target-level-dbfs bounded by compression-gain-db (rate-limited per
   frame); fixed-digital applies compression-gain-db flat.  limiter
@@ -126,7 +132,7 @@ class WebrtcDsp(AudioFilter):
             "hpf": jnp.zeros((2, c), jnp.float32),
             "stft_tail": jnp.zeros((self._hop, c), jnp.float32),
             "ola_acc": jnp.zeros((self._hop, c), jnp.float32),
-            "noise": jnp.zeros((self._bins, c), jnp.float32),
+            "noise": ops.ns_init(self._bins, c),
             "gain_db": jnp.float32(0.0),
             "had_voice": jnp.bool_(False),
         }

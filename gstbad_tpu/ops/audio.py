@@ -716,35 +716,176 @@ def ola(frames: jnp.ndarray, acc: jnp.ndarray):
     return out, second[-hop:]
 
 
-def noise_suppress(frames: jnp.ndarray, noise: jnp.ndarray,
-                   g_min: jnp.ndarray, alpha_up=0.9, beta=1.5):
-    """Spectral-subtraction noise suppression over Hann frames.
+# WebRTC noise-suppression constants (the published float implementation,
+# webrtc-audio-processing ns_core.c; the reference element drives exactly
+# that module — gstwebrtcdsp.cpp noise-suppression-level): staggered
+# 3-window log-quantile noise estimation, LRT/flatness/difference speech
+# probability, decision-directed Wiener gain.  Parameter values follow the
+# published code; without the library in this environment the output is
+# structurally (not bit-) validated — tests/test_audio.py oracles SNR
+# improvement and attenuation caps.
+NS_SIMULT = 3
+NS_END_STARTUP = 200          # END_STARTUP_LONG (frames)
+NS_FACTOR = 40.0
+NS_WIDTH = 0.01
+NS_QUANTILE = 0.25
+NS_LRT_TAVG = 0.50            # LRT time-averaging
+NS_DD = 0.98                  # decision-directed prior-SNR weight
+NS_PRIOR_UPDATE = 0.10        # prior speech-probability update rate
+NS_GAMMA_NOISE = 0.90         # speech-gated noise update
+NS_WIDTH_PRIOR = 4.0          # tanh indicator width
+NS_THRESH_LRT = 0.5
+NS_THRESH_FLAT = 0.30
+NS_THRESH_DIFF = 0.25
+NS_WEIGHTS = (1.0, 0.0, 0.0)  # LRT / flatness / difference (model default)
 
-    Per 10 ms frame (sequential noise tracking, scanned):
-      mag = |rfft(frame)|
-      noise <- alpha_up*noise + (1-alpha_up)*mag   where mag <= 2*noise
-               alpha_down mix otherwise (fast decay guard)
-      gain = clip(1 - beta*noise/mag, g_min, 1)
-    g_min = 10^(-max_atten_dB/20) from the suppression level
-    (webrtcdsp noise-suppression-level low/moderate/high/very-high).
-    frames: [F, frame, C] f32; noise: [bins, C] carried magnitude."""
-    def step(ns, fr):
+
+def ns_init(bins: int, channels: int):
+    """Carried state for noise_suppress (per [bins, C] spectrum)."""
+    f32 = jnp.float32
+    return {
+        # staggered log-quantile estimator (one window per SIMULT slot)
+        "lquantile": jnp.full((NS_SIMULT, bins, channels), 8.0, f32),
+        "density": jnp.full((NS_SIMULT, bins, channels), 0.3, f32),
+        "counter": (jnp.arange(NS_SIMULT, dtype=jnp.int32)
+                    * (NS_END_STARTUP // NS_SIMULT)),
+        "quantile": jnp.zeros((bins, channels), f32),   # current noise est
+        "updates": jnp.int32(0),
+        # decision-directed Wiener + speech model
+        "prev_magn": jnp.ones((bins, channels), f32),
+        "prev_gain": jnp.ones((bins, channels), f32),
+        "log_lrt_tavg": jnp.zeros((bins, channels), f32),
+        "prior_speech": jnp.full((channels,), 0.5, f32),
+        "magn_avg_pause": jnp.zeros((bins, channels), f32),
+    }
+
+
+def noise_suppress(frames: jnp.ndarray, ns_state, g_min: jnp.ndarray):
+    """WebRTC-structure noise suppression over Hann frames.
+
+    Per 10 ms frame (sequential model tracking, scanned; all-bins math
+    vectorized over [bins, C]):
+      1. magnitude spectrum;
+      2. staggered log-quantile noise estimation (3 windows of
+         END_STARTUP frames; the longest-running window is the estimate,
+         windows promote to `quantile` as they wrap);
+      3. speech probability: time-averaged per-bin log likelihood ratio
+         + spectral flatness + spectral template difference, combined
+         through tanh indicators into a prior, per-bin posterior
+         1/(1 + (1-q)/q * exp(-logLRT));
+      4. speech-gated noise update
+         noise <- g*noise + (1-g)*(P(noise)*magn + P(speech)*noise);
+      5. decision-directed Wiener gain prior/(1+prior) clipped to
+         [g_min, 1] — g_min = 10^(-max_atten_dB/20) from the
+         suppression level (low/moderate/high/very-high -> 6/10/15/25 dB,
+         the NS mode attenuation caps).
+    frames: [F, frame, C] f32; ns_state: ns_init() pytree."""
+    w_lrt, w_flat, w_diff = NS_WEIGHTS
+
+    def step(st, fr):
         spec = jnp.fft.rfft(fr, axis=0)
-        mag = jnp.abs(spec).astype(jnp.float32)
-        ns = jnp.where(ns == 0.0, mag, ns)  # bootstrap from first frame
-        quiet = mag <= 2.0 * ns
-        # quiet bins track the floor; loud (speech/tone) bins barely leak
-        # into the estimate (0.2%/frame) so sustained tones survive
-        a = jnp.where(quiet, alpha_up, 0.998)
-        mix = jnp.where(quiet, 1.0 - alpha_up, 0.002)
-        ns2 = (a * ns + mix * mag).astype(jnp.float32)
-        gain = jnp.clip(1.0 - beta * ns2 / jnp.maximum(mag, 1e-10),
-                        g_min, 1.0)
-        out = jnp.fft.irfft(spec * gain, n=fr.shape[0], axis=0)
-        return ns2, out.astype(jnp.float32)
+        magn = jnp.abs(spec).astype(jnp.float32)
+        lmagn = jnp.log(jnp.maximum(magn, 1e-10))
 
-    noise, out = lax.scan(step, noise, frames)
-    return out, noise
+        # -- quantile noise estimation (staggered windows) ---------------
+        counter = st["counter"] + 1                       # [SIMULT]
+        cnt = counter.astype(jnp.float32)[:, None, None]
+        delta = jnp.where(st["density"] > 1.0,
+                          NS_FACTOR / st["density"], NS_FACTOR)
+        above = lmagn[None] > st["lquantile"]
+        lq = st["lquantile"] + jnp.where(
+            above, NS_QUANTILE * delta / cnt,
+            -(1.0 - NS_QUANTILE) * delta / cnt)
+        dens = jnp.where(
+            jnp.abs(lmagn[None] - lq) < NS_WIDTH,
+            ((cnt - 1.0) * st["density"] + 1.0 / (2.0 * NS_WIDTH)) / cnt,
+            st["density"])
+        # windows that wrap promote their quantile and restart; the
+        # promoted window refreshes the running estimate so the quantile
+        # tracker stays live after startup (floor changes are caught
+        # every END_STARTUP/SIMULT frames)
+        wrap = counter >= NS_END_STARTUP                  # [SIMULT]
+        wrap_any = jnp.any(wrap)
+        live_q = jnp.exp(lq[jnp.argmax(counter)])         # longest window
+        startup = st["updates"] < NS_END_STARTUP
+        carried = st["quantile"]
+        noise_prev = jnp.where(
+            startup, live_q,
+            jnp.where(wrap_any, 0.5 * (carried + live_q), carried))
+        noise_prev = jnp.maximum(noise_prev, 1e-10)
+        counter = jnp.where(wrap, 0, counter)
+        lq = jnp.where(wrap[:, None, None],
+                       jnp.broadcast_to(lmagn[None], lq.shape), lq)
+        dens = jnp.where(wrap[:, None, None], 0.3, dens)
+
+        # -- speech probability ------------------------------------------
+        snr_post = jnp.maximum(
+            jnp.square(magn) / jnp.square(noise_prev) - 1.0, 0.0)
+        prev_est = (jnp.square(st["prev_gain"])
+                    * jnp.square(st["prev_magn"])
+                    / jnp.square(noise_prev))
+        snr_prior = NS_DD * prev_est + (1.0 - NS_DD) * snr_post
+        # per-bin LRT, time-averaged
+        lrt = (snr_post * snr_prior / (1.0 + snr_prior)
+               - jnp.log1p(snr_prior))
+        log_lrt = (st["log_lrt_tavg"]
+                   + NS_LRT_TAVG * (lrt - st["log_lrt_tavg"]))
+        feat_lrt = jnp.mean(log_lrt, axis=0)              # [C]
+        # spectral flatness: exp(mean log)/mean
+        flat = (jnp.exp(jnp.mean(lmagn, axis=0))
+                / jnp.maximum(jnp.mean(magn, axis=0), 1e-10))
+        # spectral template difference vs the pause average
+        pause = st["magn_avg_pause"]
+        avg_m = jnp.mean(magn, axis=0, keepdims=True)
+        avg_p = jnp.mean(pause, axis=0, keepdims=True)
+        num = jnp.sum((magn - avg_m) * (pause - avg_p), axis=0)
+        den = jnp.maximum(jnp.sum(jnp.square(pause - avg_p), axis=0),
+                          1e-10)
+        resid = (magn - avg_m) - (pause - avg_p) * (num / den)[None]
+        diff = (jnp.sum(jnp.square(resid), axis=0)
+                / jnp.maximum(jnp.sum(jnp.square(avg_m)) * magn.shape[0],
+                              1e-10))
+        ind0 = 0.5 * (jnp.tanh(NS_WIDTH_PRIOR
+                               * (feat_lrt - NS_THRESH_LRT)) + 1.0)
+        ind1 = 0.5 * (jnp.tanh(2.0 * NS_WIDTH_PRIOR
+                               * (NS_THRESH_FLAT - flat)) + 1.0)
+        ind2 = 0.5 * (jnp.tanh(NS_WIDTH_PRIOR
+                               * (diff - NS_THRESH_DIFF)) + 1.0)
+        ind = w_lrt * ind0 + w_flat * ind1 + w_diff * ind2
+        prior = (st["prior_speech"]
+                 + NS_PRIOR_UPDATE * (ind - st["prior_speech"]))
+        gain_prior = (1.0 - prior) / (prior + 1e-4)       # [C]
+        p_speech = 1.0 / (1.0 + gain_prior[None]
+                          * jnp.exp(-log_lrt))            # [bins, C]
+
+        # pause template follows low-speech frames
+        pause = jnp.where((prior < 0.5)[None],
+                          pause + 0.1 * (magn - pause), pause)
+
+        # -- speech-gated noise update -----------------------------------
+        noise = (NS_GAMMA_NOISE * noise_prev
+                 + (1.0 - NS_GAMMA_NOISE)
+                 * ((1.0 - p_speech) * magn + p_speech * noise_prev))
+
+        # -- decision-directed Wiener gain -------------------------------
+        gain = jnp.clip(snr_prior / (1.0 + snr_prior), g_min, 1.0)
+        out = jnp.fft.irfft(spec * gain, n=fr.shape[0], axis=0)
+
+        st2 = {"lquantile": lq.astype(jnp.float32),
+               "density": dens.astype(jnp.float32),
+               "counter": counter,
+               "quantile": noise.astype(jnp.float32),
+               "updates": jnp.minimum(st["updates"] + 1,
+                                      jnp.int32(2 ** 30)),
+               "prev_magn": magn,
+               "prev_gain": gain.astype(jnp.float32),
+               "log_lrt_tavg": log_lrt.astype(jnp.float32),
+               "prior_speech": prior.astype(jnp.float32),
+               "magn_avg_pause": pause.astype(jnp.float32)}
+        return st2, out.astype(jnp.float32)
+
+    ns_state, out = lax.scan(step, ns_state, frames)
+    return out, ns_state
 
 
 def agc_adaptive(frames_rms_db: jnp.ndarray, gain_db0: jnp.ndarray,

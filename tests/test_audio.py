@@ -807,3 +807,82 @@ def test_ofa_eos_fingerprint(rng):
     el.eos(h.bus)
     msgs = h.bus.pop(element="ofa")
     assert msgs and msgs[0]["ofa-fingerprint"] == el.fingerprint
+
+
+def test_webrtcdsp_ns_attenuation_cap(rng):
+    """Stationary noise with no speech: the Wiener gain converges to the
+    mode's attenuation cap (low = 6 dB, very-high = 25 dB) — the WebRTC
+    NS denoise bounds."""
+    rate = 16000
+    n = 32 * 160
+    mk = lambda: np.clip(800 * rng.standard_normal(n), -32768, 32767
+                         ).astype(np.int16).reshape(1, n, 1)
+    outs = {}
+    for level, cap_db in (("low", 6.0), ("very-high", 25.0)):
+        h = Harness("webrtcdsp", **{"high-pass-filter": False,
+                                    "gain-control": False,
+                                    "echo-cancel": False,
+                                    "noise-suppression-level": level})
+        h.set_src_spec(_spec(AudioFormat.S16, 1, rate))
+        h.push_pull(mk())                       # converge
+        got = h.push_pull(mk())
+        atten = (_band_db(mk()[:, n // 2:], rate, 500, 7000)
+                 - _band_db(got[:, n // 2:], rate, 500, 7000))
+        outs[level] = atten
+        # a decision-directed Wiener floor-clips only the quiet bins;
+        # fluctuation spikes ride above it, so average attenuation on
+        # stationary noise lands below the cap (the real NS behaves the
+        # same) — but it scales with the mode and never exceeds the cap
+        assert atten > cap_db * 0.4, (level, atten)
+        assert atten < cap_db + 3.0, (level, atten)
+    assert outs["very-high"] > outs["low"] + 4.0
+
+
+def test_webrtcdsp_ns_quantile_tracks_floor_change(rng):
+    """The staggered log-quantile estimator follows a noise-floor step:
+    after the floor drops 20 dB the estimate falls with it (windows
+    promote every END_STARTUP/SIMULT frames)."""
+    from gstbad_tpu.ops import audio as ops
+
+    rate, frame = 16000, 160
+    bins = frame // 2 + 1
+    st = ops.ns_init(bins, 1)
+    g_min = np.float32(10 ** (-25 / 20))
+
+    def run_block(amp, nframes, st):
+        x = (amp * rng.standard_normal((nframes * 80, 1))
+             ).astype(np.float32)
+        frames, _ = ops.stft_frames(
+            x, np.zeros((80, 1), np.float32), frame)
+        out, st = ops.noise_suppress(frames, st, g_min)
+        return st
+    st = run_block(3000.0, 300, st)
+    loud = float(np.median(np.asarray(st["quantile"])))
+    st = run_block(30.0, 300, st)
+    quiet = float(np.median(np.asarray(st["quantile"])))
+    assert quiet < loud / 10.0                  # tracked the 40 dB drop
+
+
+def test_webrtcdsp_ns_speech_probability_bounds(rng):
+    """Speech probability stays in [0, 1] and goes high for a loud tone
+    appearing over a converged noise floor."""
+    from gstbad_tpu.ops import audio as ops
+
+    rate, frame = 16000, 160
+    bins = frame // 2 + 1
+    st = ops.ns_init(bins, 1)
+    g_min = np.float32(10 ** (-25 / 20))
+    noise = (500 * rng.standard_normal((300 * 80, 1))).astype(np.float32)
+    frames, _ = ops.stft_frames(noise, np.zeros((80, 1), np.float32),
+                                frame)
+    _, st = ops.noise_suppress(frames, st, g_min)
+    assert 0.0 <= float(st["prior_speech"][0]) <= 1.0
+    p_noise = float(st["prior_speech"][0])
+    t = np.arange(40 * 80) / rate
+    tone = (12000 * np.sin(2 * np.pi * 1000 * t)[:, None]
+            + 500 * rng.standard_normal((40 * 80, 1))).astype(np.float32)
+    frames2, _ = ops.stft_frames(tone, np.zeros((80, 1), np.float32),
+                                 frame)
+    _, st2 = ops.noise_suppress(frames2, st, g_min)
+    assert float(st2["prior_speech"][0]) > p_noise + 0.2
+    assert 0.0 <= float(st2["prior_speech"][0]) <= 1.0
