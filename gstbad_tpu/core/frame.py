@@ -48,6 +48,12 @@ class FrameBatch:
     pts: Array
     flags: Array
     valid: Array
+    # optional packed-u32 twin of `data` for 4-byte packed video ([B, H, W]
+    # i32, byte c of the word == data[..., c]): producers that already hold
+    # the word (videotestsrc's broadcast path) attach it so the table-fusion
+    # chain can start without the u8<->i32 relayout round trip.  Any
+    # with_data() drops it — it is only ever a view of the CURRENT data.
+    word: Optional[Array] = None
 
     @staticmethod
     def make(data, pts=None, flags=None, valid=None) -> "FrameBatch":
@@ -70,7 +76,7 @@ class FrameBatch:
         return self.data.shape[0]
 
     def with_data(self, data) -> "FrameBatch":
-        return dataclasses.replace(self, data=data)
+        return dataclasses.replace(self, data=data, word=None)
 
     def replace(self, **kw) -> "FrameBatch":
         return dataclasses.replace(self, **kw)

@@ -225,10 +225,15 @@ class TableChain:
 
 
 def start_chain(batch: FrameBatch) -> Optional[TableChain]:
-    """A chain needs a packed 4-byte word image ([B, H, W, 4] u8)."""
+    """A chain needs a packed 4-byte word image ([B, H, W, 4] u8).  A
+    producer-attached word twin (FrameBatch.word) skips the u8->i32
+    relayout (and lets XLA drop the u8 materialization entirely when
+    nothing else reads it)."""
     from gstbad_tpu.ops.pointops import pack32
     data = batch.data
     if (isinstance(data, dict) or getattr(data, "ndim", 0) != 4
             or data.shape[-1] != 4 or data.dtype != jnp.uint8):
         return None
+    if batch.word is not None and batch.word.shape == data.shape[:-1]:
+        return TableChain(batch, batch.word.astype(jnp.int32))
     return TableChain(batch, pack32(data))

@@ -186,6 +186,7 @@ class VideoTestSrc(Element):
                         for k, v in bg.items()}
             return jnp.broadcast_to(bg, (window,) + bg.shape)
 
+        word = None  # packed-u32 twin attached for 4-byte packed formats
         if pattern == "ball":
             # moving bright ball on the static background luma
             t = n.astype(jnp.float64)
@@ -232,6 +233,8 @@ class VideoTestSrc(Element):
         dur = spec.frame_duration_ns
         pts = n * dur
         batch = FrameBatch.make(data, pts=pts)
+        if word is not None:
+            batch = batch.replace(word=word)
         return state + window, batch
 
     def _apply_luma_overlay(self, data, mask):
