@@ -55,9 +55,16 @@ class VideoFormat:
     NV21 = "NV21"   # uv plane bytes V U V U ...
     # grayscale single plane
     GRAY8 = "GRAY8"
+    # packed 16-bit RGB, one little-endian uint16 per pixel ([B, H, W]
+    # u16, the C's guint16 line layout): 5-6-5 and x-5-5-5 bit fields
+    RGB16 = "RGB16"   # rrrrrggg gggbbbbb
+    BGR16 = "BGR16"   # bbbbbggg gggrrrrr
+    RGB15 = "RGB15"   # xrrrrrgg gggbbbbb
+    BGR15 = "BGR15"   # xbbbbbgg gggrrrrr
 
     PACKED_RGB4 = (RGBA, BGRA, ARGB, ABGR, RGBx, BGRx, xRGB, xBGR)
     PACKED_RGB3 = (RGB, BGR)
+    PACKED_RGB16 = (RGB16, BGR16, RGB15, BGR15)
     PACKED_4 = PACKED_RGB4 + (AYUV,)
     PACKED_YUV422 = (YUY2, UYVY)
     PLANAR_YUV = (I420, YV12, Y42B, Y444, Y41B)
@@ -76,10 +83,22 @@ class VideoFormat:
     }
     AYUV_OFFSETS = (1, 2, 3, 0)  # Y, U, V, A
 
+    # (r_shift, r_bits, g_shift, g_bits, b_shift, b_bits) per 16-bit format
+    _RGB16_FIELDS = {
+        RGB16: (11, 5, 5, 6, 0, 5), BGR16: (0, 5, 5, 6, 11, 5),
+        RGB15: (10, 5, 5, 5, 0, 5), BGR15: (0, 5, 5, 5, 10, 5),
+    }
+
     @staticmethod
     def rgb_offsets(fmt: str) -> Tuple[int, int, int, Optional[int]]:
         """(r, g, b, alpha_or_fill) channel indices for an RGB format."""
         return VideoFormat._RGB_OFFSETS[fmt]
+
+    @staticmethod
+    def rgb16_fields(fmt: str) -> Tuple[int, int, int, int, int, int]:
+        """(r_shift, r_bits, g_shift, g_bits, b_shift, b_bits) for a
+        16-bit packed format (GStreamer video-format.c bit layouts)."""
+        return VideoFormat._RGB16_FIELDS[fmt]
 
     @staticmethod
     def is_rgb(fmt: str) -> bool:

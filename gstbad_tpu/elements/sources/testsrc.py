@@ -161,6 +161,13 @@ class VideoTestSrc(Element):
                 out[:, 0::4] = yuv[:, ::2, 1]
                 out[:, 2::4] = yuv[:, ::2, 2]
             return out
+        if fmt in VideoFormat.PACKED_RGB16:
+            rs, rb, gs, gb, bs, bb = VideoFormat.rgb16_fields(fmt)
+            r = rgb[..., 0].astype(np.uint16)
+            g = rgb[..., 1].astype(np.uint16)
+            b = rgb[..., 2].astype(np.uint16)
+            return ((r >> (8 - rb)) << rs | (g >> (8 - gb)) << gs
+                    | (b >> (8 - bb)) << bs).astype(np.uint16)
         r_off, g_off, b_off, x_off = VideoFormat.rgb_offsets(fmt)
         n = VideoFormat.n_channels(fmt)
         out = np.empty((h, w, n), np.uint8)
@@ -248,6 +255,11 @@ class VideoTestSrc(Element):
                 fmt, data, jnp.where(mask, jnp.uint8(235), y))
         if self._is_gray:
             return jnp.where(mask, jnp.uint8(235), data)
+        if fmt in VideoFormat.PACKED_RGB16:
+            rs, rb, gs, gb, bs, bb = VideoFormat.rgb16_fields(fmt)
+            white = ((0xFF >> (8 - rb)) << rs | (0xFF >> (8 - gb)) << gs
+                     | (0xFF >> (8 - bb)) << bs)
+            return jnp.where(mask, jnp.uint16(white), data)
         return jnp.where(mask[..., None], jnp.uint8(255), data)
 
 

@@ -72,6 +72,21 @@ def _to_ayuv(data, fmt):
         u = jnp.repeat(u2, 2, axis=-1)[..., :y.shape[-1]]
         v = jnp.repeat(v2, 2, axis=-1)[..., :y.shape[-1]]
         return jnp.stack([jnp.full_like(y, 255), y, u, v], axis=-1)
+    if fmt in VideoFormat.PACKED_RGB16:
+        # 16-bit bit fields -> 8-bit by bit replication (GStreamer
+        # video-format.c's RGB16/RGB15 unpack)
+        rs, rb, gs, gb, bs, bb = VideoFormat.rgb16_fields(fmt)
+        p = data.astype(jnp.int32)
+
+        def expand(shift, bits):
+            v = (p >> shift) & ((1 << bits) - 1)
+            return (v << (8 - bits)) | (v >> (2 * bits - 8))
+        r, g, b = expand(rs, rb), expand(gs, gb), expand(bs, bb)
+        y, u, v = _apply_matrix(_RGB2YCBCR, r, g, b)
+        return jnp.stack([jnp.full_like(y, 255).astype(jnp.uint8),
+                          jnp.clip(y, 0, 255).astype(jnp.uint8),
+                          jnp.clip(u, 0, 255).astype(jnp.uint8),
+                          jnp.clip(v, 0, 255).astype(jnp.uint8)], axis=-1)
     # packed RGB
     offs = VideoFormat.rgb_offsets(fmt)
     r = data[..., offs[0]].astype(jnp.int32)
@@ -141,6 +156,16 @@ def _from_ayuv(ayuv, fmt):
             out = out.at[..., 0::4].set(u)
             out = out.at[..., 2::4].set(v)
         return out
+    if fmt in VideoFormat.PACKED_RGB16:
+        y = ayuv[..., 1].astype(jnp.int32)
+        u = ayuv[..., 2].astype(jnp.int32)
+        v = ayuv[..., 3].astype(jnp.int32)
+        r, g, b = _apply_matrix(_YCBCR2RGB, y, u, v)
+        rs, rb, gs, gb, bs, bb = VideoFormat.rgb16_fields(fmt)
+        p = ((jnp.clip(r, 0, 255) >> (8 - rb)) << rs
+             | (jnp.clip(g, 0, 255) >> (8 - gb)) << gs
+             | (jnp.clip(b, 0, 255) >> (8 - bb)) << bs)
+        return p.astype(jnp.uint16)
     # packed RGB
     y = ayuv[..., 1].astype(jnp.int32)
     u = ayuv[..., 2].astype(jnp.int32)
@@ -158,6 +183,7 @@ def _from_ayuv(ayuv, fmt):
 
 
 _ALL = (VideoFormat.PACKED_RGB4 + VideoFormat.PACKED_RGB3
+        + VideoFormat.PACKED_RGB16
         + (VideoFormat.AYUV, VideoFormat.GRAY8)
         + VideoFormat.PLANAR_YUV + VideoFormat.SEMIPLANAR_YUV
         + VideoFormat.PACKED_YUV422)
@@ -193,6 +219,44 @@ class VideoConvert(Element):
         if src == dst:
             return state, batch
         data = batch.data
+        # 16-bit RGB <-> 8-bit RGB stay in the RGB domain (no YUV round
+        # trip): bit-replicate expansion / truncating field pack
+        if (src in VideoFormat.PACKED_RGB16
+                or dst in VideoFormat.PACKED_RGB16) \
+                and (VideoFormat.is_rgb(src)
+                     or src in VideoFormat.PACKED_RGB16) \
+                and (VideoFormat.is_rgb(dst)
+                     or dst in VideoFormat.PACKED_RGB16):
+            if src in VideoFormat.PACKED_RGB16:
+                rs, rb, gs, gb, bs, bb = VideoFormat.rgb16_fields(src)
+                p = data.astype(jnp.int32)
+
+                def expand(shift, bits):
+                    v = (p >> shift) & ((1 << bits) - 1)
+                    return (v << (8 - bits)) | (v >> (2 * bits - 8))
+                r, g, b = expand(rs, rb), expand(gs, gb), expand(bs, bb)
+                a = jnp.full_like(r, 255)
+            else:
+                offs = VideoFormat.rgb_offsets(src)
+                r = data[..., offs[0]].astype(jnp.int32)
+                g = data[..., offs[1]].astype(jnp.int32)
+                b = data[..., offs[2]].astype(jnp.int32)
+                a = (data[..., offs[3]].astype(jnp.int32)
+                     if VideoFormat.has_alpha(src)
+                     else jnp.full_like(r, 255))
+            if dst in VideoFormat.PACKED_RGB16:
+                rs, rb, gs, gb, bs, bb = VideoFormat.rgb16_fields(dst)
+                p = ((r >> (8 - rb)) << rs | (g >> (8 - gb)) << gs
+                     | (b >> (8 - bb)) << bs)
+                return state, batch.with_data(p.astype(jnp.uint16))
+            offs = VideoFormat.rgb_offsets(dst)
+            n = VideoFormat.n_channels(dst)
+            out = jnp.empty(r.shape + (n,), jnp.uint8)
+            for i, ch in enumerate((r, g, b)):
+                out = out.at[..., offs[i]].set(ch.astype(jnp.uint8))
+            if offs[3] is not None:
+                out = out.at[..., offs[3]].set(a.astype(jnp.uint8))
+            return state, batch.with_data(out)
         # pure packed-RGB permutation fast path
         if VideoFormat.is_rgb(src) and VideoFormat.is_rgb(dst):
             s_off = VideoFormat.rgb_offsets(src)

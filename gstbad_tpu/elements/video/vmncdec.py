@@ -10,8 +10,11 @@ before the run, and decoded frames stream out at `framerate`.
 
 Output format mapping: 32-bit truecolour streams map onto the packed
 format whose byte order matches the WMVi masks/shifts (RGBx/BGRx/
-xRGB/xBGR; channels must be full 8-bit), 8-bit streams onto GRAY8.
-16-bit RGB15/565 streams decode at the io layer but have no VideoFormat
+xRGB/xBGR; channels must be full 8-bit), 8-bit streams onto GRAY8,
+and 16-bit 565/555 bit-field streams onto RGB16/BGR16/RGB15/BGR15
+(u16 planes in native order; the WMVi endianness flag picks the
+stream byte order).  Other 16-bit mask layouts decode at the io layer
+but have no VideoFormat
 in this framework — rejected with a clear error (documented; the
 reference emits GStreamer's RGB15/16 formats there)."""
 
@@ -52,9 +55,23 @@ class VMncDec(Element):
     def _format_from_wmvi(self, dec) -> str:
         if dec.bytes_per_pixel == 1:
             return VideoFormat.GRAY8
+        if dec.bytes_per_pixel == 2:
+            # 16-bit bit-field layouts map onto the RGB16/RGB15 family
+            key = (dec.red_mask, dec.green_mask, dec.blue_mask,
+                   dec.red_shift, dec.green_shift, dec.blue_shift)
+            fmt = {
+                (31, 63, 31, 11, 5, 0): VideoFormat.RGB16,
+                (31, 63, 31, 0, 5, 11): VideoFormat.BGR16,
+                (31, 31, 31, 10, 5, 0): VideoFormat.RGB15,
+                (31, 31, 31, 0, 5, 10): VideoFormat.BGR15,
+            }.get(key)
+            require(fmt is not None,
+                    f"vmncdec: no 16-bit VideoFormat for masks/shifts "
+                    f"{key}")
+            return fmt
         require(dec.bytes_per_pixel == 4,
-                "vmncdec: 16-bit RGB streams have no VideoFormat in "
-                "this framework (io/vmnc.py decodes them; documented)")
+                "vmncdec: unsupported bytes-per-pixel "
+                f"{dec.bytes_per_pixel}")
         require(dec.red_mask == 255 and dec.green_mask == 255
                 and dec.blue_mask == 255,
                 "vmncdec: only 8-bit-per-channel 32-bit streams map "
@@ -104,6 +121,12 @@ class VMncDec(Element):
                 out = self._dec.output_frame()
                 if out.shape[-1] == 1:
                     out = out[..., 0]
+                elif out.shape[-1] == 2:
+                    # raw stream bytes -> native u16 plane per the WMVi
+                    # endianness flag
+                    order = ">u2" if self._dec.big_endian else "<u2"
+                    out = np.ascontiguousarray(out).view(order)[..., 0] \
+                        .astype(np.uint16)
                 self._last = out
                 frames.append(out)
                 pts.append(self._pos * dur)

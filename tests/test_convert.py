@@ -1,5 +1,6 @@
 """videoconvert: permutation exactness + YUV roundtrip sanity."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -65,3 +66,53 @@ def test_i420_ayuv_roundtrip(rng):
     # chroma upsample(nearest)+downsample(avg of identical) is exact
     np.testing.assert_array_equal(np.asarray(outs[0].data["u"]), u)
     np.testing.assert_array_equal(np.asarray(outs[0].data["v"]), v)
+
+
+# -- 16-bit packed RGB (RGB16/BGR16/RGB15/BGR15) ----------------------------
+
+def test_rgb16_pack_unpack_bit_replication(rng):
+    """8-bit -> 565 -> 8-bit uses truncating pack and bit-replicating
+    expand (GStreamer video-format.c), so round-tripped values match the
+    replication of their truncated fields exactly."""
+    import gstbad_tpu as gt
+    from gstbad_tpu.core.frame import FrameBatch
+    from gstbad_tpu.core.pipeline import Pipeline
+    from gstbad_tpu.core.spec import MediaSpec
+
+    img = rng.integers(0, 256, (2, 8, 16, 4), dtype=np.uint8)
+    for fmt, bits in (("RGB16", (5, 6, 5)), ("BGR16", (5, 6, 5)),
+                      ("RGB15", (5, 5, 5)), ("BGR15", (5, 5, 5))):
+        p = Pipeline([gt.make("videoconvert", format=fmt)])
+        p.negotiate(MediaSpec(kind="video", format="RGBx",
+                              width=16, height=8))
+        p16 = np.asarray(p.run(
+            inputs=FrameBatch.make(jnp.asarray(img)))[0].data)
+        assert p16.dtype == np.uint16 and p16.shape == (2, 8, 16)
+        p2 = Pipeline([gt.make("videoconvert", format="RGBx")])
+        p2.negotiate(MediaSpec(kind="video", format=fmt,
+                               width=16, height=8))
+        back = np.asarray(p2.run(
+            inputs=FrameBatch.make(jnp.asarray(p16)))[0].data)
+        for c, nb in enumerate(bits):
+            field = img[..., c].astype(np.uint16) >> (8 - nb)
+            want = ((field << (8 - nb)) | (field >> (2 * nb - 8))
+                    ).astype(np.uint8)
+            np.testing.assert_array_equal(back[..., c], want)
+        np.testing.assert_array_equal(back[..., 3], 255)
+
+
+def test_rgb16_testsrc_and_yuv_path(rng):
+    """videotestsrc renders RGB16 directly; converting to AYUV matches
+    the BGRx source converted to AYUV within 5/6-bit quantization."""
+    import gstbad_tpu as gt
+
+    outs = {}
+    for fmt in ("RGB16", "BGRx"):
+        p = gt.parse_launch(
+            f"videotestsrc pattern=bars width=64 height=16 format={fmt} "
+            "! videoconvert format=AYUV ! fakesink")
+        p.negotiate()
+        p.compile(2)
+        outs[fmt] = np.asarray(p.run(n_frames=2, window=2)[0].data)
+    diff = np.abs(outs["RGB16"].astype(int) - outs["BGRx"].astype(int))
+    assert diff.max() <= 12          # 5-bit step = 8, plus matrix rounding

@@ -173,3 +173,46 @@ def test_error_paths():
     body = bytes([32, 24, 0, 0]) + b"\x00" * 12
     pkt3 = _update(_rect(0, 0, W, H, vmnc.TYPE_WMVi, body))
     assert dec3.feed_packet(pkt3) == vmnc.ERROR_INVALID
+
+
+def test_wmvi_16bit_565_and_555():
+    """bpp=16 bit-field streams negotiate the RGB16/RGB15 family and the
+    u16 plane carries the packed fields in native order."""
+    # 565, LE: r mask 31 @11, g mask 63 @5, b mask 31 @0 -> RGB16
+    body16 = bytes([16, 16, 0, 1]) + struct.pack(">HHH", 31, 63, 31) \
+        + bytes([11, 5, 0]) + b"\x00\x00\x00"
+    word = (7 << 11) | (33 << 5) | 19
+    raw = struct.pack("<H", word) * (W * H)
+    pkt = _update(_rect(0, 0, W, H, vmnc.TYPE_WMVi, body16),
+                  _rect(0, 0, W, H, vmnc.TYPE_RAW, raw))
+    el = gt.make("vmncdec")
+    el.push_packet(pkt)
+    pipe = Pipeline([el])
+    pipe.negotiate(None)
+    assert el.out_spec.format == "RGB16"
+    out = np.asarray(pipe.run(n_frames=1)[0].data)
+    assert out.dtype == np.uint16
+    assert out[0, 0, 0] == word
+    # 555 with b high -> BGR15
+    body15 = bytes([16, 15, 0, 1]) + struct.pack(">HHH", 31, 31, 31) \
+        + bytes([0, 5, 10]) + b"\x00\x00\x00"
+    el2 = gt.make("vmncdec")
+    el2.push_packet(_update(_rect(0, 0, W, H, vmnc.TYPE_WMVi, body15)))
+    Pipeline([el2]).negotiate(None)
+    assert el2.out_spec.format == "BGR15"
+
+
+def test_wmvi_16bit_big_endian_bytes():
+    """big-endian 16-bit stream bytes land in the same native u16."""
+    body = bytes([16, 16, 1, 1]) + struct.pack(">HHH", 31, 63, 31) \
+        + bytes([11, 5, 0]) + b"\x00\x00\x00"
+    word = (1 << 11) | (2 << 5) | 3
+    raw = struct.pack(">H", word) * (W * H)
+    el = gt.make("vmncdec")
+    el.push_packet(_update(_rect(0, 0, W, H, vmnc.TYPE_WMVi, body),
+                           _rect(0, 0, W, H, vmnc.TYPE_RAW, raw)))
+    pipe = Pipeline([el])
+    pipe.negotiate(None)
+    assert el.out_spec.format == "RGB16"
+    out = np.asarray(pipe.run(n_frames=1)[0].data)
+    assert out[0, 0, 0] == word
