@@ -54,6 +54,14 @@ class FrameBatch:
     # chain can start without the u8<->i32 relayout round trip.  Any
     # with_data() drops it — it is only ever a view of the CURRENT data.
     word: Optional[Array] = None
+    # optional [B, 2] int32 (head, tail) samples logically REMOVED from
+    # audio blocks — the gst_audio_buffer_clip analog for static shapes.
+    # Gating elements (avwait, audiosegmentclip) set it on boundary
+    # blocks; the runner slices it away host-side when compacting, so
+    # sinks and run() callers observe the sample-exact clipped stream.
+    # with_data() keeps it only while the sample axis is unchanged;
+    # elements that re-chunk must translate or drop it themselves.
+    trim: Optional[Array] = None
 
     @staticmethod
     def make(data, pts=None, flags=None, valid=None) -> "FrameBatch":
@@ -76,7 +84,15 @@ class FrameBatch:
         return self.data.shape[0]
 
     def with_data(self, data) -> "FrameBatch":
-        return dataclasses.replace(self, data=data, word=None)
+        trim = self.trim
+        if trim is not None:
+            same = (not isinstance(data, dict)
+                    and not isinstance(self.data, dict)
+                    and getattr(data, "shape", None)
+                    == getattr(self.data, "shape", None))
+            if not same:
+                trim = None
+        return dataclasses.replace(self, data=data, word=None, trim=trim)
 
     def replace(self, **kw) -> "FrameBatch":
         return dataclasses.replace(self, **kw)

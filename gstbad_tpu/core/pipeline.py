@@ -44,6 +44,43 @@ class Node:
         return f"<node {self.name or self.element.NAME}>"
 
 
+def _split_trimmed(nb: FrameBatch) -> List[FrameBatch]:
+    """Apply FrameBatch.trim host-side (the gst_audio_buffer_clip cut):
+    blocks with head/tail trims split out as their own shorter batches;
+    untrimmed runs stay stacked.  PTS are the element's responsibility
+    (the gating element already stamps the clipped-buffer PTS)."""
+    tr = nb.trim
+    if tr is None:
+        return [nb]
+    tr = np.asarray(tr)
+    data = nb.data
+    if (isinstance(data, dict) or getattr(data, "ndim", 0) < 2
+            or not np.any(tr)):
+        return [nb.replace(trim=None)]
+    b, s = data.shape[0], data.shape[1]
+    out: List[FrameBatch] = []
+    i = 0
+    while i < b:
+        if tr[i].any():
+            h, t = int(tr[i, 0]), int(tr[i, 1])
+            h = min(max(h, 0), s)
+            t = min(max(t, 0), s - h)
+            if s - h - t > 0:
+                out.append(FrameBatch(
+                    data=data[i:i + 1, h:s - t], pts=nb.pts[i:i + 1],
+                    flags=nb.flags[i:i + 1], valid=nb.valid[i:i + 1]))
+            i += 1
+        else:
+            j = i
+            while j < b and not tr[j].any():
+                j += 1
+            out.append(FrameBatch(
+                data=data[i:j], pts=nb.pts[i:j], flags=nb.flags[i:j],
+                valid=nb.valid[i:j]))
+            i = j
+    return out
+
+
 class Pipeline:
     def __init__(self, elements: Sequence[Element] = (),
                  nodes: Optional[List[Node]] = None):
@@ -415,7 +452,7 @@ class Pipeline:
             self._drain_messages(leaf_batches[len(leaves) - 1], messages)
             np_batches: Dict[int, Optional[FrameBatch]] = {}
 
-            def compacted(oi: int) -> Optional[FrameBatch]:
+            def compacted(oi: int) -> List[FrameBatch]:
                 if oi not in np_batches:
                     np_batch = leaf_batches[oi].to_numpy()
                     mask = np.asarray(np_batch.valid)
@@ -428,17 +465,15 @@ class Pipeline:
                                 if getattr(x, "ndim", 0) >= 1
                                 and x.shape[0] == mask.shape[0] else x,
                                 np_batch)
-                    np_batches[oi] = np_batch
+                    np_batches[oi] = (_split_trimmed(np_batch)
+                                      if np_batch is not None else [])
                 return np_batches[oi]
 
             for li in range(len(leaves)):
-                np_batch = compacted(li)
-                if np_batch is not None:
-                    outs[li].append(np_batch)
+                outs[li].extend(compacted(li))
             # each HOST element sees only its own node's stream
             for el, oi in self._host_route:
-                np_batch = compacted(oi)
-                if np_batch is not None:
+                for np_batch in compacted(oi):
                     el.host_process(np_batch, self.bus)
         self._states = states
         if len(leaves) == 1:

@@ -59,7 +59,10 @@ class AccurateRip(Element):
 @register
 class AudioSegmentClip(AudioFilter):
     """audiosegmentclip (gst/segmentclip/): drop buffers outside
-    [start, stop] ns."""
+    [start, stop] ns.  SAMPLE-exact like the reference's
+    gst_audio_buffer_clip: boundary blocks spanning start/stop carry
+    FrameBatch.trim (floor-scaled sample cuts) with the clipped-buffer
+    PTS stamped to the segment start; the runner slices host-side."""
 
     NAME = "audiosegmentclip"
     FORMATS = AudioFormat.ALL
@@ -71,8 +74,22 @@ class AudioSegmentClip(AudioFilter):
     def process(self, params, state, batch: FrameBatch):
         start = params["start"].astype(jnp.int64)
         stop = params["stop"].astype(jnp.int64)
-        inside = (batch.pts >= start) & ((stop < 0) | (batch.pts <= stop))
-        return state, batch.replace(valid=batch.valid & inside)
+        ns = jnp.int64(10 ** 9)
+        s_blk = batch.data.shape[1]
+        rate = jnp.int64(self.out_spec.rate)
+        blk_end = batch.pts + (jnp.int64(s_blk) * ns) // rate
+        inside = (blk_end > start) & ((stop < 0) | (batch.pts < stop))
+        head = jnp.where(inside & (batch.pts < start),
+                         (start - batch.pts) * rate // ns, 0)
+        head = jnp.clip(head, 0, s_blk).astype(jnp.int32)
+        tail = jnp.where(inside & (stop >= 0) & (blk_end > stop),
+                         jnp.int64(s_blk) - (stop - batch.pts) * rate
+                         // ns, 0)
+        tail = jnp.clip(tail, 0, s_blk).astype(jnp.int32)
+        pts = jnp.where(head > 0, start, batch.pts)
+        return state, batch.replace(
+            valid=batch.valid & inside, pts=pts,
+            trim=jnp.stack([head, tail], axis=-1))
 
 
 @register
@@ -265,9 +282,11 @@ class AvWait(Element):
     (PTS >= target-running-time), `video-first` (video passes immediately,
     audio waits for it).  `recording` acts as the master valve; toggling it
     back on re-arms the wait (gstavwait.c:216-222).  end-timecode-string /
-    end-running-time close the gate.  Audio gating is block-granular (the
-    reference clips buffers sample-exact): a block passes when its PTS has
-    reached the video start."""
+    end-running-time close the gate.  Audio gating is SAMPLE-exact like
+    the reference's gst_audio_buffer_clip: a boundary block spanning the
+    gate carries FrameBatch.trim (head/tail samples to cut, floor-scaled
+    like gst_util_uint64_scale) with the clipped-buffer PTS stamped to
+    the gate time; the runner slices the trim away host-side."""
 
     NAME = "avwait"
     PROPERTIES = (
@@ -285,6 +304,7 @@ class AvWait(Element):
         vspec = specs[0]
         require(vspec.kind == "video", "avwait: first input must be video")
         self._two = len(specs) > 1
+        self._arate = specs[1].rate if self._two else 0
         mode = self.props["mode"]
         require(mode in ("timecode", "running-time", "video-first"),
                 f"avwait: unknown mode {mode!r}")
@@ -337,9 +357,24 @@ class AvWait(Element):
         vout = v.replace(valid=vpass)
         if not self._two:
             return new_state, vout, msgs
-        apass = a.valid & rec & (vstart >= 0) & (a.pts >= vstart) & \
+        # sample-exact audio gate (gst_audio_buffer_clip semantics):
+        # boundary blocks spanning the gate pass with head/tail trims
+        ns = jnp.int64(10 ** 9)
+        s_blk = a.data.shape[1]
+        rate = jnp.int64(self._arate)
+        a_end = a.pts + (jnp.int64(s_blk) * ns) // rate
+        apass = a.valid & rec & (vstart >= 0) & (a_end > vstart) & \
             ((end < 0) | (a.pts < end))
-        return new_state, [vout, a.replace(valid=apass)], msgs
+        head = jnp.where(apass & (a.pts < vstart),
+                         (vstart - a.pts) * rate // ns, 0)
+        head = jnp.clip(head, 0, s_blk).astype(jnp.int32)
+        tail = jnp.where(apass & (end >= 0) & (a_end > end),
+                         jnp.int64(s_blk) - (end - a.pts) * rate // ns, 0)
+        tail = jnp.clip(tail, 0, s_blk).astype(jnp.int32)
+        a_pts = jnp.where(head > 0, vstart, a.pts)
+        aout = a.replace(valid=apass, pts=a_pts,
+                         trim=jnp.stack([head, tail], axis=-1))
+        return new_state, [vout, aout], msgs
 
 
 def _make_chain(desc: str):

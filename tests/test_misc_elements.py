@@ -495,3 +495,43 @@ def test_avwait_modes():
     # recording=False drops everything
     vv, av, _ = drive(mode="video-first", recording=False)
     assert not vv.any() and not av.any()
+
+
+def test_audiosegmentclip_sample_exact():
+    """Boundary blocks are clipped to the sample like
+    gst_audio_buffer_clip: the first surviving block starts AT `start`
+    (shorter data, PTS restamped) and the total sample count is the
+    exact segment length."""
+    rate, spb = 48000, 4800
+    p = gt.parse_launch(
+        f"audiotestsrc samplesperbuffer={spb} "
+        "! audiosegmentclip start=250000000 stop=550000000 ! fakesink")
+    outs = p.run(n_frames=10, window=10)
+    pts = [int(np.asarray(o.pts)[0]) for o in outs]
+    lens = [o.data.shape[1] for o in outs]
+    assert pts[0] == 250_000_000                  # clipped-buffer PTS
+    assert lens[0] == spb // 2                    # half of the 100 ms block
+    assert lens[-1] == spb // 2                   # tail clip at 550 ms
+    assert sum(o.data.shape[0] * o.data.shape[1] for o in outs) \
+        == (550 - 250) * rate // 1000             # exactly 300 ms of audio
+
+
+def test_avwait_audio_sample_exact():
+    """avwait clips the boundary audio block at the video start sample."""
+    p = gt.parse_launch(
+        "videotestsrc width=16 height=16 framerate=10/1 ! w.  "
+        "audiotestsrc samplesperbuffer=3200 ! w.  "
+        "avwait name=w mode=running-time target-running-time=250000000  "
+        "w. ! pad index=0 ! fakesink  "
+        "w. ! pad index=1 ! fakesink")
+    outs = p.run(n_frames=10, window=10)
+    # video gates at the next frame boundary (300 ms)...
+    vpts = np.concatenate([np.asarray(o.pts) for o in outs[0]])
+    assert vpts.min() == 300_000_000
+    # ...and the audio starts at EXACTLY the video start, mid-block
+    apts = [int(np.asarray(o.pts)[0]) for o in outs[1]]
+    alens = [o.data.shape[1] for o in outs[1]]
+    assert apts[0] == 300_000_000
+    assert alens[0] == 3200 - 1600      # block 4 spans the 300 ms gate
+    assert sum(o.data.shape[0] * o.data.shape[1] for o in outs[1]) \
+        == 1600 + 5 * 3200              # gate..end of the 10 blocks
