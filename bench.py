@@ -224,8 +224,7 @@ def main():
         # buffers would exceed v5e HBM; 1080p float paths (blur) hold
         # f32 intermediates.  The headline config is uncapped.
         caps = {"config4_warp": 16, "warp_4k": 16, "warp_1080p": 32,
-                "config2_blur": 32, "config1_sepia": 64,
-                "config2_gaudi": 64}
+                "config2_blur": 32}
         for name in BENCHMARKS:
             if name == args.config:
                 continue

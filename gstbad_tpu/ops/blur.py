@@ -68,9 +68,35 @@ def gaussian_blur(img: jnp.ndarray, kern: jnp.ndarray, row_sums: jnp.ndarray,
                   col_sums: jnp.ndarray) -> jnp.ndarray:
     """[B, H, W, C] uint8 -> uint8; matches the C two-pass order:
     x-blur (divide by col sums), y-blur (divide by row sums), +0.5, clamp,
-    truncating uint8 cast."""
+    truncating uint8 cast.
+
+    Layout: the channel axis folds into the minor dimension ([B, H, W*C])
+    so vector lanes see W*C contiguous floats instead of a C=4-lane
+    channel-minor tail; an x-shift of `off` pixels is a roll of C*off
+    lanes.  The arithmetic sequence per element is IDENTICAL to the
+    unfolded form (same rolls, masks and FMA order), so results are
+    bit-identical — only the vreg occupancy changes (4/128 -> full)."""
     kern_np = np.asarray(kern)
-    x = img.astype(jnp.float32)
-    tmp = _shift_fma_1d(x, kern_np, axis=2) / col_sums[None, None, :, None]
-    out = _shift_fma_1d(tmp, kern_np, axis=1) / row_sums[None, :, None, None]
-    return jnp.clip(out + 0.5, 0.0, 255.0).astype(jnp.uint8)
+    b, h, w, c = img.shape
+    window = kern_np.shape[0]
+    center = window // 2
+    x = img.astype(jnp.float32).reshape(b, h, w * c)
+    # pad + static slices instead of rolls: the zero padding IS the
+    # border mask (out-of-range taps contribute exactly 0.0), and XLA
+    # fuses slice-of-pad into the FMA chain where the roll form
+    # materialized one full-window buffer per tap (OOM at w32 1080p)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (center * c, center * c)))
+    acc = jnp.zeros_like(x)
+    for k in range(window):
+        acc = acc + np.float32(kern_np[k]) \
+            * lax.slice_in_dim(xp, k * c, k * c + w * c, axis=2)
+    tmp = acc / jnp.asarray(np.repeat(np.asarray(col_sums), c)
+                            )[None, None, :]
+    tp = jnp.pad(tmp, ((0, 0), (center, center), (0, 0)))
+    acc2 = jnp.zeros_like(tmp)
+    for k in range(window):
+        acc2 = acc2 + np.float32(kern_np[k]) \
+            * lax.slice_in_dim(tp, k, k + h, axis=1)
+    out = acc2 / row_sums[None, :, None]
+    return jnp.clip(out + 0.5, 0.0, 255.0).astype(jnp.uint8
+                                                  ).reshape(b, h, w, c)
