@@ -11,10 +11,17 @@ posted as a tag message when the cap is reached or at EOS
 linear resample to 11025 Hz, Hann STFT (frame 4096, hop 1365 — the
 chromaprint framing), 12-bin chroma projection over 28-3520 Hz, and a
 Haar-difference quantizer producing one 32-bit sub-fingerprint per frame.
-The classifier coefficients are NOT Acoustid's trained parameters (those
-live in libchromaprint, not in the reference tree), so the bit patterns
-are not Acoustid-compatible — a documented divergence; the fingerprint is
-deterministic and robust to small perturbations, which the tests assert.
+chromaprint (r3): this environment ships libchromaprint.so.1 — the
+exact library the reference wraps — so the chromaprint element's
+default `engine=auto` binds it at the host boundary
+(io/chromaprint.py: new/start/feed/finish/get_fingerprint on the S16
+interleaved stream, CHROMAPRINT_ALGORITHM_DEFAULT) and the posted tag
+is ACOUSTID-COMPATIBLE, byte-identical to the reference element's.
+`engine=native` keeps the device chroma pipeline (deterministic +
+perturbation-robust but not Acoustid bit patterns — its classifier
+coefficients are not the trained ones); it is also the automatic
+fallback when the library is absent.  ofa remains native-only
+(libofa is not in this environment) — documented divergence.
 """
 
 from __future__ import annotations
@@ -92,12 +99,23 @@ class _Fingerprinter(Element):
     MAX_SECONDS = 120
     TAG = "fingerprint"
 
+    ENGINE = "native"
+
     def __init__(self, **props):
         super().__init__(**props)
         self._chunks = []
+        self._raw_chunks = []
         self._nsamples = 0
         self._fingerprint = None
         self._posted = False
+
+    def _use_library(self) -> bool:
+        from gstbad_tpu.io import chromaprint as cp
+        eng = self.props.get("engine", self.ENGINE)
+        if eng == "library" and not cp.available():
+            raise RuntimeError(f"{self.NAME}: engine=library but "
+                               "libchromaprint is not available")
+        return eng in ("auto", "library") and cp.available()
 
     def negotiate(self, in_spec: MediaSpec) -> MediaSpec:
         require(in_spec.kind == "audio", f"{self.NAME}: needs audio")
@@ -117,8 +135,15 @@ class _Fingerprinter(Element):
             return
         x = np.asarray(np_batch.data)
         if x.dtype == np.int16:
-            x = x.astype(np.float32) / 32768.0
-        mono = x.reshape(-1, x.shape[-1]).mean(axis=1).astype(np.float32)
+            raw = x.reshape(-1, x.shape[-1])
+            xf = x.astype(np.float32) / 32768.0
+        else:
+            xf = x
+            raw = np.clip(np.asarray(x) * 32768.0, -32768, 32767
+                          ).astype(np.int16).reshape(-1, x.shape[-1])
+        self._raw_chunks.append(raw)
+        mono = xf.reshape(-1, xf.shape[-1]).mean(axis=1
+                                                 ).astype(np.float32)
         self._chunks.append(mono)
         self._nsamples += len(mono)
         if self._nsamples >= self._max_samples():
@@ -126,6 +151,19 @@ class _Fingerprinter(Element):
 
     def _finalize(self, bus) -> None:
         if self._posted:
+            return
+        if self._use_library():
+            from gstbad_tpu.io import chromaprint as cp
+            raw = (np.concatenate(self._raw_chunks)
+                   if self._raw_chunks
+                   else np.zeros((0, 1), np.int16))
+            self._fingerprint = cp.fingerprint(raw, self.in_spec.rate)
+            self._posted = True
+            if bus is not None:
+                bus.post(Message(self.NAME, "tag", 0,
+                                 {self.TAG: self._fingerprint,
+                                  "duration": self._nsamples
+                                  // max(self.in_spec.rate, 1)}))
             return
         mono = np.concatenate(self._chunks) if self._chunks else \
             np.zeros(0, np.float32)
@@ -163,7 +201,10 @@ class ChromaprintElement(_Fingerprinter):
     NAME = "chromaprint"
     MAX_SECONDS = 120
     TAG = "chromaprint-fingerprint"
-    PROPERTIES = (Property("duration", int, 120, 1, None, static=True),)
+    ENGINE = "auto"
+    PROPERTIES = (Property("duration", int, 120, 1, None, static=True),
+                  Property("engine", str, "auto", static=True,
+                           doc="auto | library | native"))
 
 
 @register

@@ -7,14 +7,16 @@ at (face.x + x*face.w, face.y + y*face.h) scaled to (w*face.w, h*face.h)
 (gstfaceoverlay.c:196-250).  Properties x/y/w/h reproduced exactly
 (defaults 0/0/1/1, gstfaceoverlay.c:296-315).
 
+Detection (r3): the REAL facedetect path — this environment ships
+OpenCV's trained models (/usr/share/opencv4/haarcascades), so the
+default detector is the frontal-face Haar cascade evaluated by the
+repo's engine (elements/cv/facedetect.py machinery); the detected box
+snaps to the nearest static overlay scale.  `detector=skin` keeps the
+round-2 skin-density window search as the model-free fallback.  A
+`face` element message (x, y, width, height) is posted per frame like
+facedetect's.
+
 Divergences (documented):
-- facedetect needs OpenCV's trained Haar cascade XML files, which are
-  model data absent from this environment (and from the reference tree);
-  the detector here is a skin-density window search — the skindetect HSV
-  rules (gstskindetect.cpp:299-332) feed an integral image, and the
-  densest window across a static scale pyramid is the face box.  A
-  `face` element message (x, y, width, height) is posted per frame like
-  facedetect's.
 - the overlay is a raster image (PNG/PNM via PIL), not SVG (librsvg is a
   native renderer); it is pre-rendered at each detection scale on the
   host, and the per-frame composite picks the branch with lax.switch.
@@ -49,6 +51,12 @@ class FaceOverlay(VideoFilter):
     PROPERTIES = (
         Property("location", str, "", static=True,
                  doc="overlay image file (PNG/PNM; RGBA respected)"),
+        Property("profile", str,
+                 "/usr/share/opencv4/haarcascades/"
+                 "haarcascade_frontalface_default.xml", static=True),
+        Property("detector", str, "auto", static=True,
+                 doc="auto | haar | skin"),
+        Property("scale-factor", float, 1.25, 1.1, 10.0, static=True),
         Property("x", float, 0.0, static=True),
         Property("y", float, 0.0, static=True),
         Property("w", float, 1.0, 0.0, None, static=True),
@@ -59,6 +67,13 @@ class FaceOverlay(VideoFilter):
         spec = self.out_spec
         H, W = spec.height, spec.width
         self._rgb = VideoFormat.rgb_offsets(spec.format)[:3]
+        from gstbad_tpu.elements.cv.facedetect import _load
+        mode = self.props["detector"]
+        self._arrs = (_load(self.props["profile"])
+                      if mode in ("auto", "haar") else None)
+        if mode == "haar" and self._arrs is None:
+            raise ValueError("faceoverlay: detector=haar but profile "
+                             f"{self.props['profile']} is missing")
         # face windows per scale (static shapes)
         self._wins = []
         for s in _SCALES:
@@ -82,6 +97,30 @@ class FaceOverlay(VideoFilter):
                 self._overlays.append(jnp.asarray(o))
 
     def _detect(self, frame):
+        if self._arrs is not None:
+            return self._detect_haar(frame)
+        return self._detect_skin(frame)
+
+    def _detect_haar(self, frame):
+        """First Haar face box, snapped to the nearest overlay
+        scale -> (found, fy, fx, scale_idx)."""
+        from gstbad_tpu.elements.cv.facedetect import _detect_faces
+        r = frame[..., self._rgb[0]].astype(jnp.float32)
+        g = frame[..., self._rgb[1]].astype(jnp.float32)
+        b = frame[..., self._rgb[2]].astype(jnp.float32)
+        gray = jnp.clip((r * 4899 + g * 9617 + b * 1868 + 8192)
+                        / 16384.0, 0, 255)
+        boxes, valid = _detect_faces(
+            gray, self._arrs, self.props["scale-factor"], 3, 30, 30)
+        found = valid.any()
+        first = jnp.argmax(valid)
+        box = boxes[first]
+        hs = jnp.asarray([wn[0] for wn in self._wins], jnp.int32)
+        k = jnp.argmin(jnp.abs(hs - box[3])).astype(jnp.int32)
+        return found, box[1].astype(jnp.int32), \
+            box[0].astype(jnp.int32), k
+
+    def _detect_skin(self, frame):
         """Skin-density window search -> (found, fy, fx, scale_idx)."""
         r = frame[..., self._rgb[0]].astype(jnp.float32)
         g = frame[..., self._rgb[1]].astype(jnp.float32)

@@ -25,6 +25,7 @@ from typing import List, NamedTuple, Tuple
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from gstbad_tpu.io.haarcascade import HaarCascade
 
@@ -208,6 +209,187 @@ def detect_multi_scale(gray: jnp.ndarray, cascade: HaarCascade,
         scaled = jax.image.resize(gray.astype(jnp.float32), (sh, sw),
                                   "linear")
         passed, score = eval_cascade(scaled, cascade)
+        counts = jnp.zeros_like(passed, jnp.int32)
+        p = passed.astype(jnp.int32)
+        pad = jnp.pad(p, 1)
+        for dy in range(3):
+            for dx in range(3):
+                counts = counts + pad[dy:dy + p.shape[0],
+                                      dx:dx + p.shape[1]]
+        out.append({"passed": passed, "counts": counts, "score": score,
+                    "factor": factor,
+                    "size": (int(ww * factor), int(wh * factor))})
+        factor *= scale_factor
+    return out
+
+
+# -- data-driven evaluator for BIG cascades ---------------------------------
+# The unrolled eval_cascade traces one op chain per node — fine for the
+# ~150-feature in-tree hand models, unusable for the ~2000-feature
+# /usr/share/opencv4 face cascades (gstfacedetect.cpp/gstfaceblur.cpp
+# defaults).  This path packs the cascade into dense arrays and scans
+# over trees: per step, T_max<=2 node evaluations whose rect sums are
+# dynamic slices of the integral image; stage boundaries fold into the
+# scan carry (sum, pass-mask), so memory stays O(ny*nx).
+
+class CascadeArrays(NamedTuple):
+    rect_xy: np.ndarray      # [N, R, 2] int32 (ry, rx)
+    rect_wh: np.ndarray      # [N, R, 2] int32 (rh, rw)
+    rect_w: np.ndarray       # [N, R] float32 (0 = unused slot)
+    thr: np.ndarray          # [N] float32
+    leaf_l: np.ndarray       # [N] float32
+    leaf_r: np.ndarray       # [N] float32
+    child_l: np.ndarray      # [N] int32 local tree index, -1 = leaf
+    child_r: np.ndarray      # [N] int32
+    tree_nodes: np.ndarray   # [Ntrees, T_max] int32 global idx, -1 pad
+    stage_end: np.ndarray    # [Ntrees] bool: last tree of its stage
+    stage_thr: np.ndarray    # [Ntrees] float32 (valid where stage_end)
+    window: Tuple[int, int]  # (w, h)
+
+
+def compile_arrays(cascade: HaarCascade) -> CascadeArrays:
+    if any(n.tilted for s in cascade.stages for t in s.trees
+           for n in t.nodes):
+        raise ValueError("haar arrays: tilted features unsupported here")
+    nodes = [n for s in cascade.stages for t in s.trees for n in t.nodes]
+    n_nodes = len(nodes)
+    r_max = max(len(n.rects) for n in nodes)
+    t_max = max(len(t.nodes) for s in cascade.stages for t in s.trees)
+    rect_xy = np.zeros((n_nodes, r_max, 2), np.int32)
+    rect_wh = np.zeros((n_nodes, r_max, 2), np.int32)
+    rect_w = np.zeros((n_nodes, r_max), np.float32)
+    thr = np.zeros(n_nodes, np.float32)
+    leaf_l = np.zeros(n_nodes, np.float32)
+    leaf_r = np.zeros(n_nodes, np.float32)
+    child_l = np.full(n_nodes, -1, np.int32)
+    child_r = np.full(n_nodes, -1, np.int32)
+    tree_rows = []
+    stage_end = []
+    stage_thr = []
+    gi = 0
+    for s in cascade.stages:
+        for ti, t in enumerate(s.trees):
+            row = []
+            for n in t.nodes:
+                for ri, (rx, ry, rw, rh, wgt) in enumerate(n.rects):
+                    rect_xy[gi, ri] = (ry, rx)
+                    rect_wh[gi, ri] = (rh, rw)
+                    rect_w[gi, ri] = wgt
+                thr[gi] = n.threshold
+                leaf_l[gi] = 0.0 if n.left_val is None else n.left_val
+                leaf_r[gi] = 0.0 if n.right_val is None else n.right_val
+                child_l[gi] = -1 if n.left_node is None else n.left_node
+                child_r[gi] = -1 if n.right_node is None else n.right_node
+                row.append(gi)
+                gi += 1
+            tree_rows.append(row + [-1] * (t_max - len(row)))
+            stage_end.append(ti == len(s.trees) - 1)
+            stage_thr.append(s.threshold)
+    return CascadeArrays(
+        rect_xy, rect_wh, rect_w, thr, leaf_l, leaf_r, child_l, child_r,
+        np.asarray(tree_rows, np.int32), np.asarray(stage_end),
+        np.asarray(stage_thr, np.float32), cascade.window)
+
+
+def eval_cascade_arrays(gray: jnp.ndarray, arrs: CascadeArrays
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Data-driven eval_cascade: same stride-2 window grid, same
+    variance normalization, scan over trees."""
+    ww, wh = arrs.window
+    t_max = arrs.tree_nodes.shape[1]
+    if t_max > 2:
+        raise ValueError("haar arrays: trees deeper than 2 nodes "
+                         "unsupported (face cascades are stumps/pairs)")
+    h, w = gray.shape
+    ny = max((h - wh) // STRIDE + 1, 0)
+    nx = max((w - ww) // STRIDE + 1, 0)
+    ii = integral(gray)
+    sq = integral(gray.astype(jnp.float32) ** 2)
+    area = np.float32(ww * wh)
+    total = _rect_sum(ii, ny, nx, 0, 0, ww, wh)
+    total_sq = _rect_sum(sq, ny, nx, 0, 0, ww, wh)
+    mean = total / area
+    variance = jnp.maximum(total_sq / area - mean * mean, 0.0)
+    vnorm = jnp.where(variance > 0, jnp.sqrt(variance), 1.0)
+
+    sh = (STRIDE * (ny - 1) + 1, STRIDE * (nx - 1) + 1)
+    iif = ii.astype(jnp.float32)
+
+    def corner(dy, dx):
+        return lax.dynamic_slice(
+            iif, (dy.astype(jnp.int32), dx.astype(jnp.int32)),
+            sh)[::STRIDE, ::STRIDE]
+
+    def node_value(gidx):
+        gidx = jnp.maximum(gidx, 0)
+        acc = jnp.zeros((ny, nx), jnp.float32)
+        for r in range(arrs.rect_w.shape[1]):
+            ry = jnp.asarray(arrs.rect_xy)[gidx, r, 0]
+            rx = jnp.asarray(arrs.rect_xy)[gidx, r, 1]
+            rh = jnp.asarray(arrs.rect_wh)[gidx, r, 0]
+            rw = jnp.asarray(arrs.rect_wh)[gidx, r, 1]
+            wgt = jnp.asarray(arrs.rect_w)[gidx, r]
+            s = (corner(ry + rh, rx + rw) - corner(ry, rx + rw)
+                 - corner(ry + rh, rx) + corner(ry, rx))
+            acc = acc + wgt * s
+        return acc / area
+
+    thr = jnp.asarray(arrs.thr)
+    leaf_l = jnp.asarray(arrs.leaf_l)
+    leaf_r = jnp.asarray(arrs.leaf_r)
+    child_l = jnp.asarray(arrs.child_l)
+    child_r = jnp.asarray(arrs.child_r)
+
+    def tree_step(carry, inp):
+        st_sum, passed, score = carry
+        row, is_end, s_thr = inp
+        n0 = row[0]
+        f0 = node_value(n0)
+        go_l0 = f0 < thr[n0] * vnorm
+        if t_max == 2:
+            n1 = row[1]
+            f1 = node_value(n1)
+            go_l1 = f1 < thr[n1] * vnorm
+            v1 = jnp.where(go_l1, leaf_l[n1], leaf_r[n1])
+            has1 = (n1 >= 0).astype(jnp.float32)
+            v_left = jnp.where(child_l[n0] >= 0, v1 * has1, leaf_l[n0])
+            v_right = jnp.where(child_r[n0] >= 0, v1 * has1, leaf_r[n0])
+        else:
+            v_left = jnp.broadcast_to(leaf_l[n0], f0.shape)
+            v_right = jnp.broadcast_to(leaf_r[n0], f0.shape)
+        v = jnp.where(go_l0, v_left, v_right)
+        st_sum = st_sum + v
+        end = is_end.astype(jnp.float32)
+        new_passed = passed & ((st_sum >= s_thr) | ~is_end)
+        new_score = jnp.where(is_end, st_sum, score)
+        st_sum = st_sum * (1.0 - end)
+        return (st_sum, new_passed, new_score), None
+
+    init = (jnp.zeros((ny, nx), jnp.float32),
+            jnp.ones((ny, nx), bool),
+            jnp.zeros((ny, nx), jnp.float32))
+    (st_sum, passed, score), _ = lax.scan(
+        tree_step, init,
+        (jnp.asarray(arrs.tree_nodes), jnp.asarray(arrs.stage_end),
+         jnp.asarray(arrs.stage_thr)))
+    return passed, score
+
+
+def detect_multi_scale_arrays(gray: jnp.ndarray, arrs: CascadeArrays,
+                              scale_factor: float = 1.1,
+                              max_scales: int = 16) -> List[dict]:
+    """detect_multi_scale over the data-driven evaluator."""
+    ww, wh = arrs.window
+    h, w = gray.shape
+    out = []
+    factor = 1.0
+    for _ in range(max_scales):
+        sh2, sw2 = int(h / factor), int(w / factor)
+        if sh2 < wh or sw2 < ww:
+            break
+        scaled = jax.image.resize(gray.astype(jnp.float32), (sh2, sw2),
+                                  "linear")
+        passed, score = eval_cascade_arrays(scaled, arrs)
         counts = jnp.zeros_like(passed, jnp.int32)
         p = passed.astype(jnp.int32)
         pad = jnp.pad(p, 1)

@@ -886,3 +886,36 @@ def test_webrtcdsp_ns_speech_probability_bounds(rng):
     _, st2 = ops.noise_suppress(frames2, st, g_min)
     assert float(st2["prior_speech"][0]) > p_noise + 0.2
     assert 0.0 <= float(st2["prior_speech"][0]) <= 1.0
+
+
+def test_chromaprint_library_acoustid_compatible():
+    """engine=auto binds the REAL libchromaprint (the exact library the
+    reference wraps): the element's tag is byte-identical to a direct
+    chromaprint_feed/get_fingerprint of the same S16 stream — i.e.
+    Acoustid-compatible."""
+    from gstbad_tpu.io import chromaprint as cp
+    if not cp.available():
+        pytest.skip("libchromaprint not present")
+    rate = 44100
+    t = np.arange(rate * 5) / rate
+    sig = np.clip(12000 * np.sin(2 * np.pi * 440 * t)
+                  + 6000 * np.sin(2 * np.pi * 660 * (t + 0.1 * t * t)),
+                  -32768, 32767).astype(np.int16)
+    x = sig.reshape(5, -1, 1)
+    h = Harness("chromaprint", duration=4)
+    h.set_src_spec(_spec(AudioFormat.S16, 1, rate))
+    for i in range(5):       # 1 s windows: cap crossed exactly at 4 s
+        h.push(x[i:i + 1])
+    got = h.bus.pop(element="chromaprint")[0]["chromaprint-fingerprint"]
+    # whole buffers are fed until nsamples >= duration*rate (the
+    # reference's feed-then-check walk, gstchromaprint.c) -> exactly 4 s
+    want = cp.fingerprint(sig[:4 * rate], rate)
+    assert got == want
+    # engine=native still produces its own (non-Acoustid) fingerprint
+    h2 = Harness("chromaprint", duration=4, engine="native")
+    h2.set_src_spec(_spec(AudioFormat.S16, 1, rate))
+    for i in range(5):
+        h2.push(x[i:i + 1])
+    fp_n = h2.bus.pop(element="chromaprint")[0][
+        "chromaprint-fingerprint"]
+    assert fp_n and fp_n != got

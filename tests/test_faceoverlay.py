@@ -1,5 +1,7 @@
-"""faceoverlay: skin-density detection + overlay compositing
-(gstfaceoverlay.c positioning semantics)."""
+"""faceoverlay: detector=skin window search + overlay compositing
+(gstfaceoverlay.c positioning semantics; the synthetic skin-blob frame
+is below Haar detection, so these pin detector="skin" — the Haar
+default path is covered by tests/test_facedetect.py)."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -34,7 +36,7 @@ def _overlay_png(tmp_path):
 
 def test_face_message_and_overlay(rng, tmp_path):
     loc = _overlay_png(tmp_path)
-    el = gt.make("faceoverlay", location=loc)
+    el = gt.make("faceoverlay", location=loc, detector="skin")
     p = Pipeline([el])
     p.negotiate(MediaSpec(kind="video", format="RGBx", width=96, height=64))
     img = np.stack([_frame_with_face()] * 2)
@@ -55,7 +57,7 @@ def test_face_message_and_overlay(rng, tmp_path):
 
 def test_no_face_no_overlay(rng, tmp_path):
     loc = _overlay_png(tmp_path)
-    el = gt.make("faceoverlay", location=loc)
+    el = gt.make("faceoverlay", location=loc, detector="skin")
     p = Pipeline([el])
     p.negotiate(MediaSpec(kind="video", format="RGBx", width=96, height=64))
     img = np.zeros((1, 64, 96, 4), np.uint8)  # no skin anywhere
@@ -69,7 +71,7 @@ def test_offsets_scale_overlay(rng, tmp_path):
     """w/h scale the overlay relative to the face box
     (gstfaceoverlay.c:242-246)."""
     loc = _overlay_png(tmp_path)
-    el = gt.make("faceoverlay", location=loc, w=0.5, h=0.5)
+    el = gt.make("faceoverlay", location=loc, detector="skin", w=0.5, h=0.5)
     p = Pipeline([el])
     p.negotiate(MediaSpec(kind="video", format="RGBx", width=96, height=64))
     img = np.stack([_frame_with_face()])
