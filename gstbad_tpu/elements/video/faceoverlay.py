@@ -16,10 +16,11 @@ round-2 skin-density window search as the model-free fallback.  A
 `face` element message (x, y, width, height) is posted per frame like
 facedetect's.
 
-Divergences (documented):
-- the overlay is a raster image (PNG/PNM via PIL), not SVG (librsvg is a
-  native renderer); it is pre-rendered at each detection scale on the
-  host, and the per-frame composite picks the branch with lax.switch.
+Overlay (r3): SVG locations render through the REAL librsvg
+(io/rsvg.py — the exact library the reference's rsvgoverlay wraps),
+vector-rasterized at each detection scale on the host; PNG/PNM rasters
+remain supported via PIL.  The per-frame composite picks the scale
+branch with lax.switch.
 - in/out stays the negotiated packed format (the reference bin converts
   to BGRA for rsvgoverlay).
 """
@@ -40,6 +41,16 @@ from gstbad_tpu.ops import cv as cvops
 # detection window heights as fractions of the frame height (the static
 # scale pyramid); windows are square-ish like frontal-face cascades
 _SCALES = (0.5, 0.35, 0.25, 0.18)
+
+
+def _unpremultiply(bgra: np.ndarray) -> np.ndarray:
+    """cairo premultiplied B,G,R,A -> straight RGBA (round-half-up),
+    matching the straight-alpha composite the raster path uses."""
+    a = bgra[..., 3:4].astype(np.uint32)
+    rgb = bgra[..., [2, 1, 0]].astype(np.uint32)
+    straight = np.where(a > 0, np.minimum(
+        (rgb * 255 + a // 2) // np.maximum(a, 1), 255), 0)
+    return np.concatenate([straight, a], axis=-1).astype(np.uint8)
 _MIN_DENSITY = 0.35   # a window must be at least this skin-dense
 _STRIDE = 4           # window search stride in pixels
 
@@ -85,7 +96,19 @@ class FaceOverlay(VideoFilter):
             self._wins = [(min(8, H), min(8, W))]
         loc = self.props["location"]
         self._overlays = None
-        if loc:
+        if loc and self._is_svg(loc):
+            # the reference's actual format: SVG via librsvg (r3) —
+            # vector-rendered crisp at every detection scale
+            from gstbad_tpu.io import rsvg as iorsvg
+            svg = iorsvg.Svg.from_file(loc)
+            self._overlays = []
+            for (fh, fw) in self._wins:
+                sw = max(1, int(self.props["w"] * fw))
+                sh = max(1, int(self.props["h"] * fh))
+                bgra = svg.render(sw, sh, sx=sw / max(svg.width, 1),
+                                  sy=sh / max(svg.height, 1))
+                self._overlays.append(jnp.asarray(_unpremultiply(bgra)))
+        elif loc:
             from PIL import Image
             img = Image.open(loc).convert("RGBA")
             self._overlays = []
@@ -95,6 +118,19 @@ class FaceOverlay(VideoFilter):
                 o = np.asarray(img.resize((sw, sh), Image.BILINEAR),
                                np.uint8)
                 self._overlays.append(jnp.asarray(o))
+
+    @staticmethod
+    def _is_svg(loc: str) -> bool:
+        from gstbad_tpu.io import rsvg as iorsvg
+        if not iorsvg.available():
+            return False
+        if loc.lower().endswith((".svg", ".svgz")):
+            return True
+        try:
+            with open(loc, "rb") as f:
+                return iorsvg.looks_like_svg(f.read(4096))
+        except OSError:
+            return False
 
     def _detect(self, frame):
         if self._arrs is not None:
