@@ -28,7 +28,11 @@ class TtmlRender(VideoFilter):
     NAME = "ttmlrender"
     FORMATS = VideoFormat.PACKED_RGB4 + VideoFormat.PACKED_RGB3
 
-    PROPERTIES = ()
+    PROPERTIES = (
+        Property("face", str, "auto", static=True,
+                 doc="auto | pango | bitmap — pango is the reference's"
+                     " real text stack (io/ttml_pango.py)"),
+    )
 
     def __init__(self, **props):
         super().__init__(**props)
@@ -36,6 +40,14 @@ class TtmlRender(VideoFilter):
 
     def push_ttml(self, doc: str, pts_ns=None, duration_ns=None) -> None:
         self._docs.append((doc, pts_ns, duration_ns))
+
+    def _use_pango(self) -> bool:
+        from gstbad_tpu.io import pangocairo
+        face = self.props.get("face", "auto")
+        if face == "pango" and not pangocairo.available():
+            raise RuntimeError("ttmlrender: face=pango but "
+                               "pango/pangocairo is not available")
+        return face in ("auto", "pango") and pangocairo.available()
 
     def prepare(self):
         from gstbad_tpu.io import ttml
@@ -48,10 +60,16 @@ class TtmlRender(VideoFilter):
                     "ttmlrender: document is not framed by "
                     "<?xml ... </tt>")
             scenes += parsed
+        self._pango = self._use_pango()
+        if self._pango:
+            from gstbad_tpu.io import ttml_pango
+            render = lambda sc: ttml_pango.render_scene(sc, W, H)  # noqa: E731
+        else:
+            render = lambda sc: ttml.render_scene(sc, W, H)  # noqa: E731
         overlays = [np.zeros((H, W, 4), np.uint8)]
         begins, ends = [0], [0]
         for sc in scenes:
-            overlays.append(ttml.render_scene(sc, W, H))
+            overlays.append(render(sc))
             begins.append(sc.begin)
             ends.append(sc.end)
         self._ov = jnp.asarray(np.stack(overlays))
@@ -72,6 +90,18 @@ class TtmlRender(VideoFilter):
         a = ov[..., 3].astype(jnp.int32)
         d = batch.data.astype(jnp.int32)
         out = batch.data
+        if self._pango:
+            # premultiplied cairo overlay (B,G,R,A): pixman OVER —
+            # the blend GstVideoOverlayComposition performs on the
+            # reference's PREMULTIPLIED rectangles
+            for off, ch in ((ro, 2), (go, 1), (bo, 0)):
+                s = ov[..., ch].astype(jnp.int32)
+                t = d[..., off] * (jnp.int32(255) - a) + jnp.int32(0x80)
+                blended = jnp.minimum(
+                    s + ((t + (t >> jnp.int32(8))) >> jnp.int32(8)),
+                    jnp.int32(255))
+                out = out.at[..., off].set(blended.astype(jnp.uint8))
+            return state, batch.with_data(out)
         for off, ch in ((ro, 0), (go, 1), (bo, 2)):
             s = ov[..., ch].astype(jnp.int32)
             blended = (d[..., off] * (256 - a) + s * a) >> 8
