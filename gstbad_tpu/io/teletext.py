@@ -27,7 +27,18 @@ module implements it from the ETS 300 706 spec:
 
 Level 2.5/3.5 enhancement packets (X/26, X/28, ...) are accepted and
 ignored — the reference asks zvbi for VBI_WST_LEVEL_3p5; Level 1 is
-what this build renders (documented)."""
+what this build renders (documented).
+
+National option subsets (r3): the header's C12-C14 designation picks
+one of the ETS 300 706 table 36 Latin national subsets — 13 G0
+positions substituted per language.  The tables below are calibrated
+byte-for-byte against libzvbi's rendering (io/zvbi.py oracle;
+designation code = (c11_14 >> 1) & 7 in this module's nibble order):
+0 English, 1 French, 2 Swedish/Finnish/Hungarian, 3 Turkish (0x23 is
+zvbi's private-use U+E800 lira glyph, kept for oracle agreement),
+4 German, 5 Portuguese/Spanish, 6 Italian, 7 no subset (zvbi's
+fallback draws 0x24 as ¤ and 0x7C as ¦).  page_to_text maps them;
+the bitmap renderer keeps the base ASCII glyph (documented)."""
 
 from __future__ import annotations
 
@@ -86,6 +97,34 @@ class TeletextPage:
     suppress_header: bool
     chars: np.ndarray          # [26, 40] int (7-bit codes; row 0 header)
     rows_received: set = field(default_factory=set)
+    charset: int = 0           # C12-C14 national designation
+
+
+# G0 positions substituted by the national option subsets
+NATIONAL_POSITIONS = (0x23, 0x24, 0x40, 0x5B, 0x5C, 0x5D, 0x5E,
+                      0x5F, 0x60, 0x7B, 0x7C, 0x7D, 0x7E)
+
+# ETS 300 706 table 36 Latin subsets, zvbi-calibrated (module doc)
+NATIONAL_SUBSETS = {
+    0: "£$@←½→↑#—¼‖¾÷",          # English
+    1: "éïàëêùî#èâôûç",          # French
+    2: "#¤ÉÄÖÅÜ_éäöåü",          # Swedish/Finnish/Hungarian
+    3: "\ue800ğİŞÖÇÜĞışöçü",   # Turkish (U+E800 = zvbi lira glyph)
+    4: "#$§ÄÖÜ^_°äöüß",          # German
+    5: "ç$¡áéíóú¿üñèà",          # Portuguese/Spanish
+    6: "£$é°ç→↑#ùàòèì",          # Italian
+    7: "#¤@[\\]^_`{¦}~",         # no subset (zvbi fallback)
+}
+
+
+def national_char(code: int, charset: int) -> str:
+    """7-bit G0 code -> displayed character under the page's national
+    option subset."""
+    try:
+        idx = NATIONAL_POSITIONS.index(code)
+    except ValueError:
+        return chr(code)
+    return NATIONAL_SUBSETS[charset & 0x7][idx]
 
 
 class TeletextDecoder:
@@ -139,7 +178,8 @@ class TeletextDecoder:
                 pgno=pgno, subno=subno,
                 erase=bool(s2c4 & 0x8),
                 suppress_header=bool(c7_10 & 0x1),
-                chars=chars)
+                chars=chars,
+                charset=(c11_14 >> 1) & 0x7)
         elif 1 <= row <= 25:
             page = self._collect.get(mag)
             if page is None:
@@ -335,7 +375,7 @@ def page_to_text(page: TeletextPage, start: int = 0, stop: int = 24
     for r in range(start, stop + 1):
         cells = render_row_attrs(page.chars[r])
         line = "".join(
-            chr(cell.char)
+            national_char(cell.char, page.charset)
             if (0x20 <= cell.char < 0x7F and not cell.mosaic
                 and not cell.conceal) else " "
             for cell in cells)
@@ -434,13 +474,13 @@ def build_line(mag: int, row: int, payload: bytes) -> bytes:
 
 def build_header(mag: int, tens: int, units: int, subno: int = 0,
                  erase: bool = False, serial: bool = False,
-                 text: bytes = b" " * 32) -> bytes:
+                 charset: int = 0, text: bytes = b" " * 32) -> bytes:
     s1 = subno & 0xF
     s2 = ((subno >> 4) & 0x7) | (0x8 if erase else 0)
     s3 = (subno >> 8) & 0xF
     s4 = (subno >> 12) & 0x3
     c7_10 = 0
-    c11_14 = 0x1 if serial else 0
+    c11_14 = (0x1 if serial else 0) | ((charset & 0x7) << 1)
     payload = bytes(hamming84_encode(x)
                     for x in (units, tens, s1, s2, s3, s4, c7_10,
                               c11_14))

@@ -1,0 +1,138 @@
+"""libzvbi ctypes binding — the ORACLE for the from-spec teletext
+decoder (io/teletext.py).
+
+The reference teletextdec IS a zvbi wrapper (gstteletextdec.c:298-312
+vbi_decoder_new + vbi_event_handler_register(VBI_EVENT_TTX_PAGE),
+:536-553 vbi_decode with 0.04 s frame steps, :762-796
+vbi_fetch_vt_page + vbi_print_page_region).  This environment ships
+libzvbi.so.0, so tests can drive the EXACT library the reference uses
+against this repo's ETS 300 706 implementation and compare page text.
+
+Byte order: sliced data bytes are the 42 teletext-packet bytes in the
+same MSB-first convention the repo's builders emit (the reference
+rev8s raw DVB stream bytes into this form, gstteletextdec.c:1105).
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import List, Optional
+
+VBI_SLICED_TELETEXT_B = 0x00000003
+VBI_EVENT_TTX_PAGE = 0x0002
+VBI_ANY_SUBNO = 0x3F7F
+VBI_WST_LEVEL_1 = 0
+
+_lib = None
+_tried = False
+
+
+class Sliced(ctypes.Structure):
+    _fields_ = [("id", ctypes.c_uint32), ("line", ctypes.c_uint32),
+                ("data", ctypes.c_uint8 * 56)]
+
+
+_HANDLER = ctypes.CFUNCTYPE(None, ctypes.c_void_p, ctypes.c_void_p)
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    try:
+        lib = ctypes.CDLL("libzvbi.so.0")
+    except OSError:
+        return None
+    lib.vbi_decoder_new.restype = ctypes.c_void_p
+    lib.vbi_decoder_delete.argtypes = [ctypes.c_void_p]
+    lib.vbi_decode.argtypes = [ctypes.c_void_p, ctypes.POINTER(Sliced),
+                               ctypes.c_int, ctypes.c_double]
+    lib.vbi_event_handler_register.restype = ctypes.c_int
+    lib.vbi_event_handler_register.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, _HANDLER, ctypes.c_void_p]
+    lib.vbi_fetch_vt_page.restype = ctypes.c_int
+    lib.vbi_fetch_vt_page.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_int]
+    lib.vbi_print_page_region.restype = ctypes.c_int
+    lib.vbi_print_page_region.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.vbi_unref_page.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class ZvbiDecoder:
+    """vbi_decoder driven exactly like gstteletextdec.c does."""
+
+    def __init__(self):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("libzvbi not available")
+        self._lib = lib
+        self._dec = lib.vbi_decoder_new()
+        if not self._dec:
+            raise RuntimeError("vbi_decoder_new failed")
+        self.pages = []        # (pgno, subno) from TTX_PAGE events
+
+        def on_event(ev, user):
+            # vbi_event: {int type; network; ev.ttx_page {pgno, subno,
+            # ...}} — layout: type at 0, network ptr at 8,
+            # then the union; pgno/subno are the union's first ints
+            typ = ctypes.cast(ev, ctypes.POINTER(ctypes.c_int))[0]
+            if typ == VBI_EVENT_TTX_PAGE:
+                ints = ctypes.cast(ev + 16,
+                                   ctypes.POINTER(ctypes.c_int))
+                self.pages.append((ints[0], ints[1]))
+
+        self._cb = _HANDLER(on_event)    # keep alive
+        lib.vbi_event_handler_register(self._dec, VBI_EVENT_TTX_PAGE,
+                                       self._cb, None)
+        self._ts = 0.0
+
+    def __del__(self):
+        dec = getattr(self, "_dec", None)
+        if dec:
+            self._lib.vbi_decoder_delete(dec)
+            self._dec = None
+
+    def feed_frame(self, lines: List[bytes],
+                   vbi_lines: Optional[List[int]] = None) -> None:
+        """One video frame's worth of 42-byte teletext lines
+        (vbi_decode + the reference's 0.04 s step)."""
+        arr = (Sliced * max(len(lines), 1))()
+        for i, data in enumerate(lines):
+            arr[i].id = VBI_SLICED_TELETEXT_B
+            arr[i].line = (vbi_lines[i] if vbi_lines else 7 + i)
+            for j, b in enumerate(data):
+                arr[i].data[j] = b
+        self._lib.vbi_decode(self._dec, arr, len(lines), self._ts)
+        self._ts += 0.04
+
+    def fetch_text(self, pgno: int, subno: int = VBI_ANY_SUBNO,
+                   level: int = VBI_WST_LEVEL_1) -> Optional[List[str]]:
+        """vbi_fetch_vt_page + vbi_print_page_region(table=TRUE) ->
+        25 rows of 40 chars, or None when uncached.  pgno is BCD
+        (page 100 = 0x100), like the reference's vbi_bin2bcd walk."""
+        page = ctypes.create_string_buffer(1 << 19)
+        ok = self._lib.vbi_fetch_vt_page(self._dec, page, pgno, subno,
+                                         level, 25, 0)
+        if not ok:
+            return None
+        try:
+            buf = ctypes.create_string_buffer(25 * 41 * 4)
+            n = self._lib.vbi_print_page_region(
+                page, buf, len(buf), b"UTF-8", 1, 0, 0, 0, 40, 25)
+            if n <= 0:
+                return None
+            return buf.raw[:n].decode("utf-8").split("\n")
+        finally:
+            self._lib.vbi_unref_page(page)
