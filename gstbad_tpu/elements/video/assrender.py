@@ -39,6 +39,9 @@ class AssRender(VideoFilter):
                  doc="accepted for parity (no font attachments here)"),
         Property("wait-text", bool, False, static=True,
                  doc="accepted for parity (host-push model)"),
+        Property("face", str, "auto", static=True,
+                 doc="auto | pango | fixed — pango shapes glyphs with"
+                     " real fonts (io/ass._pango_span)"),
     )
 
     def __init__(self, **props):
@@ -57,12 +60,19 @@ class AssRender(VideoFilter):
         from gstbad_tpu.io import ass
         spec = self.out_spec
         H, W = spec.height, spec.width
+        face = self.props.get("face", "auto")
+        if face == "pango" and not ass.pango_available():
+            raise ValueError("assrender: face=pango but "
+                             "pango/pangocairo is not available")
+        self._face = "pango" if (face in ("auto", "pango")
+                                 and ass.pango_available()) else "fixed"
         times = sorted({t for ev in self._track.events
                         for t in (ev.start, ev.end)})
         overlays = [np.zeros((H, W, 4), np.uint8)]
         begins, ends = [0], [0]
         for i, t in enumerate(times[:-1]):
-            imgs = ass.render_events(self._track, t, W, H)
+            imgs = ass.render_events(self._track, t, W, H,
+                                     face=self._face)
             if not imgs:
                 continue
             overlays.append(ass.blit_bgra_premultiplied(imgs, W, H))

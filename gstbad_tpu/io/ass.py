@@ -105,6 +105,7 @@ def parse_ass_time(s: str) -> int:
 @dataclass
 class AssStyle:
     name: str = "Default"
+    font_name: str = "Arial"
     fontsize: float = 20.0
     primary: RGBA = (255, 255, 255, 255)
     secondary: RGBA = (255, 0, 0, 255)
@@ -130,6 +131,7 @@ class AssStyle:
 class SpanState:
     """The per-span render state the tag machine mutates (libass
     render_context analog)."""
+    font_name: str = "Arial"
     font_size: float = 20.0
     scale_x: float = 100.0
     scale_y: float = 100.0
@@ -150,7 +152,8 @@ class SpanState:
 
     @classmethod
     def from_style(cls, st: AssStyle) -> "SpanState":
-        return cls(font_size=st.fontsize, scale_x=st.scale_x,
+        return cls(font_name=st.font_name,
+                   font_size=st.fontsize, scale_x=st.scale_x,
                    scale_y=st.scale_y, spacing=st.spacing, bold=st.bold,
                    italic=st.italic, underline=st.underline,
                    strikeout=st.strikeout, primary=st.primary,
@@ -278,8 +281,13 @@ def _apply_tag(tok: str, st: SpanState, base: AssStyle,
         args = _floats(paren(tok[3:]))
         if len(args) >= 2 and lay.fad is None:
             lay.fad = (args[0], args[1])
-    elif tok.startswith("fn") or tok.startswith("fe"):
-        pass                       # font/encoding selection: bitmap face
+    elif tok.startswith("fn"):
+        # \fn<name> selects the font family (empty = style's font);
+        # honored by the pango face, base glyph under face=fixed
+        name = tok[2:].strip()
+        st = replace(st, font_name=name or base.font_name)
+    elif tok.startswith("fe"):
+        pass                       # font encoding: single-face build
     elif tok.startswith("iclip"):
         args = _floats(paren(tok[5:]))
         if len(args) >= 4 and lay.iclip is None:
@@ -436,6 +444,8 @@ class AssTrack:
         fields = value.split(",", len(self._style_format) - 1)
         d = {k: v.strip() for k, v in zip(self._style_format, fields)}
         st = AssStyle(name=d.get("Name", "Default"))
+        if "Fontname" in d and d["Fontname"]:
+            st.font_name = d["Fontname"].lstrip("@")
         if "Fontsize" in d:
             st.fontsize = float(d["Fontsize"])
         if "PrimaryColour" in d:
@@ -583,6 +593,60 @@ def _span_bitmap(span: Span, line_h: int, sy: float,
     return bm
 
 
+_PANGO_CACHE: Dict[tuple, Tuple[np.ndarray, int]] = {}
+
+
+def pango_available() -> bool:
+    from gstbad_tpu.io import pangocairo
+    return pangocairo.available()
+
+
+def _pango_span(st: SpanState, text: str, sy: float, sx: float
+                ) -> Tuple[np.ndarray, int]:
+    """Real-font span coverage via Pango shaping (the libass-FreeType
+    analog this environment can actually provide): -> (coverage u8
+    [h, w], advance width).  \\fscx applies as a horizontal resample;
+    \\fsp maps to pango letter_spacing."""
+    from xml.sax.saxutils import escape
+    font_px = max(4, int(st.font_size * sy * st.scale_y / 100.0))
+    spacing = int(round(st.spacing * sx * 1024))
+    key = (st.font_name, font_px, st.bold, st.italic, st.underline,
+           st.strikeout, round(st.scale_x, 2), spacing, text)
+    hit = _PANGO_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from gstbad_tpu.io import pangocairo as pc
+    fam = escape(st.font_name, {'"': "&quot;"})
+    attrs = [f'font_family="{fam}"', f'font="{font_px}px"',
+             f'font_weight="{"bold" if st.bold else "normal"}"',
+             f'font_style="{"italic" if st.italic else "normal"}"']
+    if st.underline:
+        attrs.append('underline="single"')
+    if st.strikeout:
+        attrs.append('strikethrough="true"')
+    if spacing:
+        attrs.append(f'letter_spacing="{spacing}"')
+    markup = "<span " + " ".join(attrs) + ">" + escape(text) + "</span>"
+    lay = pc.shared_layout()
+    lay.set_markup(markup)
+    lay.set_width(-1)
+    ink, logical = lay.pixel_extents()
+    w = max(1, logical.x + logical.width, ink.x + ink.width)
+    h = max(1, logical.y + logical.height, ink.y + ink.height)
+    cov = lay.show(w, h)[..., 3]
+    if st.scale_x != 100.0 and cov.shape[1] > 1:
+        new_w = max(1, int(round(cov.shape[1] * st.scale_x / 100.0)))
+        i0 = np.minimum((np.arange(new_w) * cov.shape[1]
+                         // max(new_w, 1)).astype(np.int64),
+                        cov.shape[1] - 1)
+        cov = cov[:, i0]
+    ret = (cov, cov.shape[1])
+    if len(_PANGO_CACHE) > 4096:
+        _PANGO_CACHE.clear()
+    _PANGO_CACHE[key] = ret
+    return ret
+
+
 def _grow(bm: np.ndarray, r: int) -> np.ndarray:
     """Square dilate by r px with a r-px border (libass outline analog)."""
     h, w = bm.shape
@@ -697,10 +761,13 @@ def _color_field(rgb_a: RGBA, fade: float) -> int:
 
 
 def render_events(track: AssTrack, time_ns: int, width: int,
-                  height: int) -> List[dict]:
+                  height: int, face: str = "fixed") -> List[dict]:
     """ASS_Image-list analog: [{'bitmap': [h, w] u8, 'dst_x', 'dst_y',
     'color': 0xRRGGBBAA with INVERTED alpha byte like libass}] for the
-    events active at @time_ns.  Events composite in (layer, order)."""
+    events active at @time_ns.  Events composite in (layer, order).
+    face='pango' shapes glyphs with real fonts (_pango_span);
+    'fixed' keeps the fixed-advance bitmap face."""
+    use_pango = face == "pango"
     images: List[dict] = []
     sx = width / track.play_res_x
     sy = height / track.play_res_y
@@ -729,14 +796,21 @@ def render_events(track: AssTrack, time_ns: int, width: int,
                 fh = max(4, int(style.fontsize * sy))
                 line_dims.append((fh, []))
                 continue
-            lh = max(_span_metrics(s.state, sy, sx)[0] for s in line)
-            widths = []
-            for s in line:
-                fh, cw, adv = _span_metrics(s.state, sy, sx)
-                n = len(s.text)
-                shear = fh // 4 if s.state.italic else 0
-                widths.append((s, (n * adv - (adv - cw) if n else 0)
-                               + shear))
+            if use_pango:
+                rendered = [(s, _pango_span(s.state, s.text, sy, sx))
+                            for s in line]
+                lh = max(cov.shape[0] for _, (cov, _w) in rendered)
+                widths = [(s, w) for s, (_cov, w) in rendered]
+            else:
+                lh = max(_span_metrics(s.state, sy, sx)[0]
+                         for s in line)
+                widths = []
+                for s in line:
+                    fh, cw, adv = _span_metrics(s.state, sy, sx)
+                    n = len(s.text)
+                    shear = fh // 4 if s.state.italic else 0
+                    widths.append((s, (n * adv - (adv - cw) if n
+                                       else 0) + shear))
             line_dims.append((lh, widths))
         text_h = sum(lh for lh, _ in line_dims)
         line_ws = [sum(w for _, w in ws) for _, ws in line_dims]
@@ -795,7 +869,12 @@ def render_events(track: AssTrack, time_ns: int, width: int,
                 if not span.text or w_span <= 0:
                     lx += w_span
                     continue
-                bm = _span_bitmap(span, lh, sy, sx)
+                if use_pango:
+                    cov, _w = _pango_span(st, span.text, sy, sx)
+                    bm = np.zeros((lh, cov.shape[1]), np.uint8)
+                    bm[lh - cov.shape[0]:] = cov
+                else:
+                    bm = _span_bitmap(span, lh, sy, sx)
                 k_on = (st.k_start_cs < 0 or rel_cs >= st.k_start_cs)
                 fill = st.primary if (st.k_start_cs < 0 or k_on
                                       or st.k_outline) else st.secondary

@@ -320,3 +320,96 @@ Dialogue: 0,0:00:00.00,0:00:10.00,Default,,0,0,0,,base
     # (shadow image of the layer-1 event uses the back colour)
     backs = [im for im in imgs if (im["color"] >> 8) & 0xFFFFFF == 0]
     assert backs                   # shadow/outline images present
+
+
+# -- pango face (r3): real-font glyph shaping --------------------------------
+
+needs_pango = pytest.mark.skipif(not ass.pango_available(),
+                                 reason="pango not present")
+
+
+@needs_pango
+def test_pango_span_shapes_real_glyphs():
+    st = ass.SpanState(font_name="DejaVu Sans", font_size=40)
+    cov, w = ass._pango_span(st, "Hello", 1.0, 1.0)
+    assert cov.ndim == 2 and w == cov.shape[1]
+    assert (cov > 0).any()
+    # antialiased coverage, not a binary mask
+    assert len(np.unique(cov)) > 2
+    # bold is wider/denser than regular at the same size
+    cov_b, w_b = ass._pango_span(
+        ass.SpanState(font_name="DejaVu Sans", font_size=40, bold=True),
+        "Hello", 1.0, 1.0)
+    assert cov_b.astype(int).sum() > cov.astype(int).sum()
+    # italic differs from regular
+    cov_i, _ = ass._pango_span(
+        ass.SpanState(font_name="DejaVu Sans", font_size=40,
+                      italic=True), "Hello", 1.0, 1.0)
+    assert cov_i.shape != cov.shape or (cov_i != cov).any()
+
+
+@needs_pango
+def test_pango_span_fscx_and_fsp():
+    st = ass.SpanState(font_name="DejaVu Sans", font_size=30)
+    cov, w = ass._pango_span(st, "abc", 1.0, 1.0)
+    wide, w2 = ass._pango_span(
+        ass.SpanState(font_name="DejaVu Sans", font_size=30,
+                      scale_x=200.0), "abc", 1.0, 1.0)
+    assert abs(w2 - 2 * w) <= 2
+    spaced, w3 = ass._pango_span(
+        ass.SpanState(font_name="DejaVu Sans", font_size=30,
+                      spacing=6.0), "abc", 1.0, 1.0)
+    assert w3 > w
+
+
+@needs_pango
+def test_fn_tag_changes_font():
+    t = _track(SCRIPT.replace(
+        "{\\b1}Top text{\\b0}",
+        "{\\fnDejaVu Serif}serif{\\fn}sans"))
+    lines, _ = ass.parse_dialogue_text(t.events[1].raw_text,
+                                       t.styles["Top"], t.styles)
+    spans = [s for line in lines for s in line]
+    assert spans[0].state.font_name == "DejaVu Serif"
+    assert spans[1].state.font_name == "Arial"     # \fn resets to style
+
+
+@needs_pango
+def test_render_events_pango_face():
+    t = _track()
+    imgs = ass.render_events(t, int(1.5e9), 640, 480, face="pango")
+    assert imgs
+    # fill + outline + shadow-free images present, coverage antialiased
+    assert any(len(np.unique(im["bitmap"])) > 2 for im in imgs)
+    over = ass.blit_bgra_premultiplied(imgs, 640, 480)
+    assert (over[..., 3] > 0).any()
+
+
+@needs_pango
+def test_element_pango_face_default(tmp_path):
+    el = gt.make("assrender")
+    el.push_script(SCRIPT)
+    p = Pipeline([el])
+    p.negotiate(MediaSpec(kind="video", format="RGBx", width=640,
+                          height=480,
+                          framerate=fractions.Fraction(1, 1)))
+    frames = np.zeros((2, 480, 640, 4), np.uint8)
+    pts = np.asarray([int(1.5e9), int(2.5e9)], np.int64)
+    outs = p.run(inputs=FrameBatch.make(jnp.asarray(frames),
+                                        pts=jnp.asarray(pts)))
+    out = np.asarray(outs[0].data)
+    assert el._face == "pango"
+    assert (out != frames).any()
+    # fixed face still selectable and renders differently
+    el2 = gt.make("assrender", face="fixed")
+    el2.push_script(SCRIPT)
+    p2 = Pipeline([el2])
+    p2.negotiate(MediaSpec(kind="video", format="RGBx", width=640,
+                           height=480,
+                           framerate=fractions.Fraction(1, 1)))
+    outs2 = p2.run(inputs=FrameBatch.make(jnp.asarray(frames),
+                                          pts=jnp.asarray(pts)))
+    out2 = np.asarray(outs2[0].data)
+    assert el2._face == "fixed"
+    assert (out2 != frames).any()
+    assert (out != out2).any()
