@@ -737,13 +737,25 @@ class CeaCcOverlay(Element):
     that completes DTVCC windows snapshots an overlay shown from its PTS
     until the next snapshot; `silent` mutes rendering;
     `service-number` selects the DTVCC service (1-63, default 1).
-    Rendering uses the fixed bitmap face (data/cc_font.npz) instead of
-    the reference's Pango/Cairo + font-desc markup — documented."""
+    Rendering (r3): face=pango (the default when the library is
+    present) runs the reference's ACTUAL render path — per-row span
+    markup from the per-char pen states, 'serif 36' font desc, the
+    shadow+outline cairo composite, image_to_ayuv's fixed-point
+    matrix, and the create_and_push_buffer anchor walk with
+    window-h-pos (center default like DEFAULT_PROP_WINDOW_H_POS) —
+    io/cea708.render_overlay_pango.  face=fixed keeps the bitmap-face
+    white-on-black raster as the library-free fallback."""
 
     NAME = "ceaccoverlay"
     PROPERTIES = (
         Property("silent", bool, False, static=True),
         Property("service-number", int, 1, 1, 63, static=True),
+        Property("face", str, "auto", static=True,
+                 doc="auto | pango | fixed"),
+        Property("window-h-pos", str, "center", static=True,
+                 doc="left | center | right | auto (the reference's "
+                     "auto reads an never-assigned h_anchor — quirk "
+                     "kept)"),
     )
 
     def __init__(self, **props):
@@ -772,12 +784,25 @@ class CeaCcOverlay(Element):
         return in_spec
 
     def _render_snapshots(self, width: int, height: int):
-        from gstbad_tpu.io.cea708 import render_overlay
+        from gstbad_tpu.io import cea708
+        face = self.props.get("face", "auto")
+        if face == "pango" and not cea708.pango_available():
+            raise ValueError("ceaccoverlay: face=pango but "
+                             "pango/pangocairo is not available")
+        use_pango = face in ("auto", "pango") \
+            and cea708.pango_available()
+        self._face = "pango" if use_pango else "fixed"
         out = []
         for pts, data in sorted(self._pending, key=lambda t: t[0]):
             if self._decoder.feed_cc_data(data):
-                out.append((pts, render_overlay(self._decoder, width,
-                                                height)))
+                if use_pango:
+                    canvas = cea708.render_overlay_pango(
+                        self._decoder, width, height,
+                        window_h_pos=self.props["window-h-pos"])
+                else:
+                    canvas = cea708.render_overlay(self._decoder,
+                                                   width, height)
+                out.append((pts, canvas))
         return out
 
     def process(self, params, state, batch: FrameBatch):

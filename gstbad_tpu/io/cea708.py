@@ -14,11 +14,15 @@ DLY/DLC, RST, SPA/SPC/SPL, SWA, DF0-7 with the full parameter layout
 the reference's pen-wrap/scroll semantics and anchor-point placement
 math (gstceaccoverlay.c:1308-1360).
 
-Rendering divergence (documented): the reference rasterizes through
-Pango/Cairo with span markup for pen colors/sizes; here windows render
-monochrome white-on-black through the fixed bitmap face in
-data/cc_font.npz.  Pen/window attribute commands are parsed and stored
-but only geometry and text affect the raster.
+Rendering (r3): render_overlay_pango runs the reference's ACTUAL
+Pango/Cairo path — per-char pen snapshots (SPA/SPC with the
+minimum-color map) drive show_pango_window's span-markup walk,
+render_text's 'serif 36' font desc + justify alignment, and
+render_pangocairo's shadow+outline composite; placement and AYUV
+conversion transcribe create_and_push_buffer/image_to_ayuv exactly
+(incl. the never-assigned h_anchor quirk in window-h-pos=auto).
+render_overlay keeps the library-free bitmap face (monochrome
+white-on-black via data/cc_font.npz) as the fallback.
 """
 
 from __future__ import annotations
@@ -56,6 +60,67 @@ CMD_SWA = 0x97
 CMD_DF0 = 0x98
 
 
+# CEA-708 minimum color list constants (gstcea708decoder.h:123-131)
+COLOR_INVALID = 0xFF
+COLOR_BLACK = 0x00
+COLOR_WHITE = 0x2A
+COLOR_RED = 0x20
+COLOR_GREEN = 0x08
+COLOR_BLUE = 0x02
+COLOR_YELLOW = 0x28
+COLOR_MAGENTA = 0x22
+COLOR_CYAN = 0x0A
+OPACITY_TRANSPARENT = 3        # gstcea708decoder.h:166-169
+
+COLOR_NAMES = {COLOR_BLACK: "black", COLOR_WHITE: "white",
+               COLOR_RED: "red", COLOR_GREEN: "green",
+               COLOR_BLUE: "blue", COLOR_YELLOW: "yellow",
+               COLOR_MAGENTA: "magenta", COLOR_CYAN: "cyan"}
+
+FONT_NAMES = ("serif", "courier", "times new roman", "helvetica",
+              "Arial", "Dom Casual", "Coronet", "Gothic")
+PEN_SIZE_NAMES = ("30", "36", "42")
+
+
+def map_minimum_color(color: int) -> int:
+    """gst_cea708dec_map_minimum_color: quantize each 2-bit channel
+    to the spec's minimum color list (1 -> 0, 3 -> 2)."""
+    r = (color & 0x30) >> 4
+    if r == 1:
+        color &= 0x0F
+    elif r == 3:
+        color &= 0x2F
+    g = (color & 0x0C) >> 2
+    if g == 1:
+        color &= 0x33
+    elif g == 3:
+        color &= 0x3B
+    b = color & 0x3
+    if b == 1:
+        color &= 0x3C
+    elif b == 3:
+        color &= 0x3E
+    return color
+
+
+@dataclass(frozen=True)
+class PenState:
+    """cea708char's pen snapshot (pen_color + pen_attributes),
+    defaults per gst_cea708dec_init_window."""
+    fg_color: int = COLOR_WHITE
+    fg_opacity: int = 0                 # SOLID
+    bg_color: int = COLOR_BLACK
+    bg_opacity: int = 0
+    edge_color: int = COLOR_BLACK
+    pen_size: int = 1                   # PEN_SIZE_STANDARD
+    font_style: int = 0                 # FONT_STYLE_DEFAULT
+    italics: bool = False
+    underline: bool = False
+    edge_type: int = 0
+    text_tag: int = 0
+    offset: int = 0
+
+
 @dataclass
 class Window:
     deleted: bool = True
@@ -74,13 +139,19 @@ class Window:
     justify_mode: int = 0
     pen_color: int = 0
     pen_attributes: int = 0
+    pen: PenState = field(default_factory=PenState)
     text: List[List[int]] = field(default_factory=lambda: [
         [0x20] * WINDOW_MAX_COLS for _ in range(WINDOW_MAX_ROWS)])
+    pens: List[List[PenState]] = field(default_factory=lambda: [
+        [PenState()] * WINDOW_MAX_COLS for _ in range(WINDOW_MAX_ROWS)])
 
     def clear_text(self):
+        # clear_window_text stamps the CURRENT pen into every cell
+        # (gstcea708decoder.c:1297-1311)
         for r in range(WINDOW_MAX_ROWS):
             for c in range(WINDOW_MAX_COLS):
                 self.text[r][c] = 0x20
+                self.pens[r][c] = self.pen
         self.pen_row = 0
         self.pen_col = 0
 
@@ -249,10 +320,30 @@ class Cea708Decoder:
             self.current_window = 0
         elif c == CMD_SPA:
             self.output_ignore = 2
-            win.pen_attributes = (arg << 8) | (
-                buf[index + 2] if index + 2 < len(buf) else 0)
+            b2 = buf[index + 2] if index + 2 < len(buf) else 0
+            win.pen_attributes = (arg << 8) | b2
+            # gst_cea708dec_set_pen_attributes field layout
+            from dataclasses import replace as _rep
+            win.pen = _rep(win.pen,
+                           pen_size=arg & 0x3,
+                           text_tag=(arg & 0xF0) >> 4,
+                           offset=(arg & 0xC0) >> 2,
+                           font_style=b2 & 0x7,
+                           italics=bool(b2 & 0x80),
+                           underline=bool(b2 & 0x40),
+                           edge_type=(b2 & 0x38) >> 3)
         elif c == CMD_SPC:
             self.output_ignore = 3
+            b2 = buf[index + 2] if index + 2 < len(buf) else 0
+            b3 = buf[index + 3] if index + 3 < len(buf) else 0
+            # gst_cea708dec_set_pen_color + minimum-color mapping
+            from dataclasses import replace as _rep
+            win.pen = _rep(win.pen,
+                           fg_color=map_minimum_color(arg & 0x3F),
+                           fg_opacity=(arg & 0xC0) >> 6,
+                           bg_color=map_minimum_color(b2 & 0x3F),
+                           bg_opacity=(b2 & 0xC0) >> 6,
+                           edge_color=map_minimum_color(b3 & 0x3F))
         elif c == CMD_SPL:
             self.output_ignore = 2
             win.pen_row = arg & 0x0F
@@ -324,9 +415,13 @@ class Cea708Decoder:
         if win.pen_row >= win.row_count:
             if win.scroll_direction == 3:               # BOTTOM_TO_TOP
                 win.text = win.text[1:] + [[0x20] * WINDOW_MAX_COLS]
+                win.pens = win.pens[1:] + [[win.pen] * WINDOW_MAX_COLS]
             win.pen_row = win.row_count - 1
         if c != 0x0D:
             win.text[win.pen_row][win.pen_col] = c
+            # each cell snapshots the current pen as it is written
+            # (gstcea708dec window_add_char)
+            win.pens[win.pen_row][win.pen_col] = win.pen
             win.updated = True
             if win.print_direction == 0:
                 win.pen_col += 1
@@ -407,4 +502,252 @@ def render_overlay(decoder: Cea708Decoder, width: int, height: int
         canvas[ys, xs, 1] = np.maximum(canvas[ys, xs, 1], patch)
         canvas[ys, xs, 2] = 128
         canvas[ys, xs, 3] = 128
+    return canvas
+
+
+# -- the reference's Pango render path (r3) ----------------------------------
+# gst_cea708dec_show_pango_window -> render_text -> render_pangocairo
+# (gstcea708decoder.c:983-1280, 415-483) over the real Pango/Cairo.
+
+_CC_LAYOUT = None
+
+
+def _cc_layout():
+    """A dedicated PangoLayout for the CC renderer (alignment state is
+    per-layout; don't disturb the ttml renderer's shared one)."""
+    global _CC_LAYOUT
+    if _CC_LAYOUT is None:
+        from gstbad_tpu.io import pangocairo
+        _CC_LAYOUT = pangocairo.Layout()
+    return _CC_LAYOUT
+
+
+def pango_available() -> bool:
+    from gstbad_tpu.io import pangocairo
+    return pangocairo.available()
+
+
+_ESCAPES = {0x26: "&amp;", 0x3C: "&lt;", 0x3E: "&gt;",
+            0x27: "&apos;", 0x22: "&quot;"}
+
+
+class _SpanControl:
+    """cea708PangoSpanControl (init per gstcea708decoder.c:919-928)."""
+
+    def __init__(self):
+        self.size = 1                    # PEN_SIZE_STANDARD
+        self.fg_color = COLOR_WHITE
+        self.bg_color = COLOR_INVALID
+        self.font_style = 0              # FONT_STYLE_DEFAULT
+        self.underline = False
+        self.italics = False
+        self.start_flag = False
+        self.end_flag = False
+        self.txt_flag = False
+        self.next_flag = False
+
+    def differs(self, pen: PenState) -> bool:
+        return (pen.underline != self.underline
+                or pen.italics != self.italics
+                or pen.font_style != self.font_style
+                or pen.pen_size != self.size
+                or pen.fg_color != self.fg_color
+                or pen.bg_color != self.bg_color)
+
+    def dirty(self) -> bool:
+        return (self.underline or self.italics or self.font_style != 0
+                or self.size != 1 or self.fg_color != COLOR_WHITE
+                or self.bg_color != COLOR_INVALID)
+
+
+def window_markup(win: Window,
+                  default_font_desc: Optional[str] = None
+                  ) -> Optional[str]:
+    """show_pango_window's line_buffer walk: per-row pango markup with
+    span transitions on (underline, italics, font_style, pen_size,
+    fg, bg); colors gated on bg_opacity != TRANSPARENT (the
+    reference's quirk — it tests bg_opacity for the foreground too)."""
+    display = any(win.text[r][c] != 0x20
+                  for r in range(win.row_count)
+                  for c in range(win.column_count))
+    if not display:
+        return None
+    out: List[str] = []
+    for row in range(win.row_count):
+        had_text = False
+        for col in range(win.column_count):
+            if win.text[row][col] == 0x20:
+                continue
+            had_text = True
+            buf: List[str] = []
+            ctrl = _SpanControl()
+            right_index = WINDOW_MAX_COLS - 1
+            for i in range(WINDOW_MAX_COLS - 1, col - 1, -1):
+                if win.text[row][i] != 0x20:
+                    right_index = i
+                    break
+            for i in range(right_index + 1):
+                pen = win.pens[row][i]
+                c = win.text[row][i]
+                while True:
+                    if ctrl.differs(pen):
+                        if not ctrl.next_flag:
+                            # end current span, re-check vs defaults
+                            if ctrl.start_flag and not ctrl.end_flag:
+                                buf.append("</span>")
+                                ctrl.start_flag = False
+                                ctrl.txt_flag = False
+                                ctrl.end_flag = True
+                            if ctrl.end_flag:
+                                ctrl = _SpanControl()
+                                ctrl.next_flag = True
+                                continue
+                        if not ctrl.start_flag:
+                            buf.append("<span")
+                            ctrl.start_flag = True
+                            ctrl.end_flag = False
+                        if pen.underline:
+                            buf.append(" underline='single'")
+                            ctrl.underline = True
+                        if pen.italics:
+                            buf.append(" style='italic'")
+                            ctrl.italics = True
+                        if default_font_desc is None:
+                            font = FONT_NAMES[pen.font_style & 0x7]
+                            size_name = PEN_SIZE_NAMES[
+                                min(pen.pen_size, 2)]
+                            buf.append(f" font_desc='{font} "
+                                       f"{size_name}'")
+                        ctrl.font_style = pen.font_style
+                        ctrl.size = pen.pen_size
+                        if pen.bg_opacity != OPACITY_TRANSPARENT:
+                            fg = COLOR_NAMES.get(pen.fg_color, "black")
+                            buf.append(f" foreground='{fg}'")
+                            ctrl.fg_color = pen.fg_color
+                            bg = COLOR_NAMES.get(pen.bg_color, "black")
+                            buf.append(f" background='{bg}'")
+                            ctrl.bg_color = pen.bg_color
+                        if ctrl.start_flag and not ctrl.txt_flag:
+                            buf.append(">")
+                            ctrl.txt_flag = True
+                    ctrl.next_flag = False
+                    break
+                buf.append(_ESCAPES.get(c, chr(c)))
+            if ctrl.dirty():
+                if ctrl.start_flag and not ctrl.end_flag:
+                    buf.append("</span>")
+            if row != win.row_count - 1:
+                buf.append("\n")
+            out.append("".join(buf))
+            break
+        if not had_text and row != win.row_count - 1:
+            out.append("\n")
+    return "".join(out) if out else None
+
+
+def render_window_pango(win: Window,
+                        default_font_desc: Optional[str] = None
+                        ) -> Optional[np.ndarray]:
+    """One window -> premultiplied B,G,R,A text image via the
+    reference's exact layout walk (render_text + render_pangocairo:
+    justify alignment, 'serif 36' default font desc, shadow =
+    size/13, outline = max(size/15, 1))."""
+    from gstbad_tpu.io import pangocairo as pc
+    markup = window_markup(win, default_font_desc)
+    if not markup:
+        return None
+    lay = _cc_layout()
+    # JUSTIFY_LEFT/FULL -> PANGO_ALIGN_LEFT, RIGHT -> 2, CENTER -> 1
+    lay.set_alignment({0: 0, 1: 2, 2: 1}.get(win.justify_mode, 0))
+    lay.set_markup(markup)
+    lay.set_width(-1)
+    desc = default_font_desc or f"{FONT_NAMES[0]} {PEN_SIZE_NAMES[1]}"
+    size = lay.set_font_description(desc)
+    if size is None:
+        return None
+    font_size = size / pc.PANGO_SCALE
+    shadow_offset = font_size / 13.0
+    outline_offset = max(font_size / 15.0, 1.0)
+    return lay.render_cc_window(shadow_offset, outline_offset)
+
+
+def _unpremultiply_argb(img: np.ndarray) -> np.ndarray:
+    """CAIRO_UNPREMULTIPLY (gstceaccoverlay.c:1216): c*255/a with the
+    +a/2 rounding."""
+    a = img[..., 3].astype(np.uint32)
+    out = img.copy()
+    for ch in range(3):
+        c = img[..., ch].astype(np.uint32)
+        out[..., ch] = np.where(
+            a > 0, np.minimum((c * 255 + a // 2) // np.maximum(a, 1),
+                              255), 0).astype(np.uint8)
+    return out
+
+
+def render_overlay_pango(decoder: Cea708Decoder, width: int,
+                         height: int, window_h_pos: str = "center",
+                         default_font_desc: Optional[str] = None
+                         ) -> np.ndarray:
+    """Visible windows -> [height, width, 4] AYUV overlay through the
+    reference's Pango path: per-window text images placed with the
+    create_and_push_buffer anchor walk (v from screen_vertical;
+    horizontal per window-h-pos, default center like
+    DEFAULT_PROP_WINDOW_H_POS; the reference's `auto` mode reads an
+    h_anchor variable that is never assigned — quirk kept) and
+    converted with image_to_ayuv's exact fixed-point matrix."""
+    canvas = np.zeros((height, width, 4), np.uint8)
+    for win in decoder.windows:
+        if win.deleted or not win.visible:
+            continue
+        img = render_window_pango(win, default_font_desc)
+        if img is None:
+            continue
+        ih, iw = img.shape[:2]
+        v_anchor = int(win.screen_vertical * height / 100)
+        h_anchor = 0                   # gstceaccoverlay.c:1274 (unset)
+        if window_h_pos == "left":
+            h_offset = 0
+        elif window_h_pos == "center":
+            h_offset = (width - iw) // 2
+        elif window_h_pos == "right":
+            h_offset = width - iw
+        else:                          # auto: the reference quirk
+            ap = win.anchor_point
+            if ap in (0, 3, 6):
+                h_offset = h_anchor
+            elif ap in (1, 4, 7):
+                h_offset = h_anchor - iw // 2
+            else:
+                h_offset = h_anchor - iw
+        if win.anchor_point in (0, 1, 2):
+            v_offset = v_anchor
+        elif win.anchor_point in (3, 4, 5):
+            v_offset = v_anchor - ih // 2
+        else:
+            v_offset = v_anchor - ih
+        # clip to frame
+        x0, y0 = h_offset, v_offset
+        sx0, sy0 = max(0, -x0), max(0, -y0)
+        dx0, dy0 = max(0, x0), max(0, y0)
+        w = min(iw - sx0, width - dx0)
+        h = min(ih - sy0, height - dy0)
+        if w <= 0 or h <= 0:
+            continue
+        sub = _unpremultiply_argb(img[sy0:sy0 + h, sx0:sx0 + w])
+        b = sub[..., 0].astype(np.int32)
+        g = sub[..., 1].astype(np.int32)
+        r = sub[..., 2].astype(np.int32)
+        a = sub[..., 3]
+        y = np.clip((19595 * r >> 16) + (38470 * g >> 16)
+                    + (7471 * b >> 16), 0, 255)
+        u = np.clip(-(11059 * r >> 16) - (21709 * g >> 16)
+                    + (32768 * b >> 16) + 128, 0, 255)
+        v = np.clip((32768 * r >> 16) - (27439 * g >> 16)
+                    - (5329 * b >> 16) + 128, 0, 255)
+        patch = np.stack([a, y.astype(np.uint8), u.astype(np.uint8),
+                          v.astype(np.uint8)], axis=-1).astype(np.uint8)
+        region = canvas[dy0:dy0 + h, dx0:dx0 + w]
+        mask = a > 0
+        region[mask] = patch[mask]
+        canvas[dy0:dy0 + h, dx0:dx0 + w] = region
     return canvas

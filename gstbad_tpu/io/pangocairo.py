@@ -71,10 +71,41 @@ def _load():
     pango.pango_layout_get_text.restype = ctypes.c_char_p
     pango.pango_layout_get_text.argtypes = [ctypes.c_void_p]
 
+    pango.pango_layout_set_alignment.argtypes = [ctypes.c_void_p,
+                                                 ctypes.c_int]
+    pango.pango_font_description_from_string.restype = ctypes.c_void_p
+    pango.pango_font_description_from_string.argtypes = [
+        ctypes.c_char_p]
+    pango.pango_font_description_free.argtypes = [ctypes.c_void_p]
+    pango.pango_font_description_get_size.restype = ctypes.c_int
+    pango.pango_font_description_get_size.argtypes = [ctypes.c_void_p]
+    pango.pango_layout_set_font_description.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p]
+    pangocairo.pango_cairo_layout_path.argtypes = [ctypes.c_void_p,
+                                                   ctypes.c_void_p]
+
     cairo.cairo_image_surface_create.restype = ctypes.c_void_p
     cairo.cairo_image_surface_create.argtypes = [ctypes.c_int,
                                                  ctypes.c_int,
                                                  ctypes.c_int]
+    cairo.cairo_set_operator.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    cairo.cairo_paint.argtypes = [ctypes.c_void_p]
+    cairo.cairo_save.argtypes = [ctypes.c_void_p]
+    cairo.cairo_restore.argtypes = [ctypes.c_void_p]
+    cairo.cairo_set_source_rgba.argtypes = [
+        ctypes.c_void_p, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double]
+    cairo.cairo_set_source_rgb.argtypes = [
+        ctypes.c_void_p, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double]
+    cairo.cairo_set_line_width.argtypes = [ctypes.c_void_p,
+                                           ctypes.c_double]
+    cairo.cairo_stroke.argtypes = [ctypes.c_void_p]
+    cairo.cairo_set_source_surface.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_double,
+        ctypes.c_double]
+    cairo.cairo_translate.argtypes = [ctypes.c_void_p, ctypes.c_double,
+                                      ctypes.c_double]
     cairo.cairo_create.restype = ctypes.c_void_p
     cairo.cairo_create.argtypes = [ctypes.c_void_p]
     cairo.cairo_destroy.argtypes = [ctypes.c_void_p]
@@ -177,6 +208,81 @@ class Layout:
         finally:
             cairo.cairo_destroy(cr)
             cairo.cairo_surface_destroy(surface)
+
+
+    def set_alignment(self, align: int) -> None:
+        """0 left, 1 center, 2 right (PangoAlignment)."""
+        self._pango.pango_layout_set_alignment(self._layout, int(align))
+
+    def set_font_description(self, desc: str) -> Optional[int]:
+        """pango_font_description_from_string + set; returns the
+        description's size in pango units (None on parse failure)."""
+        d = self._pango.pango_font_description_from_string(
+            desc.encode())
+        if not d:
+            return None
+        try:
+            size = self._pango.pango_font_description_get_size(d)
+            self._pango.pango_layout_set_font_description(self._layout,
+                                                          d)
+            return int(size)
+        finally:
+            self._pango.pango_font_description_free(d)
+
+    def render_cc_window(self, shadow_offset: float,
+                         outline_offset: float) -> np.ndarray:
+        """gst_cea708dec_render_pangocairo (gstcea708decoder.c:416-483)
+        over the current layout: A8 shadow (translate by shadow_offset,
+        50% black) + black layout-path outline stroke, white text on
+        ARGB32, shadow composited DEST_OVER -> [h, w, 4] u8 premul
+        B,G,R,A."""
+        cairo = self._cairo
+        ink, logical = self.pixel_extents()
+        width = max(1, logical.width + int(shadow_offset))
+        height = max(1, logical.height + logical.y + int(shadow_offset))
+
+        surf_shadow = cairo.cairo_image_surface_create(2, width, height)
+        shadow = cairo.cairo_create(surf_shadow)
+        cairo.cairo_set_operator(shadow, 0)            # CLEAR
+        cairo.cairo_paint(shadow)
+        cairo.cairo_set_operator(shadow, 2)            # OVER
+        cairo.cairo_save(shadow)
+        cairo.cairo_set_source_rgba(shadow, 0.0, 0.0, 0.0, 0.5)
+        cairo.cairo_translate(shadow, float(shadow_offset),
+                              float(shadow_offset))
+        self._pangocairo.pango_cairo_show_layout(shadow, self._layout)
+        cairo.cairo_restore(shadow)
+        cairo.cairo_save(shadow)
+        cairo.cairo_set_source_rgb(shadow, 0.0, 0.0, 0.0)
+        cairo.cairo_set_line_width(shadow, float(outline_offset))
+        self._pangocairo.pango_cairo_layout_path(shadow, self._layout)
+        cairo.cairo_stroke(shadow)
+        cairo.cairo_restore(shadow)
+        cairo.cairo_destroy(shadow)
+
+        surf = cairo.cairo_image_surface_create(0, width, height)
+        crt = cairo.cairo_create(surf)
+        try:
+            cairo.cairo_set_operator(crt, 0)           # CLEAR
+            cairo.cairo_paint(crt)
+            cairo.cairo_set_operator(crt, 2)           # OVER
+            cairo.cairo_set_source_rgb(crt, 1.0, 1.0, 1.0)
+            cairo.cairo_save(crt)
+            self._pangocairo.pango_cairo_show_layout(crt, self._layout)
+            cairo.cairo_restore(crt)
+            cairo.cairo_set_operator(crt, 6)           # DEST_OVER
+            cairo.cairo_set_source_surface(crt, surf_shadow, 0.0, 0.0)
+            cairo.cairo_paint(crt)
+            cairo.cairo_surface_flush(surf)
+            data = cairo.cairo_image_surface_get_data(surf)
+            stride = cairo.cairo_image_surface_get_stride(surf)
+            raw = np.ctypeslib.as_array(
+                data, shape=(height, stride))[:, :width * 4]
+            return raw.reshape(height, width, 4).copy()
+        finally:
+            cairo.cairo_destroy(crt)
+            cairo.cairo_surface_destroy(surf)
+            cairo.cairo_surface_destroy(surf_shadow)
 
 
 _shared: Optional[Layout] = None

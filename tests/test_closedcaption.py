@@ -315,3 +315,116 @@ def test_ceaccoverlay_element():
     out2 = np.asarray(p2.run(
         inputs=FrameBatch.make(jnp.asarray(img), pts=pts))[0].data)
     np.testing.assert_array_equal(out2, img)
+
+
+# -- ceaccoverlay pango face (r3): the reference's actual render path --------
+
+import pytest
+
+
+def _pango_ok():
+    from gstbad_tpu.io import cea708 as C
+    return C.pango_available()
+
+
+needs_pango708 = pytest.mark.skipif(not _pango_ok(),
+                                    reason="pango not present")
+
+
+def _decoder_with_styled_text():
+    from gstbad_tpu.io import cea708 as C
+    dec = C.Cea708Decoder()
+    df0 = bytes([C.CMD_DF0, 0x20, 30, 40, (0 << 4) | 1, 31, 0])
+    # SPA: pen_size standard, italics+underline on the styled run
+    spa_italic = bytes([C.CMD_SPA, 0x01, 0x80 | 0x40])
+    spa_plain = bytes([C.CMD_SPA, 0x01, 0x00])
+    # SPC: red foreground on black
+    spc_red = bytes([C.CMD_SPC, 0x20, 0x00, 0x00])
+    seq = (df0 + b"AB" + spa_italic + spc_red + b"CD"
+           + spa_plain + b"EF" + bytes([0x03]))
+    dec.feed_cc_data(_cc_data_from_dtvcc(_dtvcc_packet(
+        _svc_block(1, seq[:31]))))
+    # payload may exceed one service block: send the rest if any
+    rest = seq[31:]
+    if rest:
+        dec.feed_cc_data(_cc_data_from_dtvcc(_dtvcc_packet(
+            _svc_block(1, rest))))
+    dec.feed_cc_data(_cc_data_from_dtvcc(_dtvcc_packet(
+        _svc_block(1, bytes([0x03])))))
+    return dec
+
+
+def test_cea708_pen_state_snapshots():
+    from gstbad_tpu.io import cea708 as C
+    dec = _decoder_with_styled_text()
+    win = dec.windows[0]
+    assert "".join(chr(c) for c in win.text[0][:6]) == "ABCDEF"
+    assert not win.pens[0][0].italics
+    assert win.pens[0][2].italics and win.pens[0][2].underline
+    assert win.pens[0][2].fg_color == C.COLOR_RED
+    assert not win.pens[0][4].italics          # SPA reset
+    assert win.pens[0][4].fg_color == C.COLOR_RED   # color persists
+
+
+@needs_pango708
+def test_cea708_window_markup_spans():
+    from gstbad_tpu.io import cea708 as C
+    dec = _decoder_with_styled_text()
+    markup = C.window_markup(dec.windows[0])
+    # default-pen text renders inside a white-on-black span
+    assert markup.startswith("<span font_desc='serif 36' "
+                             "foreground='white' background='black'>AB")
+    assert (" underline='single' style='italic' font_desc='serif 36'"
+            " foreground='red' background='black'>CD") in markup
+    # SPA reset closes the styled span; red persists from SPC
+    assert "foreground='red' background='black'>EF" in markup
+    assert markup.count("</span>") >= 2
+
+
+@needs_pango708
+def test_cea708_render_overlay_pango_geometry():
+    from gstbad_tpu.io import cea708 as C
+    dec = _decoder_with_styled_text()
+    ov = C.render_overlay_pango(dec, 640, 480)
+    a = ov[..., 0]
+    assert (a > 0).any()
+    ys, xs = np.nonzero(a)
+    # window-h-pos center: image centered horizontally
+    mid = (xs.min() + xs.max()) / 2
+    assert abs(mid - 320) < 40
+    # red glyphs present: V plane high where fg=red
+    red = (a > 200) & (ov[..., 3] > 180)
+    assert red.any()
+
+
+@needs_pango708
+def test_ceaccoverlay_element_pango_face():
+    import gstbad_tpu as gt
+    from gstbad_tpu.core.pipeline import Pipeline
+    from gstbad_tpu.io import cea708 as C
+    df0 = bytes([C.CMD_DF0, 0x20, 30, 40, 0x01, 15, 0])
+    seq = df0 + b"CAPTION" + bytes([0x03])
+    cc = _cc_data_from_dtvcc(_dtvcc_packet(_svc_block(1, seq))) \
+        + _cc_data_from_dtvcc(_dtvcc_packet(_svc_block(1,
+                                                       bytes([0x03]))))
+    el = gt.make("ceaccoverlay")
+    el.push_cc(cc, pts_ns=0)
+    p = Pipeline([el])
+    p.negotiate(MediaSpec(kind="video", format="AYUV",
+                          width=320, height=240))
+    frames = np.full((2, 240, 320, 4), 64, np.uint8)
+    outs = p.run(inputs=FrameBatch.make(jnp.asarray(frames)))
+    out = np.asarray(outs[0].data)
+    assert el._face == "pango"
+    assert (out != frames).any()
+    # face=fixed still renders (differently)
+    el2 = gt.make("ceaccoverlay", face="fixed")
+    el2.push_cc(cc, pts_ns=0)
+    p2 = Pipeline([el2])
+    p2.negotiate(MediaSpec(kind="video", format="AYUV",
+                           width=320, height=240))
+    outs2 = p2.run(inputs=FrameBatch.make(jnp.asarray(frames)))
+    out2 = np.asarray(outs2[0].data)
+    assert el2._face == "fixed"
+    assert (out2 != frames).any()
+    assert (out != out2).any()
