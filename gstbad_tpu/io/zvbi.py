@@ -16,7 +16,7 @@ rev8s raw DVB stream bytes into this form, gstteletextdec.c:1105).
 from __future__ import annotations
 
 import ctypes
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 VBI_SLICED_TELETEXT_B = 0x00000003
 VBI_EVENT_TTX_PAGE = 0x0002
@@ -136,3 +136,77 @@ class ZvbiDecoder:
             return buf.raw[:n].decode("utf-8").split("\n")
         finally:
             self._lib.vbi_unref_page(page)
+
+
+# -- raw VBI bit slicer (the line21 waveform oracle) --------------------------
+
+VBI_SLICED_CAPTION_525 = 0x00000060
+VBI_SLICED_CAPTION_525_F1 = 0x00000020
+VBI_PIXFMT_YUV420 = 1
+
+
+class _RawDecoder(ctypes.Structure):
+    # public head of vbi_raw_decoder (libzvbi.h) + private slack
+    _fields_ = [("scanning", ctypes.c_int),
+                ("sampling_format", ctypes.c_int),
+                ("sampling_rate", ctypes.c_int),
+                ("bytes_per_line", ctypes.c_int),
+                ("offset", ctypes.c_int),
+                ("start", ctypes.c_int * 2),
+                ("count", ctypes.c_int * 2),
+                ("interlaced", ctypes.c_int),
+                ("synchronous", ctypes.c_int),
+                ("_private", ctypes.c_uint8 * 65536)]
+
+
+def _load_raw():
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib.vbi_raw_decoder_init, "_patched"):
+        lib.vbi_raw_decoder_init.argtypes = [ctypes.c_void_p]
+        lib.vbi_raw_decoder_destroy.argtypes = [ctypes.c_void_p]
+        lib.vbi_raw_decoder_add_services.restype = ctypes.c_uint
+        lib.vbi_raw_decoder_add_services.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint, ctypes.c_int]
+        lib.vbi_raw_decode.restype = ctypes.c_int
+        lib.vbi_raw_decode.argtypes = [ctypes.c_void_p,
+                                       ctypes.c_char_p,
+                                       ctypes.POINTER(Sliced)]
+        lib.vbi_raw_decoder_init._patched = True
+    return lib
+
+
+def slice_caption_line(luma720) -> Optional[Tuple[int, int]]:
+    """Run zvbi's REAL adaptive bit slicer on one 720-sample line-21
+    luma waveform (the gstline21enc/dec sampling grid: 13.5 MHz,
+    offset 122) -> the two CC bytes, or None when the slicer rejects
+    the line.  This is the oracle for golden/line21 + ops/line21."""
+    import numpy as np
+    lib = _load_raw()
+    if lib is None:
+        raise RuntimeError("libzvbi not available")
+    rd = _RawDecoder()
+    lib.vbi_raw_decoder_init(ctypes.byref(rd))
+    try:
+        rd.scanning = 525
+        rd.sampling_format = VBI_PIXFMT_YUV420
+        rd.sampling_rate = 13500000
+        rd.bytes_per_line = 720
+        rd.offset = 122
+        rd.start[0] = 21
+        rd.count[0] = 1
+        rd.interlaced = 0
+        rd.synchronous = 1
+        got = lib.vbi_raw_decoder_add_services(
+            ctypes.byref(rd), VBI_SLICED_CAPTION_525, 0)
+        if not (got & VBI_SLICED_CAPTION_525_F1):
+            raise RuntimeError("zvbi: caption service rejected")
+        raw = np.ascontiguousarray(luma720, np.uint8).tobytes()
+        sliced = (Sliced * 4)()
+        n = lib.vbi_raw_decode(ctypes.byref(rd), raw, sliced)
+        if n < 1:
+            return None
+        return int(sliced[0].data[0]), int(sliced[0].data[1])
+    finally:
+        lib.vbi_raw_decoder_destroy(ctypes.byref(rd))

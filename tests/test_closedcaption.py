@@ -428,3 +428,45 @@ def test_ceaccoverlay_element_pango_face():
     assert el2._face == "fixed"
     assert (out2 != frames).any()
     assert (out != out2).any()
+
+
+# -- line21 waveform oracle: zvbi's REAL adaptive bit slicer ------------------
+
+def _zvbi_ok():
+    from gstbad_tpu.io import zvbi
+    return zvbi.available()
+
+
+needs_zvbi = pytest.mark.skipif(not _zvbi_ok(),
+                                reason="libzvbi not present")
+
+
+@needs_zvbi
+def test_line21_golden_waveforms_slice_with_zvbi():
+    """golden/line21 encode_line -> vbi_raw_decode round-trips every
+    byte pair through the exact slicer the reference stack uses."""
+    from gstbad_tpu.golden import line21 as G
+    from gstbad_tpu.io import zvbi
+    rng = np.random.default_rng(11)
+    pairs = [(0x14, 0x2C), (0x00, 0x00), (0x7F, 0x7F)] + [
+        tuple(rng.integers(0, 128, 2)) for _ in range(25)]
+    for v0, v1 in pairs:
+        b0, b1 = G.parity_byte(int(v0)), G.parity_byte(int(v1))
+        got = zvbi.slice_caption_line(G.encode_line(b0, b1))
+        assert got == (b0, b1), (hex(b0), hex(b1), got)
+
+
+@needs_zvbi
+def test_line21_device_encoder_slices_with_zvbi():
+    """ops/line21.encode_lines (the device path) produces waveforms
+    zvbi slices back byte-exact too."""
+    from gstbad_tpu.golden import line21 as G
+    from gstbad_tpu.io import zvbi
+    rng = np.random.default_rng(12)
+    vals = rng.integers(0, 128, (8, 2))
+    pairs = np.asarray([[G.parity_byte(int(a)), G.parity_byte(int(b))]
+                        for a, b in vals], np.int32)
+    lines = np.asarray(O.encode_lines(jnp.asarray(pairs)))
+    for k in range(len(pairs)):
+        got = zvbi.slice_caption_line(lines[k].astype(np.uint8))
+        assert got == (int(pairs[k][0]), int(pairs[k][1]))
