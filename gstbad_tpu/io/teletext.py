@@ -25,9 +25,17 @@ module implements it from the ETS 300 706 spec:
   geometry matching the element's COLUMNS_TO_WIDTH/ROWS_TO_HEIGHT
   (gstteletextdec.c:128-129).
 
-Level 2.5/3.5 enhancement packets (X/26, X/28, ...) are accepted and
-ignored — the reference asks zvbi for VBI_WST_LEVEL_3p5; Level 1 is
-what this build renders (documented).
+Level 1.5 (r3): X/26 enhancement packets are decoded — hamming 24/18
+with single-bit correction, the designation-ordered triplet stream,
+set-active-position (address 40 = row 24, data = column), the
+forward-clamping column walk, G2 Latin characters (table 37,
+zvbi-calibrated incl. the U+2126 ohm sign) and G0-with-diacritic
+composition via NFC — applied by page_to_text at level >= 1.5 (the
+default; the reference asks zvbi for VBI_WST_LEVEL_3p5).  All
+semantics cross-validated against libzvbi (tests/test_teletext_zvbi).
+Divergence: combinations outside Unicode's precomposed set render the
+base character (zvbi NULs them).  X/27..X/31 and Level >= 2.5
+attributes remain ignored (documented).
 
 National option subsets (r3): the header's C12-C14 designation picks
 one of the ETS 300 706 table 36 Latin national subsets — 13 G0
@@ -98,6 +106,8 @@ class TeletextPage:
     chars: np.ndarray          # [26, 40] int (7-bit codes; row 0 header)
     rows_received: set = field(default_factory=set)
     charset: int = 0           # C12-C14 national designation
+    # X/26 enhancement packets: (designation, 39 triplet bytes)
+    enhancements: list = field(default_factory=list)
 
 
 # G0 positions substituted by the national option subsets
@@ -188,7 +198,17 @@ class TeletextDecoder:
                 c = parity7(data42[2 + i])
                 page.chars[row, i] = c if c >= 0 else 0x20
             page.rows_received.add(row)
-        # X/26..X/31: Level >=1.5 enhancements / independent data —
+        elif row == 26:
+            # X/26: Level 1.5 enhancement triplets, applied at render
+            # via apply_x26 (designation + 13 hamming-24/18 triplets)
+            page = self._collect.get(mag)
+            if page is None:
+                return
+            designation = hamming84(data42[2])
+            if designation >= 0:
+                page.enhancements.append((designation,
+                                          bytes(data42[3:42])))
+        # X/27..X/31: linked pages / Level >=2.5 / independent data —
         # accepted and ignored (module doc)
 
     def flush(self) -> None:
@@ -367,19 +387,142 @@ def render_page_rgba(page: TeletextPage, reveal: bool = False
     return out
 
 
-def page_to_text(page: TeletextPage, start: int = 0, stop: int = 24
-                 ) -> List[str]:
+# -- X/26 Level 1.5 enhancements (ETS 300 706 12.3; zvbi-calibrated) ---------
+
+# data-bit positions of the hamming 24/18 code word (bits 0-23; parity
+# at 0, 1, 3, 7, 15, 23)
+_H24_DATA_POS = (2, 4, 5, 6, 8, 9, 10, 11, 12, 13, 14,
+                 16, 17, 18, 19, 20, 21, 22)
+
+
+def hamming2418(b3: bytes) -> int:
+    """3 bytes -> 18-bit value with single-bit correction, or -1 on a
+    double-bit error (matches vbi_unham24p on all tested words)."""
+    v = b3[0] | (b3[1] << 8) | (b3[2] << 16)
+    syndrome = 0
+    for pbit in range(5):
+        mask = 0
+        for pos in range(23):        # bit 23 = overall parity only
+            if ((pos + 1) >> pbit) & 1:
+                mask |= 1 << pos
+        if bin(v & mask).count("1") & 1 == 0:   # groups are odd parity
+            syndrome |= 1 << pbit
+    total_odd = bin(v).count("1") & 1
+    if syndrome:
+        if total_odd:
+            return -1          # syndrome + intact overall parity:
+        v ^= 1 << (syndrome - 1)                # correct single error
+    out = 0
+    for i, pos in enumerate(_H24_DATA_POS):
+        if (v >> pos) & 1:
+            out |= 1 << i
+    return out
+
+
+def hamming2418_encode(value18: int) -> bytes:
+    """18-bit value -> hamming 24/18 triplet (test/builder side)."""
+    v = 0
+    for i, pos in enumerate(_H24_DATA_POS):
+        if (value18 >> i) & 1:
+            v |= 1 << pos
+    for pbit, ppos in ((0, 0), (1, 1), (2, 3), (3, 7), (4, 15)):
+        mask = 0
+        for pos in range(24):
+            if pos in (0, 1, 3, 7, 15, 23):
+                continue
+            if ((pos + 1) >> pbit) & 1:
+                mask |= 1 << pos
+        if bin(v & mask).count("1") & 1 == 0:
+            v |= 1 << ppos
+    if bin(v).count("1") % 2 == 0:
+        v |= 1 << 23
+    return bytes([v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF])
+
+
+# G2 Latin set (ETS 300 706 table 37), calibrated cell-for-cell against
+# zvbi's level-1.5 rendering; None = no mapping (cell keeps its char)
+G2_LATIN = (
+    " ¡¢£$¥#§¤‘“«←↑→↓°±²³×µ¶·÷’”»¼½¾¿"
+    " ˋˊˆ˜ˉ˘˙¨\x00˚ˏˍ˝˛ˇ—¹®©™♪₠‰ɑ   ⅛⅜⅝⅞"
+    "ΩÆÐªĦ ĲĿŁØŒºÞŦŊŉĸæđðħıĳŀłøœßþŧŋ■")
+
+# diacritical marks (G2 column 4): mark index -> combining codepoint
+COMBINING_MARKS = {1: "̀", 2: "́", 3: "̂", 4: "̃",
+                   5: "̄", 6: "̆", 7: "̇", 8: "̈",
+                   10: "̊", 11: "̧", 13: "̋",
+                   14: "̨", 15: "̌"}
+
+
+def compose_mark(base: str, mark: int) -> str:
+    """G0 char + diacritic -> precomposed unicode (NFC); mark 0 or an
+    unknown combination keeps the base char (zvbi renders its own
+    smaller precomposed table and NULs unknowns — divergence noted)."""
+    import unicodedata
+    if mark == 0 or mark not in COMBINING_MARKS:
+        return base
+    composed = unicodedata.normalize("NFC", base + COMBINING_MARKS[mark])
+    return composed if len(composed) == 1 else base
+
+
+def apply_x26(page: TeletextPage) -> Dict[Tuple[int, int], str]:
+    """The enhancement walk (zvbi-calibrated): triplets stream across
+    packets in designation order; active position starts at (0, 0);
+    row-address triplets (address >= 40) with mode 0x04 set row =
+    address-40 (40 -> 24) and column = data; column triplets clamp the
+    column FORWARD (col = max(col, address)) and apply there; mode
+    0x0F = G2 character, 0x10-0x1F = G0 char with diacritic; 0x1F at a
+    row address terminates."""
+    overrides: Dict[Tuple[int, int], str] = {}
+    row, col = 0, 0
+    stream = b"".join(p for _d, p in sorted(page.enhancements,
+                                            key=lambda t: t[0]))
+    for k in range(len(stream) // 3):
+        v = hamming2418(stream[3 * k:3 * k + 3])
+        if v < 0:
+            continue
+        address = v & 0x3F
+        mode = (v >> 6) & 0x1F
+        data = (v >> 11) & 0x7F
+        if address >= 40:                       # row address group
+            if mode == 0x1F:
+                break                           # termination
+            if mode == 0x04:
+                row = 24 if address == 40 else address - 40
+                if data < 40:
+                    col = data
+            continue
+        col = max(col, address)
+        if mode == 0x0F and 0x20 <= data < 0x80:
+            g2 = G2_LATIN[data - 0x20]
+            if g2 != "\x00":
+                overrides[(row, col)] = g2
+        elif 0x10 <= mode <= 0x1F and 0x20 <= data < 0x80:
+            overrides[(row, col)] = compose_mark(chr(data), mode - 0x10)
+    return overrides
+
+
+def page_to_text(page: TeletextPage, start: int = 0, stop: int = 24,
+                 level: float = 3.5) -> List[str]:
     """Rows as UTF-8 text lines (vbi_print_page_region analog: spacing
-    attributes and mosaics print as spaces)."""
+    attributes and mosaics print as spaces).  level >= 1.5 applies the
+    page's X/26 enhancements (the reference asks zvbi for
+    VBI_WST_LEVEL_3p5, so enhancements are on by default)."""
+    overrides = apply_x26(page) if (level >= 1.5
+                                    and page.enhancements) else {}
     lines = []
     for r in range(start, stop + 1):
         cells = render_row_attrs(page.chars[r])
-        line = "".join(
-            national_char(cell.char, page.charset)
-            if (0x20 <= cell.char < 0x7F and not cell.mosaic
-                and not cell.conceal) else " "
-            for cell in cells)
-        lines.append(line)
+        row_chars = []
+        for c, cell in enumerate(cells):
+            ov = overrides.get((r, c))
+            if ov is not None:
+                row_chars.append(ov)
+            elif (0x20 <= cell.char < 0x7F and not cell.mosaic
+                    and not cell.conceal):
+                row_chars.append(national_char(cell.char, page.charset))
+            else:
+                row_chars.append(" ")
+        lines.append("".join(row_chars))
     return lines
 
 

@@ -140,3 +140,114 @@ def test_national_subsets_match_zvbi():
         assert page.charset == code
         got = tt.page_to_text(page)[1][:13]
         assert got == zr[1][:13], (code, got, zr[1][:13])
+
+
+# -- X/26 Level 1.5 enhancements (r3) -----------------------------------------
+
+def _triplet(address, mode, data):
+    return tt.hamming2418_encode(address | (mode << 6) | (data << 11))
+
+
+def _x26_lines(mag, triplets):
+    """Pack a triplet stream (+ one terminator) into full X/26 packets
+    with sequential designations."""
+    stream = list(triplets) + [_triplet(63, 0x1F, 0)]
+    while len(stream) % 13:
+        stream.append(_triplet(63, 0x1F, 0))
+    out = []
+    for d in range(len(stream) // 13):
+        payload = bytes([tt.hamming84_encode(d)])
+        for t in stream[13 * d:13 * (d + 1)]:
+            payload += t
+        out.append(tt.build_line(mag, 26, payload))
+    return out
+
+
+def test_hamming2418_roundtrip_and_correction():
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        v = int(rng.integers(0, 1 << 18))
+        enc = tt.hamming2418_encode(v)
+        assert tt.hamming2418(enc) == v
+        # single-bit error corrects
+        bit = int(rng.integers(0, 24))
+        flipped = bytearray(enc)
+        flipped[bit // 8] ^= 1 << (bit % 8)
+        assert tt.hamming2418(bytes(flipped)) == v
+
+
+@pytest.mark.skipif(not zvbi.available(), reason="no zvbi")
+def test_x26_diacritics_match_zvbi():
+    """G0-with-diacritic triplets: composed output agrees with zvbi's
+    level-1.5 rendering for the precomposed Latin combinations."""
+    hdr = tt.build_header(1, 0, 0, erase=True)
+    base = tt.build_row(1, 1, b"aeonu cEAN")
+    trips = [_triplet(41, 0x04, 0),
+             _triplet(0, 0x10 + 2, ord("a")),    # á
+             _triplet(1, 0x10 + 1, ord("e")),    # è
+             _triplet(2, 0x10 + 3, ord("o")),    # ô
+             _triplet(3, 0x10 + 4, ord("n")),    # ñ
+             _triplet(4, 0x10 + 8, ord("u")),    # ü
+             _triplet(6, 0x10 + 11, ord("c")),   # ç
+             _triplet(7, 0x10 + 2, ord("E")),    # É
+             _triplet(8, 0x10 + 10, ord("A")),   # Å
+             _triplet(9, 0x10 + 15, ord("N"))]   # Ň
+    enh = _x26_lines(1, trips)
+    closer = tt.build_header(1, 0, 1)
+    ours = _ours([hdr, base] + enh + [closer])
+    z = _zvbi([[hdr, base] + enh, [closer]])
+    zr = z.fetch_text(0x100, level=1)
+    page = ours.fetch(0x100)
+    got = tt.page_to_text(page)[1][:10]
+    assert got == "áèôñü çÉÅŇ"
+    assert got == zr[1][:10]
+    # level < 1.5 leaves the base row
+    assert tt.page_to_text(page, level=1.0)[1][:10] == "aeonu cEAN"
+
+
+@pytest.mark.skipif(not zvbi.available(), reason="no zvbi")
+def test_x26_g2_characters_match_zvbi():
+    """Full G2 Latin sweep (0x20-0x7F) over three rows agrees with
+    zvbi cell-for-cell."""
+    hdr = tt.build_header(1, 0, 0, erase=True)
+    rows = [tt.build_row(1, r, b"." * 40) for r in (1, 2, 3)]
+    trips = []
+    vals = list(range(0x20, 0x80))
+    idx = 0
+    for r in (1, 2, 3):
+        trips.append(_triplet(40 + r, 0x04, 0))
+        for c in range(40):
+            if idx >= len(vals):
+                break
+            trips.append(_triplet(c, 0x0F, vals[idx]))
+            idx += 1
+    enh = _x26_lines(1, trips)
+    closer = tt.build_header(1, 0, 1)
+    ours = _ours([hdr] + rows + enh + [closer])
+    z = _zvbi([[hdr] + rows + enh, [closer]])
+    zr = z.fetch_text(0x100, level=1)
+    page = ours.fetch(0x100)
+    got = tt.page_to_text(page)
+    for r in (1, 2, 3):
+        assert got[r] == zr[r], (r, got[r], zr[r])
+
+
+@pytest.mark.skipif(not zvbi.available(), reason="no zvbi")
+def test_x26_addressing_quirks_match_zvbi():
+    """address 40 = row 24; backward column addresses clamp to the
+    active column (both calibrated against zvbi)."""
+    hdr = tt.build_header(1, 0, 0, erase=True)
+    rows = [tt.build_row(1, r, b"." * 40) for r in range(1, 25)]
+    trips = [_triplet(40, 0x04, 0), _triplet(0, 0x0F, 0x23),   # row 24
+             _triplet(41, 0x04, 0),
+             _triplet(8, 0x0F, 0x23),     # col 8
+             _triplet(2, 0x0F, 0x24),     # backward -> applies at 8
+             _triplet(12, 0x0F, 0x25)]
+    enh = _x26_lines(1, trips)
+    closer = tt.build_header(1, 0, 1)
+    ours = _ours([hdr] + rows + enh + [closer])
+    z = _zvbi([[hdr] + rows + enh, [closer]])
+    zr = z.fetch_text(0x100, level=1)
+    got = tt.page_to_text(ours.fetch(0x100))
+    assert got[24][:2] == zr[24][:2] == "£."
+    assert got[1][:16] == zr[1][:16] == "........$...¥..."
