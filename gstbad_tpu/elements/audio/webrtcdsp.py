@@ -31,15 +31,32 @@ internals are an external library, not in-tree):
   transitions (gstwebrtcdsp.cpp:445-473).
 - echo-cancel: the far-end (playback) stream arrives as a SECOND graph
   input (`near ! dsp.  far ! webrtcechoprobe ! dsp.  webrtcdsp name=dsp`)
-  and its magnitude spectrum is subtracted per frame scaled by the
-  suppression level (spectral echo suppression; the reference's full
-  adaptive AEC lives in the external APM).  In the reference the probe
-  is an element on the playback pipeline feeding the DSP through a
-  shared object; here it is explicit dataflow, so the far block is a
-  traced input — never a trace-time constant.  Without a second input
-  the element skips cancellation, like the reference's "No echo probe
-  found" warning path; cross-pipeline probes route through the
-  inter/proxy bridges.
+  and a REAL adaptive canceller runs per 10 ms block: the published
+  WebRTC AEC structure — a partitioned-block frequency-domain NLMS
+  filter (PBFDAF with gradient constraint; ops/audio.aec_cancel) whose
+  echo tail is 8 partitions (80 ms), 16 when extended-filter=true
+  (aec_core.c's partitioned filter / ExtendedFilter config,
+  gstwebrtcdsp.cpp:591), followed by the coherence NLP: per-bin
+  hNl = min(coh(d,e), 1 - coh(x,d)) raised to a per-level overdrive
+  (echo-suppression-level low/moderate/high -> 1/2/4).  In the
+  reference the probe is an element on the playback pipeline feeding
+  the DSP through a shared object; here it is explicit dataflow, so
+  the far block is a traced input — never a trace-time constant.
+  Without a second input the element skips cancellation, like the
+  reference's "No echo probe found" warning path; cross-pipeline
+  probes route through the inter/proxy bridges.
+- delay-agnostic: in the reference this stops reporting stream delay
+  to the APM so its internal estimator takes over
+  (gstwebrtcdsp.cpp:396,434).  Here the probe is explicit dataflow —
+  near and far are sample-aligned by construction and the P-block
+  filter absorbs any in-path delay — so the property is accepted and
+  has nothing to estimate (documented no-op).
+- experimental-agc / startup-min-volume: the APM's ExperimentalAgc
+  lifts the analog mic volume to startup-min-volume at startup
+  (gstwebrtcdsp.cpp:593).  There is no analog stage here; the digital
+  emulation seeds the adaptive gain walk at 20*log10(v/12) dB
+  (volume 12 = the property minimum = 0 dB boost), capped at
+  compression-gain-db.
 """
 
 from __future__ import annotations
@@ -59,7 +76,7 @@ NS_ATTEN_DB = {"low": 6.0, "moderate": 10.0, "high": 15.0,
                "very-high": 25.0}
 VAD_THRESH_DB = {"very-low": -70.0, "low": -60.0, "moderate": -50.0,
                  "high": -40.0}
-ECHO_SUPPRESS = {"low": 0.5, "moderate": 1.0, "high": 2.0}
+AEC_OVERDRIVE = {"low": 1.0, "moderate": 2.0, "high": 4.0}
 
 @register
 class WebrtcEchoProbe(Element):
@@ -93,8 +110,12 @@ class WebrtcDsp(AudioFilter):
         Property("noise-suppression-level", str, "moderate", static=True),
         Property("gain-control", bool, True, static=True),
         Property("gain-control-mode", str, "adaptive-digital", static=True),
+        Property("experimental-agc", bool, False, static=True),
+        Property("extended-filter", bool, True, static=True),
+        Property("delay-agnostic", bool, False, static=True),
         Property("target-level-dbfs", int, 3, 0, 31),
         Property("compression-gain-db", int, 9, 0, 90),
+        Property("startup-min-volume", int, 12, 12, 255, static=True),
         Property("limiter", bool, True),
         Property("voice-detection", bool, False, static=True),
         Property("voice-detection-frame-size-ms", int, 10, 10, 30,
@@ -118,6 +139,8 @@ class WebrtcDsp(AudioFilter):
                 f"webrtcdsp: rate {spec.rate} not in {RATES}")
         require(self.props["noise-suppression-level"] in NS_ATTEN_DB,
                 f"webrtcdsp: bad noise-suppression-level")
+        require(self.props["echo-suppression-level"] in AEC_OVERDRIVE,
+                "webrtcdsp: bad echo-suppression-level")
         require(self.props["voice-detection-likelihood"] in VAD_THRESH_DB,
                 "webrtcdsp: bad voice-detection-likelihood")
         self._frame = spec.rate // 100  # 10 ms
@@ -128,14 +151,26 @@ class WebrtcDsp(AudioFilter):
 
     def init_state(self, batch: int):
         c = self._near_spec.channels
-        return {
+        gain0 = 0.0
+        if (self.props["experimental-agc"]
+                and self.props["gain-control-mode"] != "fixed-digital"):
+            # digital emulation of ExperimentalAgc's startup volume lift
+            import math
+            gain0 = min(float(self.props["compression-gain-db"]),
+                        20.0 * math.log10(
+                            self.props["startup-min-volume"] / 12.0))
+        st = {
             "hpf": jnp.zeros((2, c), jnp.float32),
             "stft_tail": jnp.zeros((self._hop, c), jnp.float32),
             "ola_acc": jnp.zeros((self._hop, c), jnp.float32),
             "noise": ops.ns_init(self._bins, c),
-            "gain_db": jnp.float32(0.0),
+            "gain_db": jnp.float32(gain0),
             "had_voice": jnp.bool_(False),
         }
+        if self._has_probe and self.props["echo-cancel"]:
+            parts = 16 if self.props["extended-filter"] else 8
+            st["aec"] = ops.aec_init(self._frame, c, parts)
+        return st
 
     def dynamic_params(self):
         return {
@@ -164,12 +199,12 @@ class WebrtcDsp(AudioFilter):
             bq_b, bq_a = ops.butter_highpass(90.0, self._near_spec.rate)
             x, hpf_state = ops.biquad(x, bq_b, bq_a, hpf_state)
 
-        # 2/3. STFT chain: echo suppression + noise suppression
-        frames, stft_tail = ops.stft_frames(x, state["stft_tail"], frame)
-        noise = state["noise"]
-        ns_on = self.props["noise-suppression"]
-        # reference: GST_WARNING + skip when no probe is found
-        ec_on = self.props["echo-cancel"] and far_batch is not None
+        # 2. adaptive echo cancellation on 10 ms blocks (PBFDAF +
+        # coherence NLP, ops/audio.aec_cancel); reference: GST_WARNING +
+        # skip when no probe is found
+        aec_state = state.get("aec")
+        ec_on = (self.props["echo-cancel"] and far_batch is not None
+                 and aec_state is not None and n % frame == 0)
         if ec_on:
             fd = far_batch.data.reshape(-1, far_batch.data.shape[-1]
                                         ).astype(jnp.float32)
@@ -180,21 +215,18 @@ class WebrtcDsp(AudioFilter):
             fd = fd[:n]
             far = (jnp.broadcast_to(fd[:, :1], (n, c)) if fd.shape[1] != c
                    else fd)
-            far_frames, _ = ops.stft_frames(far, jnp.zeros((hop, c),
-                                                           jnp.float32),
-                                            frame)
-            far_mag = jnp.abs(jnp.fft.rfft(far_frames, axis=1))
-            k = ECHO_SUPPRESS[self.props["echo-suppression-level"]]
-            spec = jnp.fft.rfft(frames, axis=1)
-            mag = jnp.maximum(jnp.abs(spec), 1e-10)
-            gain = jnp.clip(1.0 - k * far_mag / mag, 0.05, 1.0)
-            frames = jnp.fft.irfft(spec * gain, n=frame,
-                                   axis=1).astype(jnp.float32)
+            od = AEC_OVERDRIVE[self.props["echo-suppression-level"]]
+            x, aec_state = ops.aec_cancel(x, far, aec_state, od)
+
+        # 3. STFT chain: noise suppression
+        frames, stft_tail = ops.stft_frames(x, state["stft_tail"], frame)
+        noise = state["noise"]
+        ns_on = self.props["noise-suppression"]
         if ns_on:
             g_min = jnp.float32(10.0 ** (
                 -NS_ATTEN_DB[self.props["noise-suppression-level"]] / 20.0))
             frames, noise = ops.noise_suppress(frames, noise, g_min)
-        if ns_on or ec_on:
+        if ns_on:
             y, ola_acc = ops.ola(frames, state["ola_acc"])
         else:
             y, ola_acc = x, state["ola_acc"]
@@ -230,6 +262,8 @@ class WebrtcDsp(AudioFilter):
         new_state = {"hpf": hpf_state, "stft_tail": stft_tail,
                      "ola_acc": ola_acc, "noise": noise,
                      "gain_db": gain_db, "had_voice": state["had_voice"]}
+        if aec_state is not None:
+            new_state["aec"] = aec_state
 
         msgs = {}
         if self.props["voice-detection"]:

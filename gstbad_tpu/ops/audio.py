@@ -907,6 +907,142 @@ def agc_adaptive(frames_rms_db: jnp.ndarray, gain_db0: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Adaptive echo cancellation: partitioned-block frequency-domain NLMS
+# (PBFDAF) + coherence NLP — the published structure of the WebRTC AEC
+# (webrtc-audio-processing aec_core.c: partitioned frequency-domain
+# adaptive filter, gradient constraint, smoothed-coherence nonlinear
+# processor with per-level overdrive), which is exactly the module the
+# reference drives (gstwebrtcdsp.cpp:1000-1015 echo-cancel /
+# echo-suppression-level, :1048-1054 extended-filter).  Library
+# fixed-point internals and the exact hNl curve shaping are the
+# documented divergence; convergence and double-talk behaviour are
+# oracled in tests/test_audio.py.
+# ---------------------------------------------------------------------------
+
+AEC_MU = 0.5         # NLMS step size (aec_core.c uses 0.5 normalized)
+AEC_LAMBDA = 0.92    # PSD smoothing for the NLP coherences
+
+
+def aec_init(frame: int, channels: int, partitions: int):
+    """Carried state for aec_cancel: P-partition frequency-domain filter
+    over 10 ms blocks (FFT size 2*frame, overlap-save), far-spectrum
+    FIFO, previous time blocks, and the NLP's smoothed (cross-)spectra."""
+    bins2 = frame + 1
+    f32, c64 = jnp.float32, jnp.complex64
+    return {
+        "W": jnp.zeros((partitions, bins2, channels), c64),
+        "Xf": jnp.zeros((partitions, bins2, channels), c64),
+        "far_prev": jnp.zeros((frame, channels), f32),
+        "d_prev": jnp.zeros((frame, channels), f32),
+        "e_prev": jnp.zeros((frame, channels), f32),
+        "sd": jnp.full((bins2, channels), 1e2, f32),
+        "se": jnp.full((bins2, channels), 1e2, f32),
+        "sx": jnp.full((bins2, channels), 1e2, f32),
+        "sde": jnp.zeros((bins2, channels), c64),
+        "sxd": jnp.zeros((bins2, channels), c64),
+    }
+
+
+def aec_cancel(near: jnp.ndarray, far: jnp.ndarray, st, overdrive,
+               mu: float = AEC_MU):
+    """Cancel `far`'s echo from `near` ([N, C] f32, N a multiple of the
+    10 ms block).  Returns (out [N, C], new_state).
+
+    Per block (lax.scan — the filter adaptation is inherently
+    sequential; all per-block math vectorizes over partitions, bins and
+    channels, and the FFTs are batched XLA ops):
+      1. far block FFT (overlap-save input [prev, cur]) pushed into the
+         P-deep spectrum FIFO;
+      2. echo estimate = sum_p W_p * X_{k-p}, IFFT, last `frame` samples
+         (the causal overlap-save half); e = d - yhat;
+      3. NLMS update W_p += mu * conj(X_p) * E / sum_p |X_p|^2 with the
+         gradient constraint (acausal half of each partition's impulse
+         response zeroed — the standard PBFDAF projection); adaptation
+         is gated on far-end activity (the published AEC's echo-state
+         logic: never adapt against a silent reference, where the
+         normalized step would amplify near-end speech into the filter);
+      4. NLP: coherence(d,e) and coherence(x,d) over lambda-smoothed
+         overlap-save spectra; hNl = min(cohde, 1 - cohxd), gain =
+         hNl^overdrive applied to E in overlap-save form.  The far
+         (cross-)spectra forget fast (x0.5/block) while the far end is
+         silent so a stopped reference releases the suppressor within a
+         few blocks.  overdrive=0 bypasses the NLP (pure linear stage).
+    """
+    n, c = near.shape
+    frame = st["far_prev"].shape[0]
+    nb = n // frame
+    nfft = 2 * frame
+    d_blocks = near.reshape(nb, frame, c).astype(jnp.float32)
+    x_blocks = far.reshape(nb, frame, c).astype(jnp.float32)
+    lam = jnp.float32(AEC_LAMBDA)
+    mu = jnp.float32(mu)
+    od = jnp.float32(overdrive)
+    zpad = jnp.zeros((frame, c), jnp.float32)
+
+    def step(carry, inp):
+        W, Xf, far_prev, d_prev, e_prev, sd, se, sx, sde, sxd = carry
+        d, x = inp
+        X = jnp.fft.rfft(jnp.concatenate([far_prev, x], axis=0),
+                         axis=0).astype(jnp.complex64)
+        Xf = jnp.roll(Xf, 1, axis=0).at[0].set(X)
+        yh = jnp.fft.irfft(jnp.sum(W * Xf, axis=0), n=nfft,
+                           axis=0)[frame:].astype(jnp.float32)
+        e = d - yh
+        E = jnp.fft.rfft(jnp.concatenate([zpad, e], axis=0),
+                         axis=0).astype(jnp.complex64)
+        # far-end activity per channel (int16 scale: silence ~ 0)
+        far_act = jnp.mean(jnp.square(x), axis=0) > jnp.float32(1.0)  # [C]
+        spow = jnp.sum(jnp.square(jnp.abs(Xf)), axis=0)      # [bins2, C]
+        denom = spow + jnp.float32(1e-3) * jnp.mean(spow) + jnp.float32(1e-6)
+        G = (mu * E / denom).astype(jnp.complex64)
+        Wn = W + jnp.conj(Xf) * G[None]
+        # gradient constraint: each partition's impulse response is a
+        # causal `frame`-tap filter; zero the tail and re-transform
+        wt = jnp.fft.irfft(Wn, n=nfft, axis=1)
+        Wn = jnp.fft.rfft(wt.at[:, frame:, :].set(0.0),
+                          axis=1).astype(jnp.complex64)
+        Wn = jnp.where(far_act[None, None], Wn, W)
+        # NLP coherences over the same overlap-save spectra
+        D = jnp.fft.rfft(jnp.concatenate([d_prev, d], axis=0),
+                         axis=0).astype(jnp.complex64)
+        Ew = jnp.fft.rfft(jnp.concatenate([e_prev, e], axis=0),
+                          axis=0).astype(jnp.complex64)
+        lam_x = jnp.where(far_act, lam, jnp.float32(0.5))[None]  # [1, C]
+        sd = lam * sd + (1.0 - lam) * jnp.square(jnp.abs(D))
+        se = lam * se + (1.0 - lam) * jnp.square(jnp.abs(Ew))
+        sx = lam_x * sx + (1.0 - lam_x) * jnp.square(jnp.abs(X))
+        sde = (lam * sde + (1.0 - lam)
+               * (jnp.conj(D) * Ew)).astype(jnp.complex64)
+        sxd = (lam_x * sxd + (1.0 - lam_x)
+               * (jnp.conj(X) * D)).astype(jnp.complex64)
+        cohde = jnp.square(jnp.abs(sde)) / (sd * se + jnp.float32(1e-10))
+        cohxd = jnp.square(jnp.abs(sxd)) / (sx * sd + jnp.float32(1e-10))
+        hnl = jnp.clip(jnp.minimum(cohde, 1.0 - cohxd), 0.0, 1.0)
+        # a fully-drained far FIFO means no echo is representable at all
+        # (yhat is identically 0): bypass the suppressor, any residual
+        # gain < 1 would be pure near-end damage
+        fifo_act = jnp.sum(spow, axis=0) > jnp.float32(1e-3)  # [C]
+        hnl = jnp.where(fifo_act[None], hnl, 1.0)
+        gain = jnp.where(od > 0.0,
+                         jnp.power(jnp.maximum(hnl, 1e-6), od),
+                         jnp.ones_like(hnl)).astype(jnp.float32)
+        out = jnp.fft.irfft(Ew * gain, n=nfft,
+                            axis=0)[frame:].astype(jnp.float32)
+        sd = sd.astype(jnp.float32)
+        se = se.astype(jnp.float32)
+        sx = sx.astype(jnp.float32)
+        return (Wn, Xf, x, d, e, sd, se, sx, sde, sxd), out
+
+    carry0 = (st["W"], st["Xf"], st["far_prev"], st["d_prev"],
+              st["e_prev"], st["sd"], st["se"], st["sx"], st["sde"],
+              st["sxd"])
+    carry, out = lax.scan(step, carry0, (d_blocks, x_blocks))
+    keys = ("W", "Xf", "far_prev", "d_prev", "e_prev", "sd", "se", "sx",
+            "sde", "sxd")
+    return out.reshape(n, c), dict(zip(keys, carry))
+
+
+# ---------------------------------------------------------------------------
 # pitch (ext/soundtouch/gstpitch.cc analog): phase-vocoder time stretch
 # ---------------------------------------------------------------------------
 
