@@ -27,6 +27,15 @@ ASS format spec:
     \\pos \\move              positioning (+ time-interpolated move)
     \\org \\frz \\fr          z-rotation about an origin (nearest-
                               neighbour bitmap rotation)
+    \\frx \\fry \\fax \\fay   3D rotations + shears: the glyph plane
+                              through shear, Rz-Rx-Ry and the
+                              20000-unit perspective projection is ONE
+                              homography, inverse-warped per image
+    \\t                       tag animation: rendering is per-time-
+                              snapshot, so the machine applies the
+                              inner tags to a scratch state and lerps
+                              the animatable fields by the
+                              ((t-t1)/(t2-t1))^accel progress
     \\fad \\fade              alpha fades (simple + 7-argument form)
     \\b \\i \\u \\s           bold / italic / underline / strikeout
     \\fs \\fs+ \\fs- \\fscx \\fscy \\fsp   size, scales, letter spacing
@@ -40,10 +49,11 @@ ASS format spec:
                               gradient — documented)
     \\r \\rStyle              reset to the event's / a named style
     \\clip \\iclip            rectangular clips
-  \\t animation, \\frx/\\fry 3D rotations, \\fn font selection, \\q
-  wrapping and drawing mode \\p are parsed-and-ignored (documented
-  divergences, as is the bitmap face vs FreeType rasterization —
-  same family as ttml/ceaccoverlay);
+  \\q wrapping and drawing mode \\p are parsed-and-ignored (documented
+  divergences, as is glyph rasterization under face=fixed — the
+  default face=pango shapes with real fonts, same family as
+  ttml/ceaccoverlay; inside \\t only libass' animatable set moves —
+  booleans/fonts/karaoke are ignored there);
 - layout: numpad alignment 1-9 against PlayRes with margins, per-event
   Layer ordering, events stacked bottom-up for bottom alignments like
   libass' collision handling, glyphs from the framework's bitmap face
@@ -175,6 +185,10 @@ class EventLayout:
     move: Optional[Tuple[float, ...]] = None   # x1,y1,x2,y2[,t1,t2] (ms)
     org: Optional[Tuple[float, float]] = None
     frz: float = 0.0
+    frx: float = 0.0                           # 3D rotation about screen x
+    fry: float = 0.0                           # 3D rotation about screen y
+    fax: float = 0.0                           # x-by-y shear factor
+    fay: float = 0.0                           # y-by-x shear factor
     fad: Optional[Tuple[float, float]] = None            # ms in, ms out
     fade: Optional[Tuple[float, ...]] = None   # a1,a2,a3,t1,t2,t3,t4
     clip: Optional[Tuple[float, float, float, float]] = None
@@ -211,12 +225,43 @@ def _floats(argstr: str) -> List[float]:
     return [float(x) for x in re.findall(r"-?[\d.]+", argstr)]
 
 
+def _split_tags(block: str) -> List[str]:
+    """Split an override block's contents on backslashes at paren depth 0
+    (a naive split would shred \\t(...\\fscx200...)'s inner tags)."""
+    toks, cur, depth = [], [], 0
+    for ch in block:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        if ch == "\\" and depth == 0:
+            if cur:
+                toks.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    if cur:
+        toks.append("".join(cur))
+    return [t.strip() for t in toks if t.strip()]
+
+
+# SpanState fields \t interpolates (libass' animatable set; booleans,
+# fonts and karaoke are not animatable and are ignored inside \t)
+_ANIM_FLOATS = ("font_size", "scale_x", "scale_y", "spacing", "border",
+                "shadow", "blur")
+_ANIM_COLORS = ("primary", "secondary", "outline_color", "back")
+_ANIM_LAY = ("frz", "frx", "fry", "fax", "fay")
+
+
 def _apply_tag(tok: str, st: SpanState, base: AssStyle,
                styles: Dict[str, AssStyle], lay: EventLayout,
-               k_acc: List[int]) -> SpanState:
+               k_acc: List[int],
+               anim: Optional[Tuple[float, float]] = None) -> SpanState:
     """One override token (no leading backslash) -> new span state.
     Mutates `lay` for event-level tags.  k_acc is the single-element
-    karaoke clock (centiseconds accumulated so far)."""
+    karaoke clock (centiseconds accumulated so far).  anim =
+    (rel_ms, dur_ms) gives \\t its clock; None renders \\t inert
+    (tag-stripping / untimed surfaces)."""
 
     def num(rest: str, default=None):
         m = re.match(r"[-+]?[\d.]+", rest.strip())
@@ -271,8 +316,14 @@ def _apply_tag(tok: str, st: SpanState, base: AssStyle,
     elif tok.startswith("frz") or re.match(r"fr(?![xy])", tok):
         off = 3 if tok.startswith("frz") else 2
         lay.frz = num(tok[off:], 0.0) or 0.0
-    elif tok.startswith("frx") or tok.startswith("fry"):
-        pass                       # 3D rotations: documented divergence
+    elif tok.startswith("frx"):
+        lay.frx = num(tok[3:], 0.0) or 0.0
+    elif tok.startswith("fry"):
+        lay.fry = num(tok[3:], 0.0) or 0.0
+    elif tok.startswith("fax"):
+        lay.fax = num(tok[3:], 0.0) or 0.0
+    elif tok.startswith("fay"):
+        lay.fay = num(tok[3:], 0.0) or 0.0
     elif tok.startswith("fade"):
         args = _floats(paren(tok[4:]))
         if len(args) >= 7 and lay.fade is None:
@@ -331,8 +382,59 @@ def _apply_tag(tok: str, st: SpanState, base: AssStyle,
         args = _floats(paren(tok[4:]))
         if len(args) >= 4 and lay.clip is None:
             lay.clip = tuple(args[:4])
-    elif tok.startswith("t"):
-        pass                       # \t animation: documented divergence
+    elif tok.startswith("t") and "(" in tok:
+        # \t([t1,t2,][accel,]tags): animate the listed tags.  Rendering
+        # is per-time-snapshot here, so the interpolation happens right
+        # in the tag machine: apply the inner tags to a scratch state,
+        # then lerp the animatable fields by k = ((t-t1)/(t2-t1))^accel
+        # (the VSFilter/libass progress curve).
+        if anim is None:
+            return st
+        inner = tok[tok.index("(") + 1:]
+        if inner.endswith(")"):
+            inner = inner[:-1]
+        cut = inner.find("\\")
+        nums = _floats(inner[:cut] if cut >= 0 else inner)
+        tags = inner[cut:] if cut >= 0 else ""
+        rel_ms, dur_ms = anim
+        t1, t2, accel = 0.0, dur_ms, 1.0
+        if len(nums) >= 2:
+            t1, t2 = nums[0], nums[1]
+            if len(nums) >= 3:
+                accel = nums[2]
+        elif len(nums) == 1:
+            accel = nums[0]
+        if rel_ms <= t1:
+            k = 0.0
+        elif rel_ms >= t2 or t2 <= t1:
+            k = 1.0
+        else:
+            k = ((rel_ms - t1) / (t2 - t1)) ** max(1e-6, accel)
+        st_t, lay_t, k_t = st, replace(lay), [k_acc[0]]
+        for itok in _split_tags(tags):
+            st_t = _apply_tag(itok, st_t, base, styles, lay_t, k_t, anim)
+
+        def lerp(a, b):
+            return a + (b - a) * k
+
+        st = replace(st, **{
+            f: lerp(getattr(st, f), getattr(st_t, f))
+            for f in _ANIM_FLOATS})
+        st = replace(st, **{
+            f: tuple(int(round(lerp(getattr(st, f)[i],
+                                    getattr(st_t, f)[i])))
+                     for i in range(4))
+            for f in _ANIM_COLORS})
+        for f in _ANIM_LAY:
+            setattr(lay, f, lerp(getattr(lay, f), getattr(lay_t, f)))
+        if lay_t.clip is not None:
+            lay.clip = (lay_t.clip if lay.clip is None else
+                        tuple(lerp(a, b)
+                              for a, b in zip(lay.clip, lay_t.clip)))
+        if lay_t.iclip is not None:
+            lay.iclip = (lay_t.iclip if lay.iclip is None else
+                         tuple(lerp(a, b)
+                               for a, b in zip(lay.iclip, lay_t.iclip)))
     elif re.match(r"[1-4]c", tok):
         n = int(tok[0])
         c = _parse_tag_color(tok[2:])
@@ -357,22 +459,24 @@ def _apply_tag(tok: str, st: SpanState, base: AssStyle,
 
 
 def parse_dialogue_text(text: str, base: AssStyle,
-                        styles: Dict[str, AssStyle]
+                        styles: Dict[str, AssStyle],
+                        rel_ms: Optional[float] = None,
+                        dur_ms: float = 0.0
                         ) -> Tuple[List[List[Span]], EventLayout]:
     """The tag machine: text with {\\...} blocks -> lines of styled
-    spans + the event-level layout overrides."""
+    spans + the event-level layout overrides.  rel_ms (time since event
+    start) gives \\t its clock; without it \\t is inert."""
     lay = EventLayout()
     st = SpanState.from_style(base)
     k_acc = [0]
+    anim = None if rel_ms is None else (rel_ms, dur_ms)
     lines: List[List[Span]] = [[]]
     for part in re.split(r"(\{[^}]*\})", text):
         if not part:
             continue
         if part.startswith("{") and part.endswith("}"):
-            for tok in part[1:-1].split("\\"):
-                tok = tok.strip()
-                if tok:
-                    st = _apply_tag(tok, st, base, styles, lay, k_acc)
+            for tok in _split_tags(part[1:-1]):
+                st = _apply_tag(tok, st, base, styles, lay, k_acc, anim)
             continue
         run = part.replace("\\h", " ")
         pieces = re.split(r"\\[Nn]", run)
@@ -701,6 +805,74 @@ def _rotate_image(im: dict, deg: float, ox: float, oy: float) -> dict:
     return {**im, "bitmap": out, "dst_x": nx0, "dst_y": ny0}
 
 
+def _transform_image(im: dict, lay: EventLayout, ox: float, oy: float,
+                     dist: float, fw: int, fh: int) -> dict:
+    """Full 3D transform (\\frx/\\fry/\\frz about the \\org origin +
+    \\fax/\\fay shear) of an image's coverage bitmap.
+
+    The glyph plane z=0 through shear, the three rotations and the
+    perspective projection X = x*d/(d+z) composes to ONE homography;
+    the bitmap is inverse-warped through it (nearest neighbour, same
+    sampling as _rotate_image).  Rotation order Rz then Rx then Ry and
+    the 20000-unit projection distance follow the VSFilter/libass
+    convention (screen y grows down; libass itself is absent, so the
+    convention choice is documented rather than oracled)."""
+    bm = im["bitmap"]
+    h, w = bm.shape
+    rx, ry, rz = (math.radians(getattr(lay, f))
+                  for f in ("frx", "fry", "frz"))
+    cz, sz = math.cos(rz), math.sin(rz)
+    cx_, sx_ = math.cos(rx), math.sin(rx)
+    cy_, sy_ = math.cos(ry), math.sin(ry)
+    Rz = np.array([[cz, sz, 0.0], [-sz, cz, 0.0], [0.0, 0.0, 1.0]])
+    Rx = np.array([[1.0, 0.0, 0.0], [0.0, cx_, sx_], [0.0, -sx_, cx_]])
+    Ry = np.array([[cy_, 0.0, sy_], [0.0, 1.0, 0.0], [-sy_, 0.0, cy_]])
+    R = Ry @ Rx @ Rz
+    shear = np.array([[1.0, lay.fax], [lay.fay, 1.0]])
+    C = R[:, :2] @ shear                       # (x, y) -> 3D point
+    H = np.array([[C[0, 0], C[0, 1], 0.0],
+                  [C[1, 0], C[1, 1], 0.0],
+                  [C[2, 0] / dist, C[2, 1] / dist, 1.0]])
+    if abs(np.linalg.det(H)) < 1e-12:          # edge-on: nothing visible
+        return {**im, "bitmap": np.zeros((1, 1), np.uint8)}
+    # forward-map the corners for the output bounding box
+    xs, ys = [], []
+    for (cy2, cx2) in ((0, 0), (0, w), (h, 0), (h, w)):
+        dx = im["dst_x"] + cx2 - ox
+        dy = im["dst_y"] + cy2 - oy
+        v = H @ (dx, dy, 1.0)
+        if v[2] <= 1e-6:                       # behind the camera plane
+            continue
+        xs.append(ox + v[0] / v[2])
+        ys.append(oy + v[1] / v[2])
+    if not xs:
+        return {**im, "bitmap": np.zeros((1, 1), np.uint8)}
+    # the blit clips to the frame anyway; bound the box to it so a
+    # near-edge-on projection cannot explode the raster
+    nx0 = max(int(math.floor(min(xs))), -w - fw)
+    ny0 = max(int(math.floor(min(ys))), -h - fh)
+    nx1 = min(int(math.ceil(max(xs))), 2 * fw)
+    ny1 = min(int(math.ceil(max(ys))), 2 * fh)
+    nh, nw = ny1 - ny0, nx1 - nx0
+    if nh <= 0 or nw <= 0:
+        return {**im, "bitmap": np.zeros((1, 1), np.uint8)}
+    Hinv = np.linalg.inv(H)
+    yy, xx = np.mgrid[ny0:ny1, nx0:nx1]
+    u = Hinv[0, 0] * (xx - ox) + Hinv[0, 1] * (yy - oy) + Hinv[0, 2]
+    v = Hinv[1, 0] * (xx - ox) + Hinv[1, 1] * (yy - oy) + Hinv[1, 2]
+    wdiv = Hinv[2, 0] * (xx - ox) + Hinv[2, 1] * (yy - oy) + Hinv[2, 2]
+    front = wdiv > 1e-6
+    wsafe = np.where(front, wdiv, 1.0)
+    sxp = u / wsafe + ox - im["dst_x"]
+    syp = v / wsafe + oy - im["dst_y"]
+    sxi = np.rint(sxp).astype(np.int64)
+    syi = np.rint(syp).astype(np.int64)
+    ok = front & (sxi >= 0) & (sxi < w) & (syi >= 0) & (syi < h)
+    out = np.zeros((nh, nw), np.uint8)
+    out[ok] = bm[syi[ok], sxi[ok]]
+    return {**im, "bitmap": out, "dst_x": nx0, "dst_y": ny0}
+
+
 def _clip_image(im: dict, rect, inverse: bool) -> Optional[dict]:
     x1, y1, x2, y2 = (int(round(v)) for v in rect)
     bm = im["bitmap"].copy()
@@ -776,11 +948,12 @@ def render_events(track: AssTrack, time_ns: int, width: int,
     for ev in sorted(active, key=lambda e: e.layer):
         style = track.styles.get(ev.style,
                                  track.styles.get("Default", AssStyle()))
-        lines, lay = parse_dialogue_text(ev.raw_text or ev.text, style,
-                                         track.styles)
-        align = lay.align or style.alignment
         rel_ms = (time_ns - ev.start) / 1e6
         dur_ms = (ev.end - ev.start) / 1e6
+        lines, lay = parse_dialogue_text(ev.raw_text or ev.text, style,
+                                         track.styles, rel_ms=rel_ms,
+                                         dur_ms=dur_ms)
+        align = lay.align or style.alignment
         fade = _fade_mult(lay, rel_ms, dur_ms)
         if fade <= 0.0:
             continue
@@ -914,7 +1087,11 @@ def render_events(track: AssTrack, time_ns: int, width: int,
                 lx += w_span
             ly += lh
 
-        if lay.frz:
+        if lay.frx or lay.fry or lay.fax or lay.fay:
+            ev_images = [_transform_image(im, lay, org[0], org[1],
+                                          20000.0 * sy, width, height)
+                         for im in ev_images]
+        elif lay.frz:
             ev_images = [_rotate_image(im, lay.frz, org[0], org[1])
                          for im in ev_images]
         clip_rect = None

@@ -307,6 +307,89 @@ def test_render_frz_rotates():
     assert np.ptp(ys9) > 2.5 * np.ptp(xs9)
 
 
+def _pos_event_track(tags):
+    head = SCRIPT.split("[Events]")[0]
+    fmt = ("[Events]\nFormat: Layer, Start, End, Style, Name, MarginL, "
+           "MarginR, MarginV, Effect, Text\n")
+    ev = ("Dialogue: 0,0:00:00.00,0:00:10.00,Default,,0,0,0,,"
+          "{\\pos(320,240)" + tags + "}IIIIIIII\n")
+    return _track(head + fmt + ev)
+
+
+def _alpha_extent(t, tm=int(1e9)):
+    ov = ass.blit_bgra_premultiplied(
+        ass.render_events(t, tm, 640, 480), 640, 480)
+    ys, xs = np.where(ov[..., 3] > 0)
+    return ys, xs
+
+
+def test_render_frx_fry_foreshorten():
+    """3D rotations: \\frx tilts about the screen x-axis (vertical
+    extent shrinks ~cos), \\fry about y (horizontal shrinks)."""
+    ys0, xs0 = _alpha_extent(_pos_event_track(""))
+    ysx, xsx = _alpha_extent(_pos_event_track("\\frx75"))
+    ysy, xsy = _alpha_extent(_pos_event_track("\\fry75"))
+    assert np.ptp(ysx) < 0.6 * np.ptp(ys0)      # cos75 ~ 0.26 + rounding
+    assert abs(np.ptp(xsx) - np.ptp(xs0)) <= max(4, 0.15 * np.ptp(xs0))
+    assert np.ptp(xsy) < 0.6 * np.ptp(xs0)
+    assert abs(np.ptp(ysy) - np.ptp(ys0)) <= max(4, 0.15 * np.ptp(ys0))
+
+
+def test_render_fax_shears():
+    """\\fax shears x by y: row centroids drift with height; the
+    bounding box widens by ~|fax| * text height."""
+    ys0, xs0 = _alpha_extent(_pos_event_track(""))
+    ysf, xsf = _alpha_extent(_pos_event_track("\\fax1"))
+    h0 = np.ptp(ys0)
+    assert np.ptp(xsf) > np.ptp(xs0) + 0.6 * h0
+    top_cx = xsf[ysf <= ysf.min() + 1].mean()
+    bot_cx = xsf[ysf >= ysf.max() - 1].mean()
+    assert abs(top_cx - bot_cx) > 0.5 * h0
+
+
+def test_tag_t_animation_interpolates():
+    """\\t lerps the animatable fields by ((t-t1)/(t2-t1))^accel."""
+    style = ass.AssStyle()
+    text = "{\\t(2000,4000,\\fscx300\\bord8)}x"
+
+    def state_at(rel):
+        lines, _ = ass.parse_dialogue_text(text, style, {}, rel_ms=rel,
+                                           dur_ms=10000.0)
+        return lines[0][0].state
+
+    assert state_at(0.0).scale_x == 100.0       # before t1
+    mid = state_at(3000.0)                      # k = 0.5
+    assert abs(mid.scale_x - 200.0) < 1e-6
+    assert abs(mid.border - 5.0) < 1e-6         # 2 -> 8 at k=0.5
+    assert state_at(9000.0).scale_x == 300.0    # after t2
+    # acceleration: k = 0.5^2 = 0.25
+    text2 = "{\\t(2000,4000,2,\\fscx300)}x"
+    lines, _ = ass.parse_dialogue_text(text2, style, {}, rel_ms=3000.0,
+                                       dur_ms=10000.0)
+    assert abs(lines[0][0].state.scale_x - 150.0) < 1e-6
+    # colors lerp per channel: white -> red at k=0.5
+    text3 = "{\\t(\\1c&H0000FF&)}x"
+    lines, _ = ass.parse_dialogue_text(text3, style, {}, rel_ms=5000.0,
+                                       dur_ms=10000.0)
+    assert lines[0][0].state.primary == (255, 128, 128, 255)
+    # without a clock (strip surface) \t is inert
+    lines, _ = ass.parse_dialogue_text(text, style, {})
+    assert lines[0][0].state.scale_x == 100.0
+
+
+def test_tag_t_animates_rotation_render():
+    """\\t(\\frz...) animates layout rotation: mid-event the glyph run
+    is partly rotated, at the end fully vertical."""
+    t = _pos_event_track("\\t(0,10000,\\frz90)")
+    ys_mid, xs_mid = _alpha_extent(t, tm=int(5e9))
+    ys_end, xs_end = _alpha_extent(t, tm=int(9.99e9))
+    ys0, xs0 = _alpha_extent(_pos_event_track(""))
+    assert np.ptp(ys_end) > 2.5 * np.ptp(xs_end)   # fully rotated
+    assert np.ptp(xs0) > 2.5 * np.ptp(ys0)         # baseline flat
+    # mid-rotation (45 deg): extents comparable
+    assert 0.4 < np.ptp(ys_mid) / max(1, np.ptp(xs_mid)) < 2.5
+
+
 def test_render_underline_layers_shadow():
     head = SCRIPT.split("[Events]")[0]
     t = _track(head + """[Events]
