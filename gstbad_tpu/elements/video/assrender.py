@@ -12,10 +12,18 @@ premultiplied-BGRA snapshots per event-transition interval, selected
 by frame PTS on device and composited with the premultiplied OVER
 blend (s + (255-a)*d/255).
 
+Events that animate (\\t, \\move, \\fad/\\fade, karaoke) are sampled
+WITHIN their active range at animation-fps (device-bank snapshots are
+pre-rendered, so granularity trades HBM for smoothness; the reference
+re-renders every frame on the CPU — set animation-fps to the video
+rate for frame-exact parity, the 512-snapshot cap guards the bank).
+
 Properties follow gstassrender.c:162-176: enable toggles rendering;
 embeddedfonts and wait-text are accepted for API parity (font
 attachments don't exist for the bitmap face, and the host-push model
-has no async text stream to wait on — documented)."""
+has no async text stream to wait on — documented).  animation-fps is
+this port's knob (no reference analog — the reference's per-frame
+render loop has no sampling grid to configure)."""
 
 from __future__ import annotations
 
@@ -42,7 +50,14 @@ class AssRender(VideoFilter):
         Property("face", str, "auto", static=True,
                  doc="auto | pango | fixed — pango shapes glyphs with"
                      " real fonts (io/ass._pango_span)"),
+        Property("animation-fps", float, 10.0, static=True,
+                 doc="snapshot rate inside animated events (\\t, \\move,"
+                     " \\fad, karaoke); match the video rate for"
+                     " frame-exact animation"),
     )
+
+    _SNAPSHOT_CAP = 512
+    _ANIM_RE = None  # compiled lazily
 
     def __init__(self, **props):
         super().__init__(**props)
@@ -66,8 +81,26 @@ class AssRender(VideoFilter):
                              "pango/pangocairo is not available")
         self._face = "pango" if (face in ("auto", "pango")
                                  and ass.pango_available()) else "fixed"
-        times = sorted({t for ev in self._track.events
-                        for t in (ev.start, ev.end)})
+        times = {t for ev in self._track.events
+                 for t in (ev.start, ev.end)}
+        # animated events need intra-event samples: \t, \move,
+        # \fad/\fade and karaoke all vary with the event clock
+        import re
+        if AssRender._ANIM_RE is None:
+            AssRender._ANIM_RE = re.compile(
+                r"\\(t[\s(0-9]|move|fade?|k[fo]?\d|K\d)")
+        anim_fps = max(0.1, float(self.props.get("animation-fps", 10.0)))
+        step = int(1e9 / anim_fps)
+        anim_times = set()
+        for ev in self._track.events:
+            if AssRender._ANIM_RE.search(ev.raw_text or ""):
+                anim_times.update(range(ev.start, ev.end, step))
+        if len(times) + len(anim_times) > self._SNAPSHOT_CAP:
+            keep = max(1, self._SNAPSHOT_CAP - len(times))
+            ordered = sorted(anim_times)
+            stride = max(1, len(ordered) // keep)
+            anim_times = set(ordered[::stride][:keep])
+        times = sorted(times | anim_times)
         overlays = [np.zeros((H, W, 4), np.uint8)]
         begins, ends = [0], [0]
         for i, t in enumerate(times[:-1]):

@@ -390,6 +390,37 @@ def test_tag_t_animates_rotation_render():
     assert 0.4 < np.ptp(ys_mid) / max(1, np.ptp(xs_mid)) < 2.5
 
 
+def test_element_animates_within_event():
+    """\\t reaches the ELEMENT level: animated events are sampled at
+    animation-fps inside their active range, so the device overlay bank
+    rotates the run across frames (the reference re-renders per frame;
+    animation-fps=video rate gives frame-exact parity)."""
+    script = SCRIPT.split("[Events]")[0] + (
+        "[Events]\n"
+        "Format: Layer, Start, End, Style, Name, MarginL, MarginR, "
+        "MarginV, Effect, Text\n"
+        "Dialogue: 0,0:00:00.00,0:00:04.00,Default,,0,0,0,,"
+        "{\\pos(320,240)\\t(0,4000,\\frz90)}HELLOHELLO\n")
+
+    def run(with_sub):
+        p = gt.parse_launch(
+            "videotestsrc pattern=black width=640 height=480 "
+            "format=BGRx framerate=2/1 "
+            "! assrender name=ar animation-fps=2 face=fixed ! fakesink")
+        if with_sub:
+            p.get_by_name("ar").push_script(script)
+        outs = p.run(n_frames=8, window=4)
+        return np.concatenate([np.asarray(o.data) for o in outs])
+
+    base, sub = run(False), run(True)
+    d = np.abs(sub[..., :3].astype(int)
+               - base[..., :3].astype(int)).sum(-1) > 0
+    ys0, xs0 = np.where(d[0])
+    ys7, xs7 = np.where(d[7])
+    assert np.ptp(xs0) > 2.0 * np.ptp(ys0)      # starts flat
+    assert np.ptp(ys7) > 2.0 * np.ptp(xs7)      # ends vertical
+
+
 def test_render_underline_layers_shadow():
     head = SCRIPT.split("[Events]")[0]
     t = _track(head + """[Events]
