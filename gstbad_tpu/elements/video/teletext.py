@@ -2,8 +2,10 @@
 streams to RGBA page renders + text.
 
 io/teletext.py implements the decoding (the element's own data-unit
-walk transcribed exactly; the zvbi part from ETS 300 706 Level 1 —
-divergences documented there).  Host-source model: `push_packet(bytes)`
+walk transcribed exactly; the zvbi part from ETS 300 706 up to the
+Level 2.5 colour system — X/26 enhancements, X/28 / M/29 CLUT
+redefinitions — cross-validated against the real libzvbi; divergences
+documented there).  Host-source model: `push_packet(bytes)`
 feeds application/x-teletext buffers before the run; each completed
 page matching `page`/`subpage` emits one RGBA frame
 (40*12 x 25*10, COLUMNS_TO_WIDTH/ROWS_TO_HEIGHT geometry) and posts a
@@ -52,6 +54,11 @@ class TeletextDec(Element):
         Property("font-description", str, "verdana 12", static=True,
                  doc="accepted for parity; bitmap face renders"),
         Property("framerate", str, "25/1", static=True),
+        Property("level", float, 3.5, static=True,
+                 doc="presentation level for the RGBA render (the "
+                     "reference asks zvbi for VBI_WST_LEVEL_3p5; "
+                     "X/28 CLUT redefinitions and X/26 colours land "
+                     "at >= 2.5 — io/teletext.py render_cells)"),
     )
 
     def __init__(self, **props):
@@ -88,8 +95,10 @@ class TeletextDec(Element):
                                          and sb != want_sub):
                         continue
                     page = dec.pages[(pg, sb)]
-                    rgba = tt.render_page_rgba(page)
-                    lines = tt.page_to_text(page)
+                    rgba = tt.render_page_rgba(
+                        page, level=self.props["level"])
+                    lines = tt.page_to_text(
+                        page, level=self.props["level"])
                     out.append((rgba, lines))
         self._pages = out
 

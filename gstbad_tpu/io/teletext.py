@@ -34,8 +34,17 @@ composition via NFC — applied by page_to_text at level >= 1.5 (the
 default; the reference asks zvbi for VBI_WST_LEVEL_3p5).  All
 semantics cross-validated against libzvbi (tests/test_teletext_zvbi).
 Divergence: combinations outside Unicode's precomposed set render the
-base character (zvbi NULs them).  X/27..X/31 and Level >= 2.5
-attributes remain ignored (documented).
+base character (zvbi NULs them).
+
+Level 2.5 (r3): X/28/0 and M/29/0 page/magazine extension packets —
+CLUT 2/3 redefinition (16 x 12-bit RGB), default screen / row colour,
+black background substitution, the table 33 colour-table remapping —
+plus X/26 colour triplets (foreground / background / full screen /
+full row colour) and X/28/4 CLUT 0/1 redefinition at level 3.5.  Per-
+cell fg/bg and the colour map are cross-validated against libzvbi's
+vbi_page via the io/zvbi.py fetch_page oracle (struct layout
+calibrated empirically).  X/27, X/30, X/31 (links / TSDP) remain
+ignored (documented).
 
 National option subsets (r3): the header's C12-C14 designation picks
 one of the ETS 300 706 table 36 Latin national subsets — 13 G0
@@ -96,6 +105,41 @@ PALETTE = np.array([
     [0, 0, 255], [255, 0, 255], [0, 255, 255], [255, 255, 255],
 ], np.uint8)
 
+# Level 2.5 default colour map, 40 entries of vbi_rgba (R | G<<8 |
+# B<<16 | A<<24), calibrated byte-for-byte against this libzvbi build
+# (io/zvbi.py fetch_page on an untouched page; CLUT 2/3 match ETS 300
+# 706 table 30 — CLUT 1 entries 13/14 are zvbi's own quirky defaults,
+# kept verbatim for oracle agreement).  CLUT 0 = entries 0-7 (the
+# Level 1 PALETTE), CLUT 1 = 8-15, CLUT 2 = 16-23, CLUT 3 = 24-31;
+# 32-39 are zvbi-private (navigation etc.).
+ZVBI_DEFAULT_COLOR_MAP = (
+    0xFF000000, 0xFF0000FF, 0xFF00FF00, 0xFF00FFFF,
+    0xFFFF0000, 0xFFFF00FF, 0xFFFFFF00, 0xFFFFFFFF,
+    0xFF000000, 0xFF000077, 0xFF007700, 0xFF007777,
+    0xFF770000, 0xFF007777, 0x00200000, 0xFF777777,
+    0xFF5500FF, 0xFF0077FF, 0xFF77FF00, 0xFFBBFFFF,
+    0xFFAACC00, 0xFF000055, 0xFF225566, 0xFF7777CC,
+    0xFF333333, 0xFF7777FF, 0xFF77FF77, 0xFF77FFFF,
+    0xFFFF7777, 0xFFFF77FF, 0xFFFFFF77, 0xFFDDDDDD,
+    0xFF000000, 0xFF99AAFF, 0xFF00EE44, 0xFF00DDFF,
+    0xFF99AAFF, 0xFFFF00FF, 0xFFFFFF00, 0xFFEEEEEE,
+)
+
+
+def color_map_rgb(cmap=ZVBI_DEFAULT_COLOR_MAP) -> np.ndarray:
+    """40 vbi_rgba entries -> [40, 3] u8 RGB."""
+    out = np.zeros((40, 3), np.uint8)
+    for i, v in enumerate(cmap):
+        out[i] = (v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF)
+    return out
+
+
+# ETS 300 706 table 33: X/28 "colour table remapping" -> the CLUT
+# offsets added to Level 1 spacing-attribute colours (zvbi-probed:
+# remap 7 renders white text as colour 23 on background 24)
+REMAP_OFFSETS = ((0, 0), (0, 8), (0, 16), (8, 8),
+                 (8, 16), (16, 8), (16, 16), (16, 24))
+
 
 @dataclass
 class TeletextPage:
@@ -108,6 +152,10 @@ class TeletextPage:
     charset: int = 0           # C12-C14 national designation
     # X/26 enhancement packets: (designation, 39 triplet bytes)
     enhancements: list = field(default_factory=list)
+    # X/28 packets: designation -> 13 decoded 18-bit triplets
+    x28: dict = field(default_factory=dict)
+    # M/29 magazine defaults captured at completion time (same shape)
+    m29: dict = field(default_factory=dict)
 
 
 # G0 positions substituted by the national option subsets
@@ -145,11 +193,14 @@ class TeletextDecoder:
         self._serial: Dict[int, bool] = {}
         self.pages: Dict[Tuple[int, int], TeletextPage] = {}
         self.events: List[Tuple[int, int]] = []       # (pgno, subno)
+        # M/29 magazine-level extension packets: mag -> {des: triplets}
+        self._m29: Dict[int, Dict[int, list]] = {}
 
     def _complete(self, mag: int) -> None:
         page = self._collect.pop(mag, None)
         if page is None:
             return
+        page.m29 = dict(self._m29.get(mag, {}))
         self.pages[(page.pgno, page.subno)] = page
         self.events.append((page.pgno, page.subno))
 
@@ -208,7 +259,25 @@ class TeletextDecoder:
             if designation >= 0:
                 page.enhancements.append((designation,
                                           bytes(data42[3:42])))
-        # X/27..X/31: linked pages / Level >=2.5 / independent data —
+        elif row == 28:
+            # X/28: page-level presentation extension (Level 2.5/3.5)
+            page = self._collect.get(mag)
+            if page is None:
+                return
+            designation = hamming84(data42[2])
+            if designation >= 0:
+                trips = _decode_triplets(data42[3:42])
+                if trips is not None:
+                    page.x28[designation] = trips
+        elif row == 29:
+            # M/29: magazine-level default extension (applies to every
+            # page of the magazine until replaced)
+            designation = hamming84(data42[2])
+            if designation >= 0:
+                trips = _decode_triplets(data42[3:42])
+                if trips is not None:
+                    self._m29.setdefault(mag, {})[designation] = trips
+        # X/27, X/30, X/31: linked pages / TSDP / independent data —
         # accepted and ignored (module doc)
 
     def flush(self) -> None:
@@ -357,22 +426,35 @@ def _mosaic_bitmap(code: int, separated: bool) -> np.ndarray:
     return out
 
 
-def render_page_rgba(page: TeletextPage, reveal: bool = False
-                     ) -> np.ndarray:
-    """[25*CELL_H, 40*CELL_W, 4] RGBA render of rows 0-24."""
+def render_page_rgba(page: TeletextPage, reveal: bool = False,
+                     level: float = 3.5) -> np.ndarray:
+    """[25*CELL_H, 40*CELL_W, 4] RGBA render of rows 0-24.
+
+    level >= 2.5 renders through the full colour pipeline (X/28/M/29
+    CLUT redefinitions + remapping, X/26 colour triplets, black
+    background substitution by the row colour — ETS 300 706 9.4.2 /
+    12.3.2; zvbi-probed semantics where the spec is loose)."""
     H, W = 25 * CELL_H, 40 * CELL_W
     out = np.zeros((H, W, 4), np.uint8)
     out[..., 3] = 255
     glyphs = _glyphs()
+    rp = render_cells(page, level)
+    cmap = rp.color_map
     for r in range(25):
-        cells = render_row_attrs(page.chars[r])
+        cells = rp.cells[r]
         if r == 0 and page.suppress_header:
-            cells = [Cell(0x20, 7, 0, False, False, False, False)
-                     for _ in range(40)]
+            cells = [Cell(0x20, 7 + rp.ext.fg_offset,
+                          rp.ext.bg_offset, False, False, False,
+                          False) for _ in range(40)]
+        row_color = rp.row_colors.get(r, rp.ext.def_row_color)
         for c, cell in enumerate(cells):
             y0, x0 = r * CELL_H, c * CELL_W
-            fgc = PALETTE[cell.fg]
-            bgc = PALETTE[cell.bg]
+            fgc = cmap[cell.fg % 40]
+            bg_idx = cell.bg % 40
+            if (rp.ext.black_bg_subst and not rp.x26_bg[r, c]
+                    and bg_idx == rp.ext.bg_offset):
+                bg_idx = row_color % 40
+            bgc = cmap[bg_idx]
             block = out[y0:y0 + CELL_H, x0:x0 + CELL_W]
             block[..., :3] = bgc
             ch = cell.char
@@ -439,6 +521,101 @@ def hamming2418_encode(value18: int) -> bytes:
     return bytes([v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF])
 
 
+# -- X/28 / M/29 page extensions (ETS 300 706 9.4.2; Level 2.5) --------------
+
+def _decode_triplets(b39: bytes) -> Optional[list]:
+    """39 payload bytes -> 13 hamming 24/18 triplets, or None when any
+    triplet has an uncorrectable error (zvbi drops the packet then)."""
+    trips = []
+    for k in range(13):
+        v = hamming2418(b39[3 * k:3 * k + 3])
+        if v < 0:
+            return None
+        trips.append(v)
+    return trips
+
+
+@dataclass
+class PageExtension:
+    """Resolved presentation state for one page (defaults + M/29 +
+    X/28).  color_map holds 40 vbi_rgba entries; fg/bg offsets are the
+    table 33 remapping applied to Level 1 spacing-attribute colours."""
+    color_map: list = field(
+        default_factory=lambda: list(ZVBI_DEFAULT_COLOR_MAP))
+    def_screen_color: int = 0
+    def_row_color: int = 0
+    black_bg_subst: bool = False
+    fg_offset: int = 0
+    bg_offset: int = 0
+
+
+def _ext_bits(trips: list, pos: int, n: int) -> int:
+    """n bits starting at global bit position pos (0-based, LSB-first
+    within each 18-bit triplet) of the 13-triplet payload."""
+    v = 0
+    for k in range(n):
+        p = pos + k
+        if (trips[p // 18] >> (p % 18)) & 1:
+            v |= 1 << k
+    return v
+
+
+def parse_x28_format1(trips: list, ext: PageExtension,
+                      clut_base: int) -> None:
+    """X/28/0 Format 1 (or X/28/4 / M/29/0 / M/29/4) into ext.
+
+    Bit layout (zvbi-probed, matching 9.4.2): colour data = 16 entries
+    x 12 bits (R, G, B nibbles in transmission order, LSB-first)
+    starting at global bit 28 (after page function/coding, charset
+    designations and side-panel flags); triplet 13 carries default
+    screen colour (bits 220-224), default row colour (225-229), black
+    background substitution (230) and the CLUT remapping (231-233).
+    4-bit components scale to 8 bits via x17, alpha 0xFF."""
+    pos = 28
+    for i in range(16):
+        r = _ext_bits(trips, pos, 4) * 17
+        g = _ext_bits(trips, pos + 4, 4) * 17
+        b = _ext_bits(trips, pos + 8, 4) * 17
+        ext.color_map[clut_base + i] = (0xFF << 24) | (b << 16) \
+            | (g << 8) | r
+        pos += 12
+    if clut_base == 0:
+        # zvbi CLUT 1 quirks, reproduced verbatim for oracle parity
+        # (probed: tests/test_teletext_zvbi.py x28_4): entry 8
+        # (transparent black) is never redefined; entry 13 aliases
+        # the transmitted entry 11; entry 14 takes entry 12's R/G
+        # over its default B/alpha
+        ext.color_map[8] = ZVBI_DEFAULT_COLOR_MAP[8]
+        ext.color_map[13] = ext.color_map[11]
+        ext.color_map[14] = (ZVBI_DEFAULT_COLOR_MAP[14]
+                             & 0xFFFF0000) \
+            | (ext.color_map[12] & 0x0000FFFF)
+    ext.def_screen_color = _ext_bits(trips, 220, 5)
+    ext.def_row_color = _ext_bits(trips, 225, 5)
+    ext.black_bg_subst = bool(_ext_bits(trips, 230, 1))
+    fg_off, bg_off = REMAP_OFFSETS[_ext_bits(trips, 231, 3)]
+    ext.fg_offset, ext.bg_offset = fg_off, bg_off
+
+
+def page_extension(page: TeletextPage,
+                   level: float = 3.5) -> PageExtension:
+    """Merge defaults <- M/29 <- X/28 (per designation; the page
+    packet wins).  zvbi-probed: the formatter applies BOTH
+    designations at every fetch level (ETS 9.4.2.2 would gate X/28/4
+    CLUT 0/1 at level 3.5, but the reference's zvbi does not — its
+    max_level only gates the X/26 enhancement walk), so `level` is
+    accepted for interface symmetry and unused here."""
+    del level
+    ext = PageExtension()
+    # designation 4 first so X/28/0's scalar fields (screen/row/remap)
+    # win when both packets are present
+    for des, base in ((4, 0), (0, 16)):
+        trips = page.x28.get(des, page.m29.get(des))
+        if trips is not None:
+            parse_x28_format1(trips, ext, base)
+    return ext
+
+
 # G2 Latin set (ETS 300 706 table 37), calibrated cell-for-cell against
 # zvbi's level-1.5 rendering; None = no mapping (cell keeps its char)
 G2_LATIN = (
@@ -464,15 +641,29 @@ def compose_mark(base: str, mark: int) -> str:
     return composed if len(composed) == 1 else base
 
 
-def apply_x26(page: TeletextPage) -> Dict[Tuple[int, int], str]:
+def apply_x26_full(page: TeletextPage, level: float = 3.5) -> tuple:
     """The enhancement walk (zvbi-calibrated): triplets stream across
     packets in designation order; active position starts at (0, 0);
     row-address triplets (address >= 40) with mode 0x04 set row =
     address-40 (40 -> 24) and column = data; column triplets clamp the
     column FORWARD (col = max(col, address)) and apply there; mode
     0x0F = G2 character, 0x10-0x1F = G0 char with diacritic; 0x1F at a
-    row address terminates."""
+    row address terminates.
+
+    Level 2.5 additions (zvbi-probed semantics): column mode 0x00 =
+    foreground colour, 0x03 = background colour — the 5-bit value
+    applies from the addressed column to the end of the row until a
+    Level 1 spacing attribute re-sets that channel or a later triplet
+    overrides it; row mode 0x00 = full screen colour; row mode 0x01 =
+    full row colour (data bits 6-7 = 00 this row, 11 = this row and
+    below — not visible in zvbi's pg->text, applied at RGBA render).
+
+    -> (char_overrides, color_cmds, screen_color, row_colors) where
+    color_cmds = [(row, col, 'fg'|'bg', value)] in stream order."""
     overrides: Dict[Tuple[int, int], str] = {}
+    color_cmds: List[Tuple[int, int, str, int]] = []
+    screen_color: Optional[int] = None
+    row_colors: Dict[int, int] = {}
     row, col = 0, 0
     stream = b"".join(p for _d, p in sorted(page.enhancements,
                                             key=lambda t: t[0]))
@@ -490,6 +681,19 @@ def apply_x26(page: TeletextPage) -> Dict[Tuple[int, int], str]:
                 row = 24 if address == 40 else address - 40
                 if data < 40:
                     col = data
+            elif mode == 0x00 and level >= 2.5:
+                # full screen colour (data bits 6-7 must be 00)
+                if (data >> 5) == 0:
+                    screen_color = data & 0x1F
+            elif mode == 0x01 and level >= 2.5:
+                # full row colour for the addressed row
+                s = data >> 5
+                r = 24 if address == 40 else address - 40
+                if s == 0:
+                    row_colors[r] = data & 0x1F
+                elif s == 3:
+                    for rr in range(r, 25):
+                        row_colors[rr] = data & 0x1F
             continue
         col = max(col, address)
         if mode == 0x0F and 0x20 <= data < 0x80:
@@ -498,7 +702,83 @@ def apply_x26(page: TeletextPage) -> Dict[Tuple[int, int], str]:
                 overrides[(row, col)] = g2
         elif 0x10 <= mode <= 0x1F and 0x20 <= data < 0x80:
             overrides[(row, col)] = compose_mark(chr(data), mode - 0x10)
-    return overrides
+        elif mode == 0x00 and level >= 2.5 and (data >> 5) == 0:
+            color_cmds.append((row, col, "fg", data & 0x1F))
+        elif mode == 0x03 and level >= 2.5 and (data >> 5) == 0:
+            color_cmds.append((row, col, "bg", data & 0x1F))
+    return overrides, color_cmds, screen_color, row_colors
+
+
+def apply_x26(page: TeletextPage) -> Dict[Tuple[int, int], str]:
+    """Character overrides only (Level 1.5 view of the X/26 walk)."""
+    return apply_x26_full(page, level=1.5)[0]
+
+
+@dataclass
+class RenderedPage:
+    """Per-cell presentation state after the full Level <=2.5 walk."""
+    cells: list                 # 25 rows x 40 Cell (fg/bg are 5-bit)
+    x26_bg: np.ndarray          # [25, 40] bool: bg set by X/26
+    color_map: np.ndarray       # [40, 3] u8 RGB
+    screen_color: int
+    row_colors: Dict[int, int]
+    ext: PageExtension
+
+
+def _fg_reset_at(codes: np.ndarray, c: int) -> bool:
+    """Level 1 spacing attr re-sets the foreground at cell c (the
+    colour codes are Set-After, so the change lands at c when the
+    attribute sits at c-1)."""
+    prev = int(codes[c - 1])
+    return prev <= 0x07 or 0x10 <= prev <= 0x17
+
+
+def _bg_reset_at(codes: np.ndarray, c: int) -> bool:
+    """Black/new background are Set-At: they re-set bg at their own
+    cell."""
+    cur = int(codes[c])
+    return cur in (0x1C, 0x1D)
+
+
+def render_cells(page: TeletextPage, level: float = 3.5
+                 ) -> RenderedPage:
+    """The merged Level 1 + X/26 + X/28/M/29 presentation walk:
+    Level 1 spacing attributes produce CLUT 0 colours, the X/28
+    remapping lifts them into the selected CLUTs, and X/26 colour
+    triplets overlay absolute 5-bit colours from their column to the
+    end of the row until a spacing attribute re-sets that channel
+    (zvbi-probed semantics; tests/test_teletext_zvbi.py)."""
+    ext = page_extension(page, level)
+    if page.enhancements:
+        _ovr, cmds, screen, row_colors = apply_x26_full(page, level)
+    else:
+        cmds, screen, row_colors = [], None, {}
+    screen_color = ext.def_screen_color if screen is None else screen
+    grid = []
+    for r in range(25):
+        cells = render_row_attrs(page.chars[r])
+        for cell in cells:
+            cell.fg += ext.fg_offset
+            cell.bg += ext.bg_offset
+        grid.append(cells)
+    x26_bg = np.zeros((25, 40), bool)
+    for r, c0, kind, val in cmds:
+        if not (0 <= r < 25 and 0 <= c0 < 40):
+            continue
+        codes = page.chars[r]
+        for c in range(c0, 40):
+            if c > c0 and (kind == "fg" and _fg_reset_at(codes, c)
+                           or kind == "bg" and _bg_reset_at(codes, c)):
+                break
+            if kind == "fg":
+                grid[r][c].fg = val
+            else:
+                grid[r][c].bg = val
+                x26_bg[r, c] = True
+    return RenderedPage(cells=grid, x26_bg=x26_bg,
+                        color_map=color_map_rgb(ext.color_map),
+                        screen_color=screen_color,
+                        row_colors=row_colors, ext=ext)
 
 
 def page_to_text(page: TeletextPage, start: int = 0, stop: int = 24,
@@ -633,4 +913,38 @@ def build_header(mag: int, tens: int, units: int, subno: int = 0,
 
 def build_row(mag: int, row: int, text: bytes) -> bytes:
     payload = bytes(parity_encode(b) for b in text[:40].ljust(40))
+    return build_line(mag, row, payload)
+
+
+def build_x28(mag: int, designation: int = 0,
+              colors: Optional[list] = None, screen_color: int = 0,
+              row_color: int = 0, black_bg_subst: bool = False,
+              remap: int = 0, row: int = 28) -> bytes:
+    """X/28 (or M/29 via row=29) extension packet.  colors = 16
+    (r, g, b) 4-bit tuples for the redefined CLUT pair; layout per
+    parse_x28_format1."""
+    bits = [0] * 234
+
+    def put(pos, val, n):
+        for k in range(n):
+            bits[pos + k] = (val >> k) & 1
+
+    pos = 28
+    for i in range(16):
+        r, g, b = colors[i] if colors else (0, 0, 0)
+        put(pos, r, 4)
+        put(pos + 4, g, 4)
+        put(pos + 8, b, 4)
+        pos += 12
+    put(220, screen_color, 5)
+    put(225, row_color, 5)
+    put(230, 1 if black_bg_subst else 0, 1)
+    put(231, remap, 3)
+    payload = bytes([hamming84_encode(designation)])
+    for t in range(13):
+        v = 0
+        for b in range(18):
+            if bits[t * 18 + b]:
+                v |= 1 << b
+        payload += hamming2418_encode(v)
     return build_line(mag, row, payload)

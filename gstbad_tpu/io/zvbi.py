@@ -22,6 +22,9 @@ VBI_SLICED_TELETEXT_B = 0x00000003
 VBI_EVENT_TTX_PAGE = 0x0002
 VBI_ANY_SUBNO = 0x3F7F
 VBI_WST_LEVEL_1 = 0
+VBI_WST_LEVEL_1p5 = 1
+VBI_WST_LEVEL_2p5 = 2
+VBI_WST_LEVEL_3p5 = 3
 
 _lib = None
 _tried = False
@@ -136,6 +139,121 @@ class ZvbiDecoder:
             return buf.raw[:n].decode("utf-8").split("\n")
         finally:
             self._lib.vbi_unref_page(page)
+
+    def fetch_page(self, pgno: int, subno: int = VBI_ANY_SUBNO,
+                   level: int = VBI_WST_LEVEL_3p5) -> Optional[dict]:
+        """Full vbi_page snapshot: per-cell unicode / foreground /
+        background CLUT indices, the 40-entry colour map (reflecting
+        X/28 / M/29 CLUT redefinitions at level >= 2.5), screen colour
+        and opacity.  This is the Level 2.5 colour ORACLE.
+
+        struct offsets are calibrated empirically at first use
+        (_page_layout) — libzvbi ships no dev header here."""
+        import struct
+        lay = _page_layout()
+        page = ctypes.create_string_buffer(1 << 19)
+        ok = self._lib.vbi_fetch_vt_page(self._dec, page, pgno, subno,
+                                         level, 25, 0)
+        if not ok:
+            return None
+        try:
+            raw = page.raw
+            rows = struct.unpack_from("<i", raw, lay["rows"])[0]
+            cols = struct.unpack_from("<i", raw, lay["columns"])[0]
+            text, fg, bg, opac = [], [], [], []
+            for r in range(rows):
+                trow, frow, brow, orow = [], [], [], []
+                for c in range(cols):
+                    off = lay["text"] + (r * cols + c) * lay["cell"]
+                    cell = raw[off:off + lay["cell"]]
+                    frow.append(cell[3])
+                    brow.append(cell[4])
+                    orow.append(cell[2])
+                    trow.append(chr(cell[6] | (cell[7] << 8)))
+                text.append("".join(trow))
+                fg.append(frow)
+                bg.append(brow)
+                opac.append(orow)
+            cmap = list(struct.unpack_from("<40I", raw, lay["color_map"]))
+            scol, sopa = struct.unpack_from("<2i", raw,
+                                            lay["screen_color"])
+            return {"rows": rows, "columns": cols, "text": text,
+                    "fg": fg, "bg": bg, "opacity": opac,
+                    "color_map": cmap, "screen_color": scol,
+                    "screen_opacity": sopa}
+        finally:
+            self._lib.vbi_unref_page(page)
+
+
+# -- vbi_page layout calibration ---------------------------------------------
+
+_LAYOUT: Optional[dict] = None
+
+
+def _page_layout() -> dict:
+    """Empirically derive vbi_page field offsets for THIS libzvbi
+    build: feed a throwaway decoder a known page, fetch it, scan the
+    raw struct for the head ints / text cells / default colour map.
+    Calibrated once per process; raises if any anchor is missing."""
+    global _LAYOUT
+    if _LAYOUT is not None:
+        return _LAYOUT
+    import struct
+    from gstbad_tpu.io import teletext as _tt
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("libzvbi not available")
+    dec = ZvbiDecoder()
+    probe = "LAYOUTPROBE"
+    lines = [_tt.build_header(1, 0, 0),
+             _tt.build_row(1, 1, probe.encode())]
+    for _ in range(2):
+        dec.feed_frame(lines)
+        dec.feed_frame([_tt.build_header(1, 0, 1)])
+    page = ctypes.create_string_buffer(1 << 19)
+    ok = lib.vbi_fetch_vt_page(dec._dec, page, 0x100, VBI_ANY_SUBNO,
+                               VBI_WST_LEVEL_1, 25, 0)
+    if not ok:
+        raise RuntimeError("zvbi layout probe: fetch failed")
+    raw = page.raw
+    try:
+        lib.vbi_unref_page(page)
+    except Exception:  # noqa: BLE001
+        pass
+    # head: ...pgno(0x100), subno, rows(25), columns at fixed int slots
+    head = struct.unpack_from("<8i", raw, 0)
+    try:
+        pg_idx = head.index(0x100)
+    except ValueError:
+        raise RuntimeError("zvbi layout probe: pgno anchor missing")
+    rows_off = (pg_idx + 2) * 4
+    cols_off = (pg_idx + 3) * 4
+    rows, cols = struct.unpack_from("<2i", raw, rows_off)
+    if rows != 25 or not (40 <= cols <= 64):
+        raise RuntimeError("zvbi layout probe: rows/columns mismatch")
+    # text array: find the probe string as 16-bit unicode, stride 8
+    text_off = cell = None
+    for off in range(cols_off + 4, 4096):
+        s = "".join(chr(struct.unpack_from("<H", raw, off + i * 8)[0])
+                    for i in range(len(probe)))
+        if s == probe:
+            # probe is at row 1 col 0; unicode lives at cell byte 6
+            cell = 8
+            text_off = off - 6 - cols * cell
+            break
+    if text_off is None:
+        raise RuntimeError("zvbi layout probe: text anchor missing")
+    # colour map: the default CLUT0 pattern (black..white, opaque)
+    pat = struct.pack("<8I", 0xFF000000, 0xFF0000FF, 0xFF00FF00,
+                      0xFF00FFFF, 0xFFFF0000, 0xFFFF00FF, 0xFFFFFF00,
+                      0xFFFFFFFF)
+    cmap_off = raw.find(pat, text_off)
+    if cmap_off < 0:
+        raise RuntimeError("zvbi layout probe: colour-map anchor missing")
+    _LAYOUT = {"rows": rows_off, "columns": cols_off, "text": text_off,
+               "cell": cell, "color_map": cmap_off,
+               "screen_color": cmap_off - 8}
+    return _LAYOUT
 
 
 # -- raw VBI bit slicer (the line21 waveform oracle) --------------------------

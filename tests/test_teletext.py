@@ -161,3 +161,42 @@ def test_double_bit_error_drops_line():
     dec.feed_line(tt.build_row(1, 1, b"X"))
     dec.feed_line(tt.build_header(1, 0, 1))
     assert dec.events == []
+
+
+def test_element_level25_colors_reach_rgba():
+    """X/28/0 CLUT2 redefinition + an X/26 background triplet change
+    the rendered pixels at level 3.5 and are absent at level 1."""
+    l_hdr = tt.build_header(1, 0, 0)
+    # CLUT2 entry 0 (colour 16) = pure 4-bit red
+    colors = [(15, 0, 0)] + [(0, 0, 0)] * 15
+    l_x28 = tt.build_x28(1, 0, colors=colors)
+    # X/26: background colour 16 from col 0 of row 2
+    trips = [tt.hamming2418_encode(42 | (0x04 << 6) | (0 << 11)),
+             tt.hamming2418_encode(0 | (0x03 << 6) | (16 << 11)),
+             tt.hamming2418_encode(63 | (0x1F << 6))]
+    while len(trips) < 13:
+        trips.append(tt.hamming2418_encode(63 | (0x1F << 6)))
+    l_x26 = tt.build_line(
+        1, 26, bytes([tt.hamming84_encode(0)]) + b"".join(trips))
+    l_txt = tt.build_row(1, 2, b"COLOUR ROW")
+    l_nxt = tt.build_header(1, 0, 1)
+    packets = [_unit(l_hdr, line_no=7) + _unit(l_x28, line_no=8)
+               + _unit(l_x26, line_no=9) + _unit(l_txt, line_no=10),
+               _unit(l_nxt, line_no=7)]
+    rgba = {}
+    for level in (3.5, 1.0):
+        el = gt.make("teletextdec", page=100, level=level)
+        for p in packets:
+            el.push_packet(p)
+        pipe = Pipeline([el])
+        pipe.negotiate(None)
+        outs = pipe.run(n_frames=1)
+        rgba[level] = np.concatenate(
+            [np.asarray(o.data) for o in outs])[0]
+    # row 2 background: probe inside a SPACE cell (col 12, past the
+    # text) so the glyph mask cannot cover the pixel
+    x = 12 * tt.CELL_W + 5
+    px35 = rgba[3.5][2 * tt.CELL_H + 5, x]
+    px10 = rgba[1.0][2 * tt.CELL_H + 5, x]
+    assert tuple(px35[:3]) == (255, 0, 0)      # redefined CLUT2[0]
+    assert tuple(px10[:3]) == (0, 0, 0)        # level 1: black bg

@@ -251,3 +251,163 @@ def test_x26_addressing_quirks_match_zvbi():
     got = tt.page_to_text(ours.fetch(0x100))
     assert got[24][:2] == zr[24][:2] == "£."
     assert got[1][:16] == zr[1][:16] == "........$...¥..."
+
+
+# -- Level 2.5: X/28 / M/29 extensions + X/26 colours (r3) --------------------
+#
+# zvbi exposes the full vbi_page (per-cell fg/bg CLUT indices, the
+# 40-entry colour map, screen colour) through io/zvbi.py fetch_page;
+# every semantic below is validated cell-for-cell against it.
+
+def _cells(page, level):
+    rp = tt.render_cells(page, level=level)
+    fg = [[c.fg for c in row] for row in rp.cells]
+    bg = [[c.bg for c in row] for row in rp.cells]
+    return rp, fg, bg
+
+
+def test_x28_clut_redefinition_matches_zvbi():
+    colors = [(i, (i + 5) & 0xF, (i + 10) & 0xF) for i in range(16)]
+    hdr = tt.build_header(1, 0, 0, erase=True)
+    x28 = tt.build_x28(1, 0, colors=colors)
+    rows = [tt.build_row(1, 1, b"COLORTEST")]
+    closer = tt.build_header(1, 0, 1)
+    ours = _ours([hdr, x28] + rows + [closer])
+    z = _zvbi([[hdr, x28] + rows, [closer]])
+    zp = z.fetch_page(0x100, level=zvbi.VBI_WST_LEVEL_2p5)
+    rp, _fg, _bg = _cells(ours.fetch(0x100), 2.5)
+    ext = tt.page_extension(ours.fetch(0x100), 2.5)
+    assert [ext.color_map[i] for i in range(16, 32)] \
+        == zp["color_map"][16:32]
+    # 12-bit components scale x17 (probe-verified)
+    assert ext.color_map[16] == 0xFF000000 | (10 * 17 << 16) \
+        | (5 * 17 << 8) | 0
+    # zvbi applies X/28/0 at EVERY fetch level (probe-verified): so
+    # does page_extension
+    zp1 = z.fetch_page(0x100, level=zvbi.VBI_WST_LEVEL_1)
+    ext15 = tt.page_extension(ours.fetch(0x100), 1.5)
+    assert [ext15.color_map[i] for i in range(16, 32)] \
+        == zp1["color_map"][16:32]
+
+
+def test_x28_remap_matches_zvbi():
+    row_text = b"AB\x01CD\x1dEF\x1cGH"
+    for remap in (1, 2, 3, 4, 5, 6, 7):
+        hdr = tt.build_header(1, 0, 0, erase=True)
+        x28 = tt.build_x28(1, 0, remap=remap)
+        lines = [hdr, x28, tt.build_row(1, 1, row_text)]
+        closer = tt.build_header(1, 0, 1)
+        ours = _ours(lines + [closer])
+        z = _zvbi([lines, [closer]])
+        zp = z.fetch_page(0x100, level=zvbi.VBI_WST_LEVEL_2p5)
+        _rp, fg, bg = _cells(ours.fetch(0x100), 2.5)
+        assert fg[1] == zp["fg"][1][:40], remap
+        assert bg[1] == zp["bg"][1][:40], remap
+
+
+def test_x28_default_screen_color_matches_zvbi():
+    hdr = tt.build_header(1, 0, 0, erase=True)
+    x28 = tt.build_x28(1, 0, screen_color=7, row_color=8)
+    lines = [hdr, x28, tt.build_row(1, 1, b"SCREEN")]
+    closer = tt.build_header(1, 0, 1)
+    ours = _ours(lines + [closer])
+    z = _zvbi([lines, [closer]])
+    zp = z.fetch_page(0x100, level=zvbi.VBI_WST_LEVEL_2p5)
+    rp, _fg, _bg = _cells(ours.fetch(0x100), 2.5)
+    assert rp.screen_color == zp["screen_color"] == 7
+    assert rp.ext.def_row_color == 8
+    # zvbi applies the extension's screen colour at every level
+    zp1 = z.fetch_page(0x100, level=zvbi.VBI_WST_LEVEL_1p5)
+    rp1, _f, _b = _cells(ours.fetch(0x100), 1.5)
+    assert rp1.screen_color == zp1["screen_color"] == 7
+
+
+def test_x26_color_triplets_match_zvbi():
+    # fg from col 5 persists to the spacing colour attr; bg from
+    # col 10 persists through it; 5-bit CLUT2/3 values allowed
+    hdr = tt.build_header(1, 0, 0, erase=True)
+    trips = [_triplet(41, 0x04, 0),
+             _triplet(5, 0x00, 20),     # fg CLUT2 entry 4 at col 5
+             _triplet(10, 0x03, 27),    # bg CLUT3 entry 3 at col 10
+             _triplet(43, 0x04, 0),
+             _triplet(2, 0x00, 9),
+             _triplet(6, 0x00, 12)]     # later fg overrides from col 6
+    enh = _x26_lines(1, trips)
+    rows = [tt.build_row(1, 1, b"ABCDEFGHIJKLM\x02NOPQ"),
+            tt.build_row(1, 3, b"ABCDEFGHIJ")]
+    closer = tt.build_header(1, 0, 1)
+    lines = [hdr] + enh + rows
+    ours = _ours(lines + [closer])
+    z = _zvbi([lines, [closer]])
+    zp = z.fetch_page(0x100, level=zvbi.VBI_WST_LEVEL_2p5)
+    _rp, fg, bg = _cells(ours.fetch(0x100), 2.5)
+    for r in (1, 3):
+        assert fg[r] == zp["fg"][r][:40], r
+        assert bg[r] == zp["bg"][r][:40], r
+    # level 1.5 drops the colours but keeps Level 1 attributes
+    zp1 = z.fetch_page(0x100, level=zvbi.VBI_WST_LEVEL_1p5)
+    _rp1, fg1, bg1 = _cells(ours.fetch(0x100), 1.5)
+    for r in (1, 3):
+        assert fg1[r] == zp1["fg"][r][:40], r
+        assert bg1[r] == zp1["bg"][r][:40], r
+
+
+def test_x26_full_screen_color_matches_zvbi():
+    hdr = tt.build_header(1, 0, 0, erase=True)
+    enh = _x26_lines(1, [_triplet(41, 0x00, 5)])
+    lines = [hdr] + enh + [tt.build_row(1, 1, b"X")]
+    closer = tt.build_header(1, 0, 1)
+    ours = _ours(lines + [closer])
+    z = _zvbi([lines, [closer]])
+    zp = z.fetch_page(0x100, level=zvbi.VBI_WST_LEVEL_2p5)
+    rp, _fg, _bg = _cells(ours.fetch(0x100), 2.5)
+    assert rp.screen_color == zp["screen_color"] == 5
+
+
+def test_m29_magazine_default_and_x28_override():
+    colors_a = [(1, 2, 3)] * 16
+    colors_b = [(4, 5, 6)] * 16
+    hdr = tt.build_header(1, 0, 0, erase=True)
+    m29 = tt.build_x28(1, 0, colors=colors_a, row=29)
+    lines = [m29, hdr, tt.build_row(1, 1, b"M29")]
+    closer = tt.build_header(1, 0, 1)
+    ours = _ours(lines + [closer])
+    z = _zvbi([lines, [closer]])
+    zp = z.fetch_page(0x100, level=zvbi.VBI_WST_LEVEL_2p5)
+    ext = tt.page_extension(ours.fetch(0x100), 2.5)
+    assert [ext.color_map[i] for i in range(16, 32)] \
+        == zp["color_map"][16:32]
+    assert ext.color_map[16] == 0xFF000000 | (3 * 17 << 16) \
+        | (2 * 17 << 8) | (1 * 17)
+    # a page-level X/28 wins over the magazine default
+    hdr2 = tt.build_header(1, 0, 0, erase=True)
+    x28 = tt.build_x28(1, 0, colors=colors_b)
+    lines2 = [m29, hdr2, x28, tt.build_row(1, 1, b"X28")]
+    ours2 = _ours(lines2 + [closer])
+    z2 = _zvbi([lines2, [closer]])
+    zp2 = z2.fetch_page(0x100, level=zvbi.VBI_WST_LEVEL_2p5)
+    ext2 = tt.page_extension(ours2.fetch(0x100), 2.5)
+    assert [ext2.color_map[i] for i in range(16, 32)] \
+        == zp2["color_map"][16:32]
+    assert ext2.color_map[16] == 0xFF000000 | (6 * 17 << 16) \
+        | (5 * 17 << 8) | (4 * 17)
+
+
+def test_x28_4_clut01_matches_zvbi_incl_quirks():
+    """X/28/4 redefines CLUT 0/1 at every level in zvbi, with its
+    CLUT 1 quirks: entry 8 kept, 13 aliases transmitted 11, 14 takes
+    12's R/G over its default B/alpha (all reproduced verbatim)."""
+    colors = [((i + 3) & 0xF, i, (i + 7) & 0xF) for i in range(16)]
+    hdr = tt.build_header(1, 0, 0, erase=True)
+    x28_4 = tt.build_x28(1, 4, colors=colors)
+    lines = [hdr, x28_4, tt.build_row(1, 1, b"CLUT01")]
+    closer = tt.build_header(1, 0, 1)
+    ours = _ours(lines + [closer])
+    z = _zvbi([lines, [closer]])
+    for zlvl, olvl in ((zvbi.VBI_WST_LEVEL_3p5, 3.5),
+                       (zvbi.VBI_WST_LEVEL_2p5, 2.5),
+                       (zvbi.VBI_WST_LEVEL_1, 1.0)):
+        zp = z.fetch_page(0x100, level=zlvl)
+        ext = tt.page_extension(ours.fetch(0x100), olvl)
+        assert [ext.color_map[i] for i in range(0, 16)] \
+            == zp["color_map"][0:16], olvl
