@@ -15,6 +15,10 @@ def transcode_main(argv=None):
     ap.add_argument("--filters", default="",
                     help="gst-launch style filter chain")
     ap.add_argument("--window", type=int, default=8)
+    ap.add_argument("--profile", default="y4m",
+                    help="encoding profile: y4m[:FMT] | pnm | gdp | "
+                         "hevc[:qp=N|:lossless] (real libx265) | "
+                         "av1[:bitrate=N] (real libaom, IVF)")
     ap.add_argument("--cpu", action="store_true",
                     help="run on CPU instead of the TPU")
     args = ap.parse_args(argv)
@@ -31,7 +35,7 @@ def transcode_main(argv=None):
               f"({pct:.0f}%)", end="", file=sys.stderr)
 
     t = Transcoder(args.src, args.dest, args.filters, window=args.window,
-                   on_position=progress)
+                   profile=args.profile, on_position=progress)
     frames = t.run()
     print(f"\nwrote {frames} frames to {args.dest}", file=sys.stderr)
     return 0

@@ -4,14 +4,19 @@ The reference wraps uritranscodebin (decodebin3 -> profile encoders -> mux)
 with position signals; the output shape is chosen by a serialized
 GstEncodingProfile ("container:videocaps[:audiocaps]",
 gst-libs/gst/pbutils encoding-profile syntax).  Here the profile string
-selects among this framework's containers — codec bitstreams are
-out-of-scope, so profiles name raw containers + formats:
+selects among this framework's containers and (r3) its REAL codec
+elements:
 
     "y4m"            I420/GRAY8 YUV4MPEG2 (default)
     "y4m:GRAY8"      force an output format (auto-inserts videoconvert)
     "pnm"            P5/P6 image sequence (dest must contain a %d pattern)
     "gdp"            GDP packet stream (any negotiated format, caps on
                      the wire)
+    "hevc"           H.265 annex-B elementary stream via x265enc (the
+                     real libx265); options "hevc:qp=24" or
+                     "hevc:lossless"; needs I420 reaching the encoder
+    "av1"            AV1 in an IVF container via av1enc (the real
+                     libaom); option "av1:bitrate=NNN" (kbit/s)
 
 Inputs: .y4m or .gdp files.  Progress posts `position` messages and the
 optional on_position callback, like GstTranscoder's signals.
@@ -42,10 +47,13 @@ class Transcoder:
         self.on_position = on_position
         container, _, fmt = profile.partition(":")
         self.container = container or "y4m"
-        if self.container not in ("y4m", "pnm", "gdp"):
+        if self.container not in ("y4m", "pnm", "gdp", "hevc", "av1"):
             raise ValueError(f"unknown profile container {container!r}; "
-                             "known: y4m, pnm, gdp")
-        self.out_format = fmt or None
+                             "known: y4m, pnm, gdp, hevc, av1")
+        self.codec_opt = fmt if self.container in ("hevc", "av1") \
+            else None
+        self.out_format = None if self.container in ("hevc", "av1") \
+            else (fmt or None)
         if self.container == "pnm" and "%" not in dest_uri:
             raise ValueError("pnm profile writes an image sequence; "
                              "dest must contain a %d pattern")
@@ -57,6 +65,19 @@ class Transcoder:
             desc += f" ! videoconvert format={self.out_format}"
         elif self.container == "y4m" and self.filters:
             pass  # caller's filters decide; run() validates planar output
+        if self.container == "hevc":
+            enc = "x265enc name=tenc speed-preset=ultrafast " \
+                  "tune=zerolatency"
+            if self.codec_opt == "lossless":
+                enc += " lossless=true"
+            elif self.codec_opt and self.codec_opt.startswith("qp="):
+                enc += f" qp={int(self.codec_opt[3:])}"
+            desc += " ! " + enc
+        elif self.container == "av1":
+            enc = "av1enc name=tenc usage-profile=realtime cpu-used=8"
+            if self.codec_opt and self.codec_opt.startswith("bitrate="):
+                enc += f" target-bitrate={int(self.codec_opt[8:])}"
+            desc += " ! " + enc
         desc += " ! appsink"
         self.pipeline = parse_launch(desc)
 
@@ -99,7 +120,9 @@ class Transcoder:
         from gstbad_tpu.io import gdp as gdpio
         for b in batches:
             data = b.data
-            if self.container == "y4m":
+            if self.container in ("hevc", "av1"):
+                pass                 # the encoder tap collects packets
+            elif self.container == "y4m":
                 if not isinstance(data, dict):
                     raise ValueError(
                         f"y4m profile needs planar output; pipeline "
@@ -120,7 +143,22 @@ class Transcoder:
                 self.on_position(pos, total_ns)
             self.bus.post(Message("transcoder", "position", pos,
                                   {"position": pos, "duration": total_ns}))
-        if self.container == "y4m":
+        if self.container in ("hevc", "av1"):
+            enc = self.pipeline.get_by_name("tenc")
+            enc.close()              # drain the encoder lookahead
+            if self.container == "hevc":
+                with open(self.dest_uri, "wb") as f:
+                    for _pts, d in enc.packets:
+                        f.write(d)
+            else:
+                from gstbad_tpu.io.ivf import write_ivf
+                fr = out_spec.framerate
+                write_ivf(self.dest_uri, b"AV01", out_spec.width,
+                          out_spec.height, fr.numerator,
+                          fr.denominator,
+                          [(i, d) for i, (_p, d)
+                           in enumerate(enc.packets)])
+        elif self.container == "y4m":
             merged = {k: np.concatenate(v) for k, v in sink_planes.items()}
             y4m.write_y4m(self.dest_uri, out_spec, merged)
         elif self.container == "pnm":

@@ -231,3 +231,67 @@ def test_camera_viewfinder_and_previews(tmp_path):
     assert out and cam2.idle
     pv = cam2.bus.pop(name="preview-image")
     assert len(pv) == 1 and pv[0].fields["location"].endswith("vid_0.raw")
+
+
+def test_transcoder_hevc_profile_lossless(tmp_path, rng):
+    """y4m -> x265enc (real libx265) -> .hevc; decodes back bit-exact
+    through libde265dec."""
+    from gstbad_tpu.io import h265
+    if not h265.available():
+        import pytest
+        pytest.skip("libx265/libde265 not present")
+    import gstbad_tpu as gt
+    from gstbad_tpu.core.pipeline import Pipeline
+    spec = MediaSpec(kind="video", format="I420", width=64, height=48)
+    yy, xx = np.mgrid[0:48, 0:64]
+    planes = {"y": np.stack([((xx * 3 + yy + i * 7) % 256)
+                             .astype(np.uint8) for i in range(6)]),
+              "u": np.full((6, 24, 32), 90, np.uint8),
+              "v": np.full((6, 24, 32), 170, np.uint8)}
+    src = tmp_path / "in.y4m"
+    dst = tmp_path / "out.hevc"
+    y4m.write_y4m(src, spec, planes)
+    t = Transcoder(str(src), str(dst), window=3,
+                   profile="hevc:lossless")
+    assert t.run() == 6
+    dec = gt.make("libde265dec")
+    dec.push_packet(dst.read_bytes())
+    p = Pipeline([dec, gt.make("fakesink")])
+    p.negotiate(None)
+    outs = p.run(n_frames=6)
+    dy = np.concatenate([np.asarray(o.data["y"]) for o in outs])[:6]
+    assert np.array_equal(dy, planes["y"])
+
+
+def test_transcoder_av1_ivf_profile(tmp_path):
+    """y4m -> av1enc (real libaom) -> IVF; the repo's own ivfparse
+    reads it back and av1dec decodes every frame."""
+    from gstbad_tpu.io import av1 as av1io
+    if not av1io.available():
+        import pytest
+        pytest.skip("libaom not present")
+    from gstbad_tpu.io import ivf
+    spec = MediaSpec(kind="video", format="I420", width=64, height=48)
+    yy, xx = np.mgrid[0:48, 0:64]
+    planes = {"y": np.stack([((xx * 2 + yy * 3 + i * 11) % 256)
+                             .astype(np.uint8) for i in range(5)]),
+              "u": np.full((5, 24, 32), 100, np.uint8),
+              "v": np.full((5, 24, 32), 160, np.uint8)}
+    src = tmp_path / "in.y4m"
+    dst = tmp_path / "out.ivf"
+    y4m.write_y4m(src, spec, planes)
+    t = Transcoder(str(src), str(dst), window=5,
+                   profile="av1:bitrate=900")
+    assert t.run() == 5
+    parser = ivf.IvfParse()
+    frames = parser.push(dst.read_bytes())
+    assert parser.header.media_type == "video/x-av1"
+    assert len(frames) == 5
+    dec = av1io.AV1Decoder()
+    out = []
+    for _pts, payload in frames:
+        out += dec.decode(payload)
+    assert len(out) == 5
+    err = np.abs(out[0]["y"].astype(int)
+                 - planes["y"][0].astype(int)).mean()
+    assert err < 4
