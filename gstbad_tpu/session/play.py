@@ -62,8 +62,23 @@ class Play:
             p.get_by_name("src").push_frames(planes)
             kw.setdefault("n_frames", next(iter(planes.values())).shape[0])
             return cls(p, **kw)
+        # typefind + decodebin fallback (r3): sniff the file and build
+        # the matching real-decoder source (H.265, AV1/IVF, WebP,
+        # JPEG2000, game-music, tracker modules, AIFF)
+        import os
+        if os.path.exists(path):
+            import gstbad_tpu as gt
+            from gstbad_tpu.core.pipeline import Pipeline
+            from gstbad_tpu.io import typefind
+            with open(path, "rb") as f:
+                data = f.read()
+            mtype, src = typefind.make_source(data, path=path)
+            sink = gt.make("fakeaudiosink"
+                           if mtype.startswith("audio/")
+                           else "fakevideosink")
+            return cls(Pipeline([src, sink]), **kw)
         raise ValueError(f"Play.from_uri: unsupported uri {uri!r} "
-                         "(testbin:// or .y4m)")
+                         "(testbin://, .y4m, or a typefindable file)")
 
     @property
     def bus(self):
