@@ -96,6 +96,11 @@ class _ModuleSourceBase(Element):
 
     def restore_position(self, pos) -> None:
         self._pos = pos
+        self._done = False
+        self._seek(pos)
+
+    def _seek(self, pos: int) -> None:
+        """Engine seek for checkpoint resume (subclass)."""
 
 
 @register
@@ -126,6 +131,9 @@ class GmeDec(_ModuleSourceBase):
 
     def _block(self, n: int):
         return self._player.play(n)
+
+    def _seek(self, pos: int) -> None:
+        self._player.seek_frames(pos)
 
 
 @register
@@ -191,3 +199,6 @@ class OpenMptDec(_ModuleSourceBase):
         fmt = "F32" if self._dtype == np.float32 else "S16"
         return self._mod.read(self.out_spec.rate, n,
                               self.out_spec.channels, fmt)
+
+    def _seek(self, pos: int) -> None:
+        self._mod.set_position_seconds(pos / self.out_spec.rate)

@@ -51,6 +51,8 @@ def _load():
     lib.gme_track_info.restype = c_char_p
     lib.gme_track_info.argtypes = [c_void_p, POINTER(POINTER(_Info)),
                                    c_int]
+    lib.gme_seek_samples.restype = c_char_p
+    lib.gme_seek_samples.argtypes = [c_void_p, c_int]
     lib.gme_free_info.argtypes = [POINTER(_Info)]
     lib.gme_delete.argtypes = [c_void_p]
     try:
@@ -109,6 +111,13 @@ class GmePlayer:
     def duration_ms(self) -> int:
         return self.play_length_ms \
             + (8000 if self.loop_length_ms > 0 else 0)
+
+    def seek_frames(self, frame: int) -> None:
+        """Seek to an output frame position (gme counts interleaved
+        shorts, so a stereo frame = 2 gme samples)."""
+        err = self._lib.gme_seek_samples(self._p, frame * 2)
+        if err:
+            raise RuntimeError(f"gme_seek_samples: {err.decode()}")
 
     def play(self, n_frames: int) -> Optional[np.ndarray]:
         """-> [n_frames, 2] int16 stereo, or None when the track

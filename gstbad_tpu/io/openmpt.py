@@ -50,6 +50,9 @@ def _load():
                                                   ctypes.c_int32]
     lib.openmpt_module_get_duration_seconds.restype = c_double
     lib.openmpt_module_get_duration_seconds.argtypes = [c_void_p]
+    lib.openmpt_module_set_position_seconds.restype = c_double
+    lib.openmpt_module_set_position_seconds.argtypes = [c_void_p,
+                                                        c_double]
     lib.openmpt_module_get_metadata.restype = c_void_p  # must free
     lib.openmpt_module_get_metadata.argtypes = [c_void_p, c_char_p]
     lib.openmpt_free_string.argtypes = [c_void_p]
@@ -107,6 +110,10 @@ class Module:
     @property
     def duration_seconds(self) -> float:
         return self._lib.openmpt_module_get_duration_seconds(self._m)
+
+    def set_position_seconds(self, seconds: float) -> float:
+        return self._lib.openmpt_module_set_position_seconds(
+            self._m, seconds)
 
     def metadata(self, key: str) -> Optional[str]:
         p = self._lib.openmpt_module_get_metadata(self._m,
