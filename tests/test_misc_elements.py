@@ -535,3 +535,15 @@ def test_avwait_audio_sample_exact():
     assert alens[0] == 3200 - 1600      # block 4 spans the 300 ms gate
     assert sum(o.data.shape[0] * o.data.shape[1] for o in outs[1]) \
         == 1600 + 5 * 3200              # gate..end of the 10 blocks
+
+
+def test_tpu_launch_cli(capsys):
+    """tpu-launch (gst-launch-1.0 analog) drives a pipeline from its
+    CLI surface."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from gstbad_tpu.cli import launch_main
+    rc = launch_main(["--cpu", "-n", "8", "-v",
+                      "videotestsrc pattern=bars width=64 height=48 "
+                      "format=BGRx ! solarize ! fakesink"])
+    assert rc == 0
