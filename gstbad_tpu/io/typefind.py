@@ -38,6 +38,10 @@ def find_type(data: bytes) -> Optional[str]:
         nal_type = (data[off] >> 1) & 0x3F
         if nal_type in (32, 33, 34, 19, 20, 21):
             return "video/x-h265"
+    if data[0:1] == b"\x80" and data[1:9] == b"kate\x00\x00\x00\x00":
+        # Kate ID header (ext/kate typefind; tests/check/elements/kate.c
+        # test_kate_typefind expects application/x-kate)
+        return "application/x-kate"
     if data[:4] == b"Vgm ":
         return "audio/x-vgm"
     if data[:4] == b"NESM":
