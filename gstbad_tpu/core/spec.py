@@ -61,6 +61,10 @@ class VideoFormat:
     BGR16 = "BGR16"   # bbbbbggg gggrrrrr
     RGB15 = "RGB15"   # xrrrrrgg gggbbbbb
     BGR15 = "BGR15"   # xbbbbbgg gggrrrrr
+    # deep color: 16 bits per component, [B, H, W, 4] uint16 in
+    # A,R,G,B channel order (GStreamer ARGB64; what openexrdec emits,
+    # gstopenexrdec.cpp:285)
+    ARGB64 = "ARGB64"
 
     PACKED_RGB4 = (RGBA, BGRA, ARGB, ABGR, RGBx, BGRx, xRGB, xBGR)
     PACKED_RGB3 = (RGB, BGR)

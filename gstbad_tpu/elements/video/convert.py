@@ -87,6 +87,17 @@ def _to_ayuv(data, fmt):
                           jnp.clip(y, 0, 255).astype(jnp.uint8),
                           jnp.clip(u, 0, 255).astype(jnp.uint8),
                           jnp.clip(v, 0, 255).astype(jnp.uint8)], axis=-1)
+    if fmt == VideoFormat.ARGB64:
+        # 16 -> 8 bit per component: high byte (GStreamer's ARGB64
+        # unpack v >> 8), then the usual RGB->YCbCr
+        p = (data.astype(jnp.int32) >> 8)
+        a8 = p[..., 0].astype(jnp.uint8)
+        y, u, v = _apply_matrix(_RGB2YCBCR, p[..., 1], p[..., 2],
+                                p[..., 3])
+        return jnp.stack([a8,
+                          jnp.clip(y, 0, 255).astype(jnp.uint8),
+                          jnp.clip(u, 0, 255).astype(jnp.uint8),
+                          jnp.clip(v, 0, 255).astype(jnp.uint8)], axis=-1)
     # packed RGB
     offs = VideoFormat.rgb_offsets(fmt)
     r = data[..., offs[0]].astype(jnp.int32)
@@ -166,6 +177,16 @@ def _from_ayuv(ayuv, fmt):
              | (jnp.clip(g, 0, 255) >> (8 - gb)) << gs
              | (jnp.clip(b, 0, 255) >> (8 - bb)) << bs)
         return p.astype(jnp.uint16)
+    if fmt == VideoFormat.ARGB64:
+        y = ayuv[..., 1].astype(jnp.int32)
+        u = ayuv[..., 2].astype(jnp.int32)
+        v = ayuv[..., 3].astype(jnp.int32)
+        r, g, b = _apply_matrix(_YCBCR2RGB, y, u, v)
+        # 8 -> 16 bit: v * 257 = (v << 8) | v (GStreamer's pack)
+        return (jnp.stack([ayuv[..., 0].astype(jnp.int32),
+                           jnp.clip(r, 0, 255), jnp.clip(g, 0, 255),
+                           jnp.clip(b, 0, 255)], axis=-1)
+                * 257).astype(jnp.uint16)
     # packed RGB
     y = ayuv[..., 1].astype(jnp.int32)
     u = ayuv[..., 2].astype(jnp.int32)
@@ -183,7 +204,7 @@ def _from_ayuv(ayuv, fmt):
 
 
 _ALL = (VideoFormat.PACKED_RGB4 + VideoFormat.PACKED_RGB3
-        + VideoFormat.PACKED_RGB16
+        + VideoFormat.PACKED_RGB16 + (VideoFormat.ARGB64,)
         + (VideoFormat.AYUV, VideoFormat.GRAY8)
         + VideoFormat.PLANAR_YUV + VideoFormat.SEMIPLANAR_YUV
         + VideoFormat.PACKED_YUV422)
@@ -257,6 +278,29 @@ class VideoConvert(Element):
             if offs[3] is not None:
                 out = out.at[..., offs[3]].set(a.astype(jnp.uint8))
             return state, batch.with_data(out)
+        # ARGB64 <-> 8-bit packed RGB stay in the RGB domain: high-byte
+        # truncation down, (v << 8) | v expansion up (GStreamer's
+        # ARGB64 pack/unpack), no YUV round trip
+        if src == VideoFormat.ARGB64 and VideoFormat.is_rgb(dst):
+            p = (data.astype(jnp.int32) >> 8).astype(jnp.uint8)
+            offs = VideoFormat.rgb_offsets(dst)
+            n = VideoFormat.n_channels(dst)
+            out = jnp.empty(data.shape[:-1] + (n,), jnp.uint8)
+            for i in range(3):
+                out = out.at[..., offs[i]].set(p[..., 1 + i])
+            if offs[3] is not None:
+                out = out.at[..., offs[3]].set(p[..., 0])
+            return state, batch.with_data(out)
+        if VideoFormat.is_rgb(src) and dst == VideoFormat.ARGB64:
+            offs = VideoFormat.rgb_offsets(src)
+            r = data[..., offs[0]].astype(jnp.int32)
+            g = data[..., offs[1]].astype(jnp.int32)
+            b = data[..., offs[2]].astype(jnp.int32)
+            a = (data[..., offs[3]].astype(jnp.int32)
+                 if VideoFormat.has_alpha(src) else jnp.full_like(r, 255))
+            return state, batch.with_data(
+                (jnp.stack([a, r, g, b], axis=-1) * 257)
+                .astype(jnp.uint16))
         # pure packed-RGB permutation fast path
         if VideoFormat.is_rgb(src) and VideoFormat.is_rgb(dst):
             s_off = VideoFormat.rgb_offsets(src)

@@ -38,6 +38,9 @@ def find_type(data: bytes) -> Optional[str]:
         nal_type = (data[off] >> 1) & 0x3F
         if nal_type in (32, 33, 34, 19, 20, 21):
             return "video/x-h265"
+    if data[:4] == b"\x76\x2f\x31\x01":
+        # OpenEXR magic (gstopenexrdec.cpp:243 validates the same word)
+        return "image/x-exr"
     if data[0:1] == b"\x80" and data[1:9] == b"kate\x00\x00\x00\x00":
         # Kate ID header (ext/kate typefind; tests/check/elements/kate.c
         # test_kate_typefind expects application/x-kate)
@@ -76,6 +79,7 @@ def find_type(data: bytes) -> Optional[str]:
 
 # media type -> (element name, feed style)
 _DECODERS = {
+    "image/x-exr": ("openexrdec", "single"),
     "image/webp": ("webpdec", "single"),
     "image/jp2": ("openjpegdec", "single"),
     "image/x-j2c": ("openjpegdec", "single"),
