@@ -16,4 +16,5 @@ from gstbad_tpu.elements import cv  # noqa: F401
 from gstbad_tpu.elements import files  # noqa: F401
 from gstbad_tpu.elements import kate  # noqa: F401
 from gstbad_tpu.elements import pcap  # noqa: F401
+from gstbad_tpu.elements import mpegts  # noqa: F401
 from gstbad_tpu.elements.audio import visualizers  # noqa: F401

@@ -38,6 +38,10 @@ def find_type(data: bytes) -> Optional[str]:
         nal_type = (data[off] >> 1) & 0x3F
         if nal_type in (32, 33, 34, 19, 20, 21):
             return "video/x-h265"
+    if (len(data) >= 189 and data[0] == 0x47 and data[188] == 0x47
+            and data[376:377] in (b"\x47", b"")):
+        # MPEG-TS: sync bytes at 188 spacing
+        return "video/mpegts"
     if data[:4] == b"\x76\x2f\x31\x01":
         # OpenEXR magic (gstopenexrdec.cpp:243 validates the same word)
         return "image/x-exr"
