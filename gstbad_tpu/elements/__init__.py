@@ -17,4 +17,5 @@ from gstbad_tpu.elements import files  # noqa: F401
 from gstbad_tpu.elements import kate  # noqa: F401
 from gstbad_tpu.elements import pcap  # noqa: F401
 from gstbad_tpu.elements import mpegts  # noqa: F401
+from gstbad_tpu.elements import videoparsers  # noqa: F401
 from gstbad_tpu.elements.audio import visualizers  # noqa: F401

@@ -1,0 +1,425 @@
+"""h264parse + h265parse (gst/videoparsers/gsth264parse.c,
+gsth265parse.c) over io/h264.py and io/h265nal.py.
+
+Host byte-domain parser element:
+  - accepts byte-stream (nal or au aligned) or avc/avc3 input
+    (codec-data carries the avcC record);
+  - emits byte-stream or avc output at nal or au alignment
+    (gsth264parse.c format negotiation);
+  - collects SPS/PPS, produces caps (width/height/profile/level/
+    par/framerate/interlace + HDR SEI strings) and byte-exact avcC
+    codec_data (the upstream test's h264_avc_codec_data vector);
+  - AU boundaries: AUD, or a slice with first_mb_in_slice == 0
+    following slice data, or SPS/PPS/SEI after slice data
+    (gsth264parse.c collect_nal);
+  - config-interval property: in byte-stream output, re-inject
+    SPS/PPS before IDR frames every N seconds (-1 = before every IDR,
+    gsth264parse.c "config-interval");
+  - avc output strips in-band SPS/PPS into codec_data.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from gstbad_tpu.core.element import Element, Property
+from gstbad_tpu.core.registry import register
+from gstbad_tpu.io import h264 as h
+
+NSEC = 1_000_000_000
+
+
+@register
+class H264Parse(Element):
+    NAME = "h264parse"
+    KIND = "host-source"
+    PROPERTIES = (
+        Property("config-interval", int, 0, -1, 3600, static=True),
+    )
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        self.in_format = "byte-stream"
+        self.out_format = "byte-stream"
+        self.out_alignment = "au"
+        self.nal_length_size = 4
+        self.sps: Dict[int, h.Sps] = {}
+        self.pps: Dict[int, h.Pps] = {}
+        self.src_caps: Optional[Dict] = None
+        self._pending: List[bytes] = []      # nals of the open AU
+        self._have_slice = False
+        self._last_config_ts = None
+        self._sei_caps: Dict[str, str] = {}
+        self._buf = b""
+
+    # -- negotiation -------------------------------------------------------
+
+    def set_caps(self, stream_format: str = "byte-stream",
+                 codec_data: Optional[bytes] = None) -> None:
+        self.in_format = stream_format
+        if codec_data is not None:
+            self.nal_length_size, sps_list, pps_list = \
+                h.parse_avcc(codec_data)
+            for s in sps_list:
+                self._take_nal_headers(s)
+            for p in pps_list:
+                self._take_nal_headers(p)
+
+    def set_output(self, stream_format: str = "byte-stream",
+                   alignment: str = "au") -> None:
+        self.out_format = stream_format
+        self.out_alignment = alignment
+
+    # -- caps --------------------------------------------------------------
+
+    def _update_caps(self) -> None:
+        if not self.sps:
+            return
+        sps = next(iter(self.sps.values()))
+        caps = {
+            "media": "video/x-h264",
+            "parsed": True,
+            "stream-format": self.out_format,
+            "alignment": self.out_alignment,
+            "width": sps.width,
+            "height": sps.height,
+            "profile": h.profile_name(sps.profile_idc,
+                                      sps.constraint_flags),
+            "level": h.level_name(sps.level_idc, sps.constraint_flags),
+            "interlace-mode": ("progressive" if sps.frame_mbs_only
+                               else "mixed"),
+        }
+        if sps.par_n and sps.par_d:
+            caps["pixel-aspect-ratio"] = (sps.par_n, sps.par_d)
+        if sps.fps_n and sps.fps_d:
+            caps["framerate"] = (sps.fps_n, sps.fps_d)
+        caps.update(self._sei_caps)
+        if self.out_format in ("avc", "avc3") and self.sps and self.pps:
+            caps["codec_data"] = h.build_avcc(
+                [s.raw for s in self.sps.values()],
+                [p.raw for p in self.pps.values()],
+                self.nal_length_size)
+        self.src_caps = caps
+
+    def _take_nal_headers(self, nal: bytes) -> None:
+        t = h.nal_type(nal)
+        if t == h.NAL_SPS:
+            sps = h.parse_sps(nal)
+            self.sps[sps.sps_id] = sps
+        elif t == h.NAL_PPS:
+            pps = h.parse_pps(nal)
+            self.pps[pps.pps_id] = pps
+        elif t == h.NAL_SEI:
+            for ptype, payload in h.parse_sei(nal):
+                if ptype == h.SEI_CLLI:
+                    self._sei_caps["content-light-level"] = \
+                        h.content_light_level_string(payload)
+                elif ptype == h.SEI_MDCV:
+                    self._sei_caps["mastering-display-info"] = \
+                        h.mastering_display_string(payload)
+
+    # -- push --------------------------------------------------------------
+
+    def push(self, data: bytes, pts_ns: int = -1) -> List[Dict]:
+        """Feed bytes; returns finished output buffers."""
+        if self.in_format in ("avc", "avc3"):
+            nals = h.split_avc(data, self.nal_length_size)
+            # avc input is au-aligned: each buffer is one AU
+            for nal in nals:
+                self._take_nal_headers(nal)
+            self._update_caps()
+            return self._emit_au(nals, pts_ns)
+        # byte-stream: bytes before the LAST start code are complete
+        # nals; everything from that code on stays buffered until the
+        # next code or EOS (finish())
+        self._buf += data
+        cut = self._buf.rfind(b"\x00\x00\x01")
+        if cut <= 0:
+            return []
+        if self._buf[cut - 1] == 0:
+            cut -= 1  # 4-byte start code
+        region, self._buf = self._buf[:cut], self._buf[cut:]
+        out: List[Dict] = []
+        for nal in h.split_bytestream(region):
+            out += self._collect_nal(nal, pts_ns)
+        return out
+
+    def finish(self, pts_ns: int = -1) -> List[Dict]:
+        """EOS drain: flush the held-back nal and the open AU."""
+        out = []
+        for nal in h.split_bytestream(self._buf):
+            out += self._collect_nal(nal, pts_ns)
+        self._buf = b""
+        if self._pending:
+            au, self._pending = self._pending, []
+            self._have_slice = False
+            out += self._emit_au(au, pts_ns)
+        return out
+
+    def _collect_nal(self, nal: bytes, pts_ns: int) -> List[Dict]:
+        t = h.nal_type(nal)
+        if not 0 < t <= 31:
+            return []  # garbage nal: drop (gst_parser_test_skip_garbage)
+        self._take_nal_headers(nal)
+        self._update_caps()
+        out: List[Dict] = []
+        starts_new = False
+        if t == h.NAL_AUD:
+            starts_new = True
+        elif t in (h.NAL_SPS, h.NAL_PPS, h.NAL_SEI) and self._have_slice:
+            starts_new = True
+        elif t in (h.NAL_SLICE, h.NAL_SLICE_IDR) and self._have_slice \
+                and h.first_mb_in_slice(nal) == 0:
+            starts_new = True
+        if starts_new and self._pending:
+            au, self._pending = self._pending, []
+            self._have_slice = False
+            out += self._emit_au(au, pts_ns)
+        self._pending.append(nal)
+        if t in (h.NAL_SLICE, h.NAL_SLICE_IDR):
+            self._have_slice = True
+        if self.out_alignment == "nal":
+            self._pending = []
+            self._have_slice = False
+            out += self._emit_au([nal], pts_ns)
+        return out
+
+    def _emit_au(self, nals: List[bytes], pts_ns: int) -> List[Dict]:
+        if not nals:
+            return []
+        keyframe = any(h.nal_type(n) == h.NAL_SLICE_IDR for n in nals)
+        if self.out_format in ("avc", "avc3"):
+            # headers ride in codec_data (gst_h264_parse_prepare_nals)
+            payload_nals = [n for n in nals
+                            if h.nal_type(n) not in (h.NAL_SPS,
+                                                     h.NAL_PPS)]
+            if not payload_nals:
+                return []
+            data = h.to_avc(payload_nals, self.nal_length_size)
+        else:
+            nals = list(nals)
+            if keyframe and self._config_due(pts_ns):
+                have = {h.nal_type(n) for n in nals}
+                inject = []
+                if h.NAL_SPS not in have:
+                    inject += [s.raw for s in self.sps.values()]
+                if h.NAL_PPS not in have:
+                    inject += [p.raw for p in self.pps.values()]
+                nals = inject + nals
+            data = h.to_bytestream(nals)
+        return [dict(data=data, pts=pts_ns, keyframe=keyframe,
+                     caps=self.src_caps)]
+
+    def _config_due(self, pts_ns: int) -> bool:
+        interval = self.props["config-interval"]
+        if interval == 0:
+            return False
+        if interval < 0:
+            return True  # before every IDR
+        if pts_ns < 0:
+            return False
+        if self._last_config_ts is None \
+                or pts_ns - self._last_config_ts >= interval * NSEC:
+            self._last_config_ts = pts_ns
+            return True
+        return False
+
+    def process(self, params, state, batch):
+        return state, batch
+
+
+from gstbad_tpu.io import h265nal as h265
+
+
+@register
+class H265Parse(Element):
+    """h265parse (gsth265parse.c): byte-stream/hvc1/hev1 framing, caps
+    from the SPS profile_tier_level (profile/tier/level strings the
+    upstream test pins: main/main/2.1), hvcC codec_data, AU grouping on
+    AUD / first_slice_segment_in_pic_flag / VPS-SPS-PPS-SEI after
+    slices, config-interval VPS/SPS/PPS re-injection."""
+
+    NAME = "h265parse"
+    KIND = "host-source"
+    PROPERTIES = (
+        Property("config-interval", int, 0, -1, 3600, static=True),
+    )
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        self.in_format = "byte-stream"
+        self.out_format = "byte-stream"
+        self.out_alignment = "au"
+        self.nal_length_size = 4
+        self.vps: Dict[int, bytes] = {}
+        self.sps: Dict[int, h265.Sps] = {}
+        self.pps: Dict[int, bytes] = {}
+        self.src_caps: Optional[Dict] = None
+        self._pending: List[bytes] = []
+        self._have_slice = False
+        self._last_config_ts = None
+        self._sei_caps: Dict[str, str] = {}
+        self._buf = b""
+
+    def set_caps(self, stream_format: str = "byte-stream",
+                 codec_data: Optional[bytes] = None) -> None:
+        self.in_format = stream_format
+        if codec_data is not None:
+            self.nal_length_size, nals = h265.parse_hvcc(codec_data)
+            for n in nals:
+                self._take_nal_headers(n)
+
+    def set_output(self, stream_format: str = "byte-stream",
+                   alignment: str = "au") -> None:
+        self.out_format = stream_format
+        self.out_alignment = alignment
+
+    def _take_nal_headers(self, nal: bytes) -> None:
+        t = h265.nal_type(nal)
+        if t == h265.NAL_VPS:
+            self.vps[0] = bytes(nal)
+        elif t == h265.NAL_SPS:
+            sps = h265.parse_sps(nal)
+            self.sps[sps.sps_id] = sps
+        elif t == h265.NAL_PPS:
+            self.pps[len(self.pps)] = bytes(nal)
+        elif t == h265.NAL_PREFIX_SEI:
+            for ptype, payload in h265.parse_sei(nal):
+                if ptype == h265.SEI_CLLI:
+                    self._sei_caps["content-light-level"] = \
+                        h.content_light_level_string(payload)
+                elif ptype == h265.SEI_MDCV:
+                    self._sei_caps["mastering-display-info"] = \
+                        h.mastering_display_string(payload)
+
+    def _update_caps(self) -> None:
+        if not self.sps:
+            return
+        sps = next(iter(self.sps.values()))
+        caps = {
+            "media": "video/x-h265",
+            "parsed": True,
+            "stream-format": self.out_format,
+            "alignment": self.out_alignment,
+            "width": sps.width,
+            "height": sps.height,
+            "profile": h265.profile_name(sps.ptl),
+            "tier": h265.tier_name(sps.ptl),
+            "level": h265.level_name(sps.ptl),
+        }
+        if sps.par_n and sps.par_d:
+            caps["pixel-aspect-ratio"] = (sps.par_n, sps.par_d)
+        if sps.fps_n and sps.fps_d:
+            caps["framerate"] = (sps.fps_n, sps.fps_d)
+        caps.update(self._sei_caps)
+        if self.out_format in ("hvc1", "hev1") and self.sps \
+                and self.pps:
+            caps["codec_data"] = h265.build_hvcc(
+                list(self.vps.values()),
+                [s.raw for s in self.sps.values()],
+                list(self.pps.values()), self.nal_length_size)
+        self.src_caps = caps
+
+    def push(self, data: bytes, pts_ns: int = -1) -> List[Dict]:
+        if self.in_format in ("hvc1", "hev1"):
+            nals = h.split_avc(data, self.nal_length_size)
+            for nal in nals:
+                self._take_nal_headers(nal)
+            self._update_caps()
+            return self._emit_au(nals, pts_ns)
+        self._buf += data
+        cut = self._buf.rfind(b"\x00\x00\x01")
+        if cut <= 0:
+            return []
+        if self._buf[cut - 1] == 0:
+            cut -= 1
+        region, self._buf = self._buf[:cut], self._buf[cut:]
+        out: List[Dict] = []
+        for nal in h.split_bytestream(region):
+            out += self._collect_nal(nal, pts_ns)
+        return out
+
+    def finish(self, pts_ns: int = -1) -> List[Dict]:
+        out = []
+        for nal in h.split_bytestream(self._buf):
+            out += self._collect_nal(nal, pts_ns)
+        self._buf = b""
+        if self._pending:
+            au, self._pending = self._pending, []
+            self._have_slice = False
+            out += self._emit_au(au, pts_ns)
+        return out
+
+    def _collect_nal(self, nal: bytes, pts_ns: int) -> List[Dict]:
+        t = h265.nal_type(nal)
+        if len(nal) < 2 or t > 40:
+            return []
+        self._take_nal_headers(nal)
+        self._update_caps()
+        out: List[Dict] = []
+        starts_new = False
+        if t == h265.NAL_AUD:
+            starts_new = True
+        elif t in (h265.NAL_VPS, h265.NAL_SPS, h265.NAL_PPS,
+                   h265.NAL_PREFIX_SEI) and self._have_slice:
+            starts_new = True
+        elif h265.is_slice(t) and self._have_slice \
+                and h265.first_slice_segment_in_pic(nal):
+            starts_new = True
+        if starts_new and self._pending:
+            au, self._pending = self._pending, []
+            self._have_slice = False
+            out += self._emit_au(au, pts_ns)
+        self._pending.append(nal)
+        if h265.is_slice(t):
+            self._have_slice = True
+        if self.out_alignment == "nal":
+            self._pending = []
+            self._have_slice = False
+            out += self._emit_au([nal], pts_ns)
+        return out
+
+    def _emit_au(self, nals: List[bytes], pts_ns: int) -> List[Dict]:
+        if not nals:
+            return []
+        keyframe = any(h265.is_irap(h265.nal_type(n)) for n in nals)
+        if self.out_format in ("hvc1", "hev1"):
+            payload = [n for n in nals
+                       if h265.nal_type(n) not in (h265.NAL_VPS,
+                                                   h265.NAL_SPS,
+                                                   h265.NAL_PPS)]
+            if not payload:
+                return []
+            data = h.to_avc(payload, self.nal_length_size)
+        else:
+            nals = list(nals)
+            if keyframe and self._config_due(pts_ns):
+                have = {h265.nal_type(n) for n in nals}
+                inject = []
+                if h265.NAL_VPS not in have:
+                    inject += list(self.vps.values())
+                if h265.NAL_SPS not in have:
+                    inject += [s.raw for s in self.sps.values()]
+                if h265.NAL_PPS not in have:
+                    inject += list(self.pps.values())
+                nals = inject + nals
+            data = h.to_bytestream(nals)
+        return [dict(data=data, pts=pts_ns, keyframe=keyframe,
+                     caps=self.src_caps)]
+
+    def _config_due(self, pts_ns: int) -> bool:
+        interval = self.props["config-interval"]
+        if interval == 0:
+            return False
+        if interval < 0:
+            return True
+        if pts_ns < 0:
+            return False
+        if self._last_config_ts is None \
+                or pts_ns - self._last_config_ts >= interval * NSEC:
+            self._last_config_ts = pts_ns
+            return True
+        return False
+
+    def process(self, params, state, batch):
+        return state, batch
