@@ -169,3 +169,87 @@ class TsParse(Element):
 
     def process(self, params, state, batch):
         return state, batch
+
+
+from gstbad_tpu.io import mpegps as ps_io
+
+
+@register
+class MpegPsMux(Element):
+    """mpegpsmux (gst/mpegpsmux/mpegpsmux.c) over io/mpegps.py: pack/
+    system/PSM cadence and stream-id allocation per the psmux library;
+    finish() emits the 0x000001B9 program end code."""
+
+    NAME = "mpegpsmux"
+    KIND = "host-source"
+    PROPERTIES = ()
+
+    CAPS_TYPES = {
+        "video/mpeg1": ps_io.ST_VIDEO_MPEG1,
+        "video/mpeg2": ps_io.ST_VIDEO_MPEG2,
+        "video/x-h264": ps_io.ST_VIDEO_H264,
+        "audio/mpeg1": ps_io.ST_AUDIO_MPEG1,
+        "audio/mpeg2": ps_io.ST_AUDIO_MPEG2,
+        "audio/mpeg": ps_io.ST_AUDIO_MPEG1,
+        "audio/aac": ps_io.ST_AUDIO_AAC,
+        "private": ps_io.ST_PRIVATE_DATA,
+    }
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        self._mux = ps_io.PsMux()
+
+    def connect(self, caps_or_type) -> ps_io.PsMuxStream:
+        if isinstance(caps_or_type, str):
+            stream_type = self.CAPS_TYPES.get(caps_or_type)
+            if stream_type is None:
+                raise ValueError(f"mpegpsmux: unknown caps "
+                                 f"{caps_or_type}")
+        else:
+            stream_type = int(caps_or_type)
+        return self._mux.add_stream(stream_type)
+
+    def chain(self, stream: ps_io.PsMuxStream, data: bytes,
+              pts_ns: int = -1, dts_ns: int = -1) -> bytes:
+        pts = ns_to_90k(pts_ns) if pts_ns >= 0 else ps_io.NO_TS
+        dts = ns_to_90k(dts_ns) if dts_ns >= 0 else ps_io.NO_TS
+        return self._mux.add_data(stream, data, pts, dts)
+
+    def event_eos(self) -> bytes:
+        return self._mux.finish()
+
+    def process(self, params, state, batch):
+        return state, batch
+
+
+@register
+class MpegPsDemux(Element):
+    """mpegpsdemux (gst/mpegdemux/gstmpegdemux.c) over io/mpegps.py."""
+
+    NAME = "mpegpsdemux"
+    KIND = "host-source"
+    PROPERTIES = ()
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        self._dmx = ps_io.PsDemux()
+
+    def push_bytes(self, data: bytes) -> List[Dict]:
+        return [dict(stream_id=p.stream_id, stream_type=p.stream_type,
+                     data=p.data,
+                     pts=(k90_to_ns(p.pts) if p.pts != ps_io.NO_TS
+                          else None),
+                     dts=(k90_to_ns(p.dts) if p.dts != ps_io.NO_TS
+                          else None))
+                for p in self._dmx.push(data)]
+
+    @property
+    def stream_types(self) -> Dict[int, int]:
+        return dict(self._dmx.stream_types)
+
+    @property
+    def saw_end(self) -> bool:
+        return self._dmx.saw_end
+
+    def process(self, params, state, batch):
+        return state, batch

@@ -45,7 +45,8 @@ def _load():
             ["gcc", "-O2", "-shared", "-fPIC", "-o", so, _SRC,
              "-lavformat", "-lavcodec", "-lavutil"])
     lib = ctypes.CDLL(so)
-    for fn in ("tsoracle_demux", "tsoracle_mux"):
+    for fn in ("tsoracle_demux", "tsoracle_mux", "tsoracle_demux_any",
+               "tsoracle_mux_ps"):
         f = getattr(lib, fn)
         f.restype = ctypes.c_int
         f.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
@@ -73,13 +74,16 @@ class OraclePacket:
     data: bytes
 
 
-def demux(ts_bytes: bytes) -> Tuple[List[int], List[OraclePacket]]:
-    """ffmpeg-demux a TS: (per-stream kinds, packets)."""
+def demux(ts_bytes: bytes, any_format: bool = False
+          ) -> Tuple[List[int], List[OraclePacket]]:
+    """ffmpeg-demux a TS (or any probed container with
+    any_format=True): (per-stream kinds, packets)."""
     lib = _load()
     out = ctypes.POINTER(ctypes.c_uint8)()
     out_size = ctypes.c_uint64()
-    rc = lib.tsoracle_demux(ts_bytes, len(ts_bytes),
-                            ctypes.byref(out), ctypes.byref(out_size))
+    fn = lib.tsoracle_demux_any if any_format else lib.tsoracle_demux
+    rc = fn(ts_bytes, len(ts_bytes),
+            ctypes.byref(out), ctypes.byref(out_size))
     if rc != 0:
         raise RuntimeError("tsoracle_demux failed")
     blob = ctypes.string_at(out, out_size.value)
@@ -106,9 +110,10 @@ def demux(ts_bytes: bytes) -> Tuple[List[int], List[OraclePacket]]:
 
 
 def mux(stream_kinds: List[int],
-        packets: List[Tuple[int, Optional[int], Optional[int], bytes]]
-        ) -> bytes:
-    """ffmpeg-mux (stream_index, pts90k, dts90k, data) packets to TS."""
+        packets: List[Tuple[int, Optional[int], Optional[int], bytes]],
+        program_stream: bool = False) -> bytes:
+    """ffmpeg-mux (stream_index, pts90k, dts90k, data) packets to TS,
+    or to MPEG-2 PS (the "vob" muxer) with program_stream=True."""
     lib = _load()
     spec = struct.pack("<I", len(stream_kinds))
     for k in stream_kinds:
@@ -120,8 +125,8 @@ def mux(stream_kinds: List[int],
         spec += data
     out = ctypes.POINTER(ctypes.c_uint8)()
     out_size = ctypes.c_uint64()
-    rc = lib.tsoracle_mux(spec, len(spec), ctypes.byref(out),
-                          ctypes.byref(out_size))
+    fn = lib.tsoracle_mux_ps if program_stream else lib.tsoracle_mux
+    rc = fn(spec, len(spec), ctypes.byref(out), ctypes.byref(out_size))
     if rc != 0:
         raise RuntimeError("tsoracle_mux failed")
     blob = ctypes.string_at(out, out_size.value)

@@ -38,6 +38,9 @@ def find_type(data: bytes) -> Optional[str]:
         nal_type = (data[off] >> 1) & 0x3F
         if nal_type in (32, 33, 34, 19, 20, 21):
             return "video/x-h265"
+    if data[:4] == b"\x00\x00\x01\xba":
+        # MPEG program stream pack header
+        return "video/mpeg-sys"
     if (len(data) >= 189 and data[0] == 0x47 and data[188] == 0x47
             and data[376:377] in (b"\x47", b"")):
         # MPEG-TS: sync bytes at 188 spacing

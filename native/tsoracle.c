@@ -83,8 +83,22 @@ static enum AVCodecID id_of(uint32_t kind) {
 
 void tsoracle_free(uint8_t *p) { free(p); }
 
+static int demux_impl(const uint8_t *data, uint64_t size, uint8_t **out,
+                      uint64_t *out_size, const char *format);
+
 int tsoracle_demux(const uint8_t *data, uint64_t size, uint8_t **out,
                    uint64_t *out_size) {
+    return demux_impl(data, size, out, out_size, "mpegts");
+}
+
+/* Auto-probing variant (MPEG-PS etc.) */
+int tsoracle_demux_any(const uint8_t *data, uint64_t size, uint8_t **out,
+                       uint64_t *out_size) {
+    return demux_impl(data, size, out, out_size, NULL);
+}
+
+static int demux_impl(const uint8_t *data, uint64_t size, uint8_t **out,
+                      uint64_t *out_size, const char *format) {
     int ret = -1;
     av_log_set_level(AV_LOG_FATAL);
     mem_reader_t reader = {data, size, 0};
@@ -100,7 +114,8 @@ int tsoracle_demux(const uint8_t *data, uint64_t size, uint8_t **out,
     if (!fmt) goto done;
     fmt->pb = avio;
     fmt->flags |= AVFMT_FLAG_NOPARSE;
-    const AVInputFormat *infmt = av_find_input_format("mpegts");
+    const AVInputFormat *infmt =
+        format ? av_find_input_format(format) : NULL;
     if (avformat_open_input(&fmt, "<mem>", infmt, NULL) < 0) goto done;
     /* best-effort: with NOPARSE and opaque payloads this can fail while
      * the PMT-driven stream table is still perfectly valid */
@@ -145,8 +160,9 @@ done:
     return ret;
 }
 
-int tsoracle_mux(const uint8_t *spec, uint64_t spec_size, uint8_t **out,
-                 uint64_t *out_size) {
+static int mux_impl(const uint8_t *spec, uint64_t spec_size,
+                    uint8_t **out, uint64_t *out_size,
+                    const char *format) {
     int ret = -1;
     uint64_t pos = 0;
     AVFormatContext *fmt = NULL;
@@ -156,7 +172,7 @@ int tsoracle_mux(const uint8_t *spec, uint64_t spec_size, uint8_t **out,
     memcpy(&n_streams, spec, 4);
     pos = 4;
 
-    if (avformat_alloc_output_context2(&fmt, NULL, "mpegts", NULL) < 0)
+    if (avformat_alloc_output_context2(&fmt, NULL, format, NULL) < 0)
         return -1;
     if (avio_open_dyn_buf(&fmt->pb) < 0) goto done;
 
@@ -229,4 +245,15 @@ done:
         avformat_free_context(fmt);
     }
     return ret;
+}
+
+int tsoracle_mux(const uint8_t *spec, uint64_t spec_size, uint8_t **out,
+                 uint64_t *out_size) {
+    return mux_impl(spec, spec_size, out, out_size, "mpegts");
+}
+
+/* MPEG-2 program stream ("vob" muxer, what mpegpsmux produces) */
+int tsoracle_mux_ps(const uint8_t *spec, uint64_t spec_size,
+                    uint8_t **out, uint64_t *out_size) {
+    return mux_impl(spec, spec_size, out, out_size, "vob");
 }
