@@ -40,6 +40,18 @@ static int mem_read(void *opaque, uint8_t *buf, int buf_size) {
     return buf_size;
 }
 
+static int64_t mem_seek(void *opaque, int64_t offset, int whence) {
+    mem_reader_t *r = (mem_reader_t *) opaque;
+    if (whence == AVSEEK_SIZE) return (int64_t) r->size;
+    whence &= ~AVSEEK_FORCE;
+    int64_t base = whence == SEEK_SET ? 0
+        : whence == SEEK_CUR ? (int64_t) r->pos : (int64_t) r->size;
+    int64_t pos = base + offset;
+    if (pos < 0 || pos > (int64_t) r->size) return -1;
+    r->pos = (uint64_t) pos;
+    return pos;
+}
+
 typedef struct {
     uint8_t *data;
     uint64_t size;
@@ -108,7 +120,7 @@ static int demux_impl(const uint8_t *data, uint64_t size, uint8_t **out,
     uint8_t *iobuf = av_malloc(32768);
     if (!iobuf) return -1;
     avio = avio_alloc_context(iobuf, 32768, 0, &reader, mem_read, NULL,
-                              NULL);
+                              mem_seek);
     if (!avio) { av_free(iobuf); return -1; }
     fmt = avformat_alloc_context();
     if (!fmt) goto done;
