@@ -423,3 +423,130 @@ class H265Parse(Element):
 
     def process(self, params, state, batch):
         return state, batch
+
+
+from gstbad_tpu.io import mpegvideo as mpv
+
+
+@register
+class MpegVideoParse(Element):
+    """mpegvideoparse (gstmpegvideoparse.c): MPEG-1/2 ES framing with
+    the reference's split walk (picture ends the open frame, sequence
+    always starts one, GOP only with gop-split), caps from the sequence
+    header (+extension), and CEA-708 caption extraction from GA94 user
+    data (each output carries captions=[cc triplet bytes])."""
+
+    NAME = "mpegvideoparse"
+    KIND = "host-source"
+    PROPERTIES = (
+        Property("gop-split", bool, False, static=True),
+    )
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        self.seq: Optional[mpv.SeqHdr] = None
+        self.src_caps: Optional[Dict] = None
+        self._buf = b""
+        self._frame = bytearray()
+        self._have_picture = False
+        self._captions: List[bytes] = []
+        self._frame_type = 0
+
+    def _update_caps(self) -> None:
+        if self.seq is None:
+            return
+        caps = {
+            "media": "video/mpeg",
+            "mpegversion": 2 if self.seq.mpeg2 else 1,
+            "systemstream": False,
+            "parsed": True,
+            "width": self.seq.width,
+            "height": self.seq.height,
+        }
+        if self.seq.fps_n:
+            caps["framerate"] = (self.seq.fps_n, self.seq.fps_d)
+        par = mpv.par_from_aspect(self.seq)
+        if par:
+            caps["pixel-aspect-ratio"] = par
+        if self.seq.profile:
+            caps["profile"] = self.seq.profile
+        if self.seq.level:
+            caps["level"] = self.seq.level
+        if self.seq.mpeg2:
+            caps["interlace-mode"] = ("progressive" if
+                                      self.seq.progressive else "mixed")
+        self.src_caps = caps
+
+    def push(self, data: bytes, pts_ns: int = -1) -> List[Dict]:
+        self._buf += data
+        cut = self._buf.rfind(b"\x00\x00\x01")
+        if cut <= 0:
+            return []
+        region, self._buf = self._buf[:cut], self._buf[cut:]
+        return self._scan(region, pts_ns, final=False)
+
+    def finish(self, pts_ns: int = -1) -> List[Dict]:
+        region, self._buf = self._buf, b""
+        out = self._scan(region, pts_ns, final=True)
+        if self._frame:
+            out += self._emit(pts_ns)
+        return out
+
+    def _scan(self, region: bytes, pts_ns: int,
+              final: bool) -> List[Dict]:
+        out: List[Dict] = []
+        codes = mpv.split_startcodes(region)
+        for idx, (off, code) in enumerate(codes):
+            end = codes[idx + 1][0] if idx + 1 < len(codes) \
+                else len(region)
+            packet = region[off:end]
+            payload = packet[4:]
+            # frame boundary walk (gstmpegvideoparse.c:495-545)
+            boundary = False
+            if code == mpv.PACKET_PICTURE:
+                boundary = self._have_picture
+            elif code == mpv.PACKET_SEQUENCE:
+                boundary = bool(self._frame)
+            elif code == mpv.PACKET_GOP:
+                boundary = bool(self._frame) and (
+                    self.props["gop-split"] or not self._seq_open())
+            if boundary:
+                out += self._emit(pts_ns)
+            # content handling
+            if code == mpv.PACKET_SEQUENCE:
+                self.seq = mpv.parse_sequence_header(payload)
+                self._update_caps()
+            elif code == mpv.PACKET_EXTENSION and self.seq is not None \
+                    and not self._have_picture:
+                mpv.parse_sequence_extension(payload, self.seq)
+                self._update_caps()
+            elif code == mpv.PACKET_PICTURE:
+                self._have_picture = True
+                self._frame_type = mpv.picture_type(payload)
+            elif code == mpv.PACKET_USER_DATA:
+                cc = mpv.parse_ga94_captions(payload)
+                if cc is not None:
+                    self._captions.append(cc)
+            self._frame += packet
+        return out
+
+    def _seq_open(self) -> bool:
+        """True when the open frame already contains a sequence header
+        (GOP then aggregates, gstmpegvideoparse.c:519-523)."""
+        return self._frame.startswith(b"\x00\x00\x01\xb3")
+
+    def _emit(self, pts_ns: int) -> List[Dict]:
+        if not self._frame:
+            return []
+        data = bytes(self._frame)
+        self._frame = bytearray()
+        self._have_picture = False
+        captions, self._captions = self._captions, []
+        ftype, self._frame_type = self._frame_type, 0
+        return [dict(data=data, pts=pts_ns,
+                     keyframe=ftype in (0, mpv.PICTURE_I),
+                     frame_type=ftype, captions=captions,
+                     caps=self.src_caps)]
+
+    def process(self, params, state, batch):
+        return state, batch
