@@ -550,3 +550,211 @@ class MpegVideoParse(Element):
 
     def process(self, params, state, batch):
         return state, batch
+
+
+from gstbad_tpu.io import av1obu as av1
+
+
+@register
+class Av1Parse(Element):
+    """av1parse (gstav1parse.c): re-frames AV1 between the low-overhead
+    obu-stream and annex-b formats at obu / frame / tu alignment.
+
+    Frame completion follows gstav1parse.c:1167-1199: an OBU_FRAME
+    always completes (it carries all its tile groups), a FRAME_HEADER
+    completes when show_existing_frame is set (first payload bit);
+    leading TD/sequence/metadata/padding OBUs attach to the frame they
+    precede.  Standalone TILE_GROUP completion would need the full
+    frame-header tile-info parse; such streams flush at the next
+    temporal delimiter instead (documented divergence).
+    """
+
+    NAME = "av1parse"
+    KIND = "host-source"
+    PROPERTIES = ()
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        self.in_format = "obu-stream"   # or "annexb"
+        self.out_format = "obu-stream"
+        self.out_alignment = "tu"       # obu | frame | tu
+        self.seq: Optional[av1.SequenceHeader] = None
+        self.src_caps: Optional[Dict] = None
+        self._buf = b""
+        self._pending: List[av1.Obu] = []   # obus of the open frame
+        self._tu_frames: List[List[av1.Obu]] = []
+
+    def set_caps(self, stream_format: str = "obu-stream") -> None:
+        self.in_format = stream_format
+
+    def set_output(self, stream_format: str = "obu-stream",
+                   alignment: str = "tu") -> None:
+        self.out_format = stream_format
+        self.out_alignment = alignment
+
+    def _update_caps(self) -> None:
+        if self.seq is None:
+            return
+        self.src_caps = {
+            "media": "video/x-av1",
+            "parsed": True,
+            "stream-format": self.out_format,
+            "alignment": self.out_alignment,
+            "width": self.seq.max_width,
+            "height": self.seq.max_height,
+            "profile": str(self.seq.profile),
+            "bit-depth-luma": self.seq.bit_depth,
+            "bit-depth-chroma": self.seq.bit_depth,
+        }
+
+    def push(self, data: bytes, pts_ns: int = -1) -> List[Dict]:
+        self._buf += data
+        obus = []
+        if self.in_format == "annexb":
+            # consume only complete TUs (leb128 tu_size known up front)
+            while self._buf:
+                try:
+                    size, pos = av1.read_leb128(self._buf, 0)
+                except (IndexError, ValueError):
+                    break
+                if len(self._buf) < pos + size:
+                    break
+                tu = av1.split_annexb(self._buf[:pos + size])
+                self._buf = self._buf[pos + size:]
+                for frames in tu:
+                    for frame in frames:
+                        obus += frame
+        else:
+            # low-overhead: consume whole OBUs, keep the partial tail
+            pos = 0
+            while pos < len(self._buf):
+                try:
+                    obu, nxt = av1.parse_obu(self._buf, pos)
+                except (IndexError, ValueError):
+                    break
+                obus.append(obu)
+                pos = nxt
+            self._buf = self._buf[pos:]
+        out: List[Dict] = []
+        for obu in obus:
+            out += self._collect(obu, pts_ns)
+        return out
+
+    def finish(self, pts_ns: int = -1) -> List[Dict]:
+        out = []
+        if self._pending:
+            self._tu_frames.append(self._pending)
+            self._pending = []
+        if self._tu_frames:
+            out += self._emit_tu(pts_ns)
+        return out
+
+    def _collect(self, obu: av1.Obu, pts_ns: int) -> List[Dict]:
+        out: List[Dict] = []
+        if obu.obu_type == av1.OBU_SEQUENCE_HEADER:
+            self.seq = av1.parse_sequence_header(obu.payload)
+            self._update_caps()
+        if self.out_alignment == "obu":
+            # every obu is its own buffer, TDs included (the upstream
+            # byte_to_obu expectation starts with the 2-byte TD)
+            out.append(self._mk([obu], pts_ns))
+            return out
+        if obu.obu_type == av1.OBU_TEMPORAL_DELIMITER:
+            # TU boundary: flush everything before it
+            if self._pending:
+                self._tu_frames.append(self._pending)
+                self._pending = []
+            if self._tu_frames:
+                out += self._emit_tu(pts_ns)
+        self._pending.append(obu)
+        complete = False
+        if obu.obu_type == av1.OBU_FRAME:
+            complete = True
+        elif obu.obu_type == av1.OBU_FRAME_HEADER and obu.payload \
+                and obu.payload[0] & 0x80:
+            complete = True  # show_existing_frame
+        if complete:
+            self._tu_frames.append(self._pending)
+            self._pending = []
+            if self.out_alignment == "frame":
+                out += [self._mk(f, pts_ns) for f in self._tu_frames]
+                self._tu_frames = []
+        return out
+
+    def _emit_tu(self, pts_ns: int) -> List[Dict]:
+        frames, self._tu_frames = self._tu_frames, []
+        if self.out_alignment == "frame":
+            return [self._mk(f, pts_ns) for f in frames]
+        if self.out_format == "annexb":
+            return [dict(data=av1.to_annexb_tu(frames), pts=pts_ns,
+                         caps=self.src_caps)]
+        data = b"".join(o.with_size_field() for f in frames for o in f)
+        return [dict(data=data, pts=pts_ns, caps=self.src_caps)]
+
+    def _mk(self, obus: List[av1.Obu], pts_ns: int) -> Dict:
+        if self.out_format == "annexb":
+            data = av1.to_annexb_tu([obus])
+        else:
+            data = b"".join(o.with_size_field() for o in obus)
+        return dict(data=data, pts=pts_ns, caps=self.src_caps)
+
+
+from gstbad_tpu.io import vp9
+
+
+@register
+class Vp9Parse(Element):
+    """vp9parse (gstvp9parse.c): splits superframes into frames when
+    the downstream alignment is frame, produces caps from the keyframe
+    header (width/height/profile/bit-depth/chroma), marks delta units
+    and decode-only (not-shown) frames — the upstream
+    test_split_superframe behaviors."""
+
+    NAME = "vp9parse"
+    KIND = "host-source"
+    PROPERTIES = ()
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        self.out_alignment = "frame"   # frame | super-frame
+        self.hdr: Optional[vp9.FrameHdr] = None
+        self.src_caps: Optional[Dict] = None
+
+    def set_output(self, alignment: str = "frame") -> None:
+        self.out_alignment = alignment
+
+    def _update_caps(self) -> None:
+        h = self.hdr
+        if h is None or not h.width:
+            return
+        self.src_caps = {
+            "media": "video/x-vp9",
+            "parsed": True,
+            "alignment": self.out_alignment,
+            "width": h.width,
+            "height": h.height,
+            "profile": str(h.profile),
+            "bit-depth-luma": h.bit_depth,
+            "bit-depth-chroma": h.bit_depth,
+            "chroma-format": vp9.chroma_format(h),
+        }
+
+    def push(self, data: bytes, pts_ns: int = -1) -> List[Dict]:
+        """One input buffer = one (super)frame, like the harness."""
+        frames = vp9.split_superframe(data) \
+            if self.out_alignment == "frame" else [data]
+        out: List[Dict] = []
+        for i, f in enumerate(frames):
+            hdr = vp9.parse_frame_header(f)
+            if hdr.frame_type == vp9.FRAME_KEY \
+                    and not hdr.show_existing_frame:
+                self.hdr = hdr
+                self._update_caps()
+            out.append(dict(
+                data=f, pts=pts_ns,
+                keyframe=(hdr.frame_type == vp9.FRAME_KEY
+                          and not hdr.show_existing_frame),
+                decode_only=(not hdr.show_frame
+                             and not hdr.show_existing_frame),
+                caps=self.src_caps))
+        return out
