@@ -758,3 +758,137 @@ class Vp9Parse(Element):
                              and not hdr.show_existing_frame),
                 caps=self.src_caps))
         return out
+
+
+from gstbad_tpu.io import mpeg4video as m4
+
+
+@register
+class Mpeg4VideoParse(Element):
+    """mpeg4videoparse (gstmpeg4videoparse.c): frames split at VOPs
+    with the config block (VOS..VOL[..GOP]) attached to the frame it
+    precedes and exposed as codec_data; caps from the VOL (width/
+    height/par/fps) and VOS profile/level; config-interval re-inserts
+    the config before I-VOPs."""
+
+    NAME = "mpeg4videoparse"
+    KIND = "host-source"
+    PROPERTIES = (
+        Property("config-interval", int, 0, -1, 3600, static=True),
+    )
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        self.vol: Optional[m4.Vol] = None
+        self.config: Optional[bytes] = None
+        self.src_caps: Optional[Dict] = None
+        self._buf = b""
+        self._frame = bytearray()
+        self._have_vop = False
+        self._vop_type = 0
+        self._last_config_ts = None
+
+    def _update_caps(self) -> None:
+        if self.vol is None:
+            return
+        caps = {
+            "media": "video/mpeg",
+            "mpegversion": 4,
+            "systemstream": False,
+            "parsed": True,
+            "width": self.vol.width,
+            "height": self.vol.height,
+        }
+        if self.vol.par_n:
+            caps["pixel-aspect-ratio"] = (self.vol.par_n,
+                                          self.vol.par_d)
+        if self.vol.fps_n:
+            caps["framerate"] = (self.vol.fps_n, self.vol.fps_d)
+        if self.vol.profile:
+            caps["profile"] = self.vol.profile
+            caps["level"] = self.vol.level
+        if self.config:
+            caps["codec_data"] = self.config
+        self.src_caps = caps
+
+    def push(self, data: bytes, pts_ns: int = -1) -> List[Dict]:
+        self._buf += data
+        cut = self._buf.rfind(b"\x00\x00\x01")
+        if cut <= 0:
+            return []
+        region, self._buf = self._buf[:cut], self._buf[cut:]
+        return self._scan(region, pts_ns)
+
+    def finish(self, pts_ns: int = -1) -> List[Dict]:
+        region, self._buf = self._buf, b""
+        out = self._scan(region, pts_ns)
+        if self._frame:
+            out += self._emit(pts_ns)
+        return out
+
+    def _scan(self, region: bytes, pts_ns: int) -> List[Dict]:
+        out: List[Dict] = []
+        codes = mpv.split_startcodes(region)
+        for idx, (off, code) in enumerate(codes):
+            end = codes[idx + 1][0] if idx + 1 < len(codes) \
+                else len(region)
+            packet = region[off:end]
+            payload = packet[4:]
+            if code == m4.SC_VOP and self._have_vop:
+                out += self._emit(pts_ns)
+            if code == m4.SC_VOS:
+                if self._have_vop:
+                    out += self._emit(pts_ns)
+                self.vol = self.vol or m4.Vol()
+                m4.parse_vos(payload, self.vol)
+                self._config_acc = bytearray(packet)
+            elif m4.SC_VOL_MIN <= code <= m4.SC_VOL_MAX:
+                self.vol = self.vol or m4.Vol()
+                m4.parse_vol(payload, self.vol)
+                if hasattr(self, "_config_acc"):
+                    self._config_acc += packet
+                self._update_caps()
+            elif code in (m4.SC_VISUAL_OBJECT, m4.SC_GOP,
+                          m4.SC_USER_DATA) or code < m4.SC_VOL_MIN:
+                if hasattr(self, "_config_acc") and not self._have_vop:
+                    self._config_acc += packet
+            elif code == m4.SC_VOP:
+                if hasattr(self, "_config_acc") and self.config is None:
+                    self.config = bytes(self._config_acc)
+                    self._update_caps()
+                self._have_vop = True
+                self._vop_type = m4.vop_coding_type(payload)
+            self._frame += packet
+        return out
+
+    def _emit(self, pts_ns: int) -> List[Dict]:
+        if not self._frame:
+            return []
+        data = bytes(self._frame)
+        self._frame = bytearray()
+        had_vop, self._have_vop = self._have_vop, False
+        vtype, self._vop_type = self._vop_type, 0
+        keyframe = vtype == m4.VOP_I
+        if keyframe and had_vop and self.config \
+                and not data.startswith(bytes(self.config[:4])) \
+                and self._config_due(pts_ns):
+            data = self.config + data
+        return [dict(data=data, pts=pts_ns, keyframe=keyframe,
+                     caps=self.src_caps)]
+
+    def _config_due(self, pts_ns: int) -> bool:
+        interval = self.props["config-interval"]
+        if interval == 0:
+            return False
+        if interval < 0:
+            return True
+        if pts_ns < 0:
+            return False
+        if self._last_config_ts is None \
+                or pts_ns - self._last_config_ts >= interval * NSEC:
+            self._last_config_ts = pts_ns
+            return True
+        return False
+
+    def process(self, params, state, batch):
+        return state, batch
