@@ -53,8 +53,29 @@ def _load():
                       ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
                       ctypes.POINTER(ctypes.c_uint64)]
     lib.tsoracle_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+    lib.tsoracle_make_sample.restype = ctypes.c_int
+    lib.tsoracle_make_sample.argtypes = [
+        ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_uint64)]
     _LIB = lib
     return lib
+
+
+def make_sample(container: str, n_frames: int = 10) -> bytes:
+    """Encode a real mpeg2video+pcm_s16le sample into `container`
+    (e.g. "mxf") — for demuxer tests against genuine encoder output."""
+    lib = _load()
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    out_size = ctypes.c_uint64()
+    rc = lib.tsoracle_make_sample(container.encode(), n_frames,
+                                  ctypes.byref(out),
+                                  ctypes.byref(out_size))
+    if rc != 0:
+        raise RuntimeError(f"tsoracle_make_sample({container}) failed")
+    blob = ctypes.string_at(out, out_size.value)
+    lib.tsoracle_free(out)
+    return blob
 
 
 def available() -> bool:

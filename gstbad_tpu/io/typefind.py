@@ -38,6 +38,9 @@ def find_type(data: bytes) -> Optional[str]:
         nal_type = (data[off] >> 1) & 0x3F
         if nal_type in (32, 33, 34, 19, 20, 21):
             return "video/x-h265"
+    if data[:11] == bytes.fromhex("060e2b34020501010d0102"):
+        # MXF partition pack prefix
+        return "application/mxf"
     if data[:16] == bytes.fromhex("3026b2758e66cf11a6d900aa0062ce6c"):
         # ASF header object GUID
         return "video/x-ms-asf"

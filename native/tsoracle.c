@@ -269,3 +269,126 @@ int tsoracle_mux_ps(const uint8_t *spec, uint64_t spec_size,
                     uint8_t **out, uint64_t *out_size) {
     return mux_impl(spec, spec_size, out, out_size, "vob");
 }
+
+/* Build a real MXF (or other container) sample in memory by encoding
+ * actual mpeg2video frames + pcm_s16le audio with libavcodec — some
+ * muxers (mxf) sniff essence bitstreams, so opaque payloads don't
+ * work.  Used as the demux-side oracle input for io/mxf.py. */
+#include <libavcodec/avcodec.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/channel_layout.h>
+
+int tsoracle_make_sample(const char *format, int n_frames, uint8_t **out,
+                         uint64_t *out_size) {
+    int ret = -1;
+    av_log_set_level(AV_LOG_FATAL);
+    AVFormatContext *fmt = NULL;
+    AVCodecContext *venc = NULL;
+    AVFrame *frame = NULL;
+    AVPacket *pkt = NULL;
+
+    const AVCodec *vcodec = avcodec_find_encoder(AV_CODEC_ID_MPEG2VIDEO);
+    if (!vcodec) return -2;
+    if (avformat_alloc_output_context2(&fmt, NULL, format, NULL) < 0)
+        return -1;
+    if (avio_open_dyn_buf(&fmt->pb) < 0) goto done;
+
+    venc = avcodec_alloc_context3(vcodec);
+    venc->width = 64;
+    venc->height = 48;
+    venc->time_base = (AVRational) {1, 25};
+    venc->framerate = (AVRational) {25, 1};
+    venc->pix_fmt = AV_PIX_FMT_YUV420P;
+    venc->gop_size = 5;
+    venc->max_b_frames = 0;
+    venc->bit_rate = 400000;
+    if (avcodec_open2(venc, vcodec, NULL) < 0) goto done;
+
+    AVStream *v = avformat_new_stream(fmt, NULL);
+    avcodec_parameters_from_context(v->codecpar, venc);
+    v->time_base = venc->time_base;
+    v->avg_frame_rate = venc->framerate;
+
+    AVStream *a = avformat_new_stream(fmt, NULL);
+    a->codecpar->codec_id = AV_CODEC_ID_PCM_S16LE;
+    a->codecpar->codec_type = AVMEDIA_TYPE_AUDIO;
+    a->codecpar->sample_rate = 48000;
+    a->codecpar->ch_layout = (AVChannelLayout) AV_CHANNEL_LAYOUT_STEREO;
+    a->codecpar->format = AV_SAMPLE_FMT_S16;
+    a->codecpar->bits_per_coded_sample = 16;
+    a->time_base = (AVRational) {1, 48000};
+
+    if (avformat_write_header(fmt, NULL) < 0) goto done;
+
+    frame = av_frame_alloc();
+    frame->format = AV_PIX_FMT_YUV420P;
+    frame->width = 64;
+    frame->height = 48;
+    av_frame_get_buffer(frame, 0);
+    pkt = av_packet_alloc();
+
+    int samples_per_frame = 48000 / 25;
+    for (int i = 0; i <= n_frames; ++i) {
+        int rc;
+        if (i < n_frames) {
+            av_frame_make_writable(frame);
+            for (int y = 0; y < 48; ++y)
+                memset(frame->data[0] + y * frame->linesize[0],
+                       16 + 3 * i + y, 64);
+            for (int y = 0; y < 24; ++y) {
+                memset(frame->data[1] + y * frame->linesize[1],
+                       128 + i, 32);
+                memset(frame->data[2] + y * frame->linesize[2],
+                       128 - i, 32);
+            }
+            frame->pts = i;
+            rc = avcodec_send_frame(venc, frame);
+        } else {
+            rc = avcodec_send_frame(venc, NULL);  /* flush */
+        }
+        if (rc < 0) goto done;
+        while (avcodec_receive_packet(venc, pkt) == 0) {
+            pkt->stream_index = 0;
+            av_packet_rescale_ts(pkt, venc->time_base, v->time_base);
+            if (av_interleaved_write_frame(fmt, pkt) < 0) goto done;
+        }
+        if (i < n_frames) {
+            /* one audio packet per video frame */
+            av_new_packet(pkt, samples_per_frame * 2 * 2);
+            for (int s = 0; s < samples_per_frame * 2; ++s) {
+                int16_t val = (int16_t) ((i * 997 + s * 31) & 0x7FFF);
+                memcpy(pkt->data + 2 * s, &val, 2);
+            }
+            pkt->stream_index = 1;
+            pkt->pts = pkt->dts = (int64_t) i * samples_per_frame;
+            pkt->duration = samples_per_frame;
+            if (av_interleaved_write_frame(fmt, pkt) < 0) goto done;
+        }
+    }
+    if (av_write_trailer(fmt) < 0) goto done;
+    {
+        uint8_t *dyn = NULL;
+        int n = avio_close_dyn_buf(fmt->pb, &dyn);
+        fmt->pb = NULL;
+        *out = malloc(n);
+        if (*out) {
+            memcpy(*out, dyn, n);
+            *out_size = n;
+            ret = 0;
+        }
+        av_free(dyn);
+    }
+done:
+    if (pkt) av_packet_free(&pkt);
+    if (frame) av_frame_free(&frame);
+    if (venc) avcodec_free_context(&venc);
+    if (fmt) {
+        if (fmt->pb) {
+            uint8_t *dyn = NULL;
+            avio_close_dyn_buf(fmt->pb, &dyn);
+            av_free(dyn);
+        }
+        avformat_free_context(fmt);
+    }
+    return ret;
+}
