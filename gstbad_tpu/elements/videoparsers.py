@@ -892,3 +892,67 @@ class Mpeg4VideoParse(Element):
 
     def process(self, params, state, batch):
         return state, batch
+
+
+from gstbad_tpu.io import h263
+
+
+@register
+class H263Parse(Element):
+    """h263parse (gsth263parse.c): frames split at picture start codes;
+    caps (width/height/framed/variant) from the picture header."""
+
+    NAME = "h263parse"
+    KIND = "host-source"
+    PROPERTIES = ()
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        self.src_caps: Optional[Dict] = None
+        self._buf = b""
+
+    def push(self, data: bytes, pts_ns: int = -1) -> List[Dict]:
+        self._buf += data
+        out: List[Dict] = []
+        while True:
+            start = h263.find_psc(self._buf)
+            if start < 0:
+                # keep a possible partial start code tail
+                self._buf = self._buf[-2:]
+                break
+            nxt = h263.find_psc(self._buf, start + 3)
+            if nxt < 0:
+                if start:
+                    self._buf = self._buf[start:]
+                break
+            out.append(self._emit(self._buf[start:nxt], pts_ns))
+            self._buf = self._buf[nxt:]
+        return out
+
+    def finish(self, pts_ns: int = -1) -> List[Dict]:
+        start = h263.find_psc(self._buf)
+        out = []
+        if start >= 0:
+            out.append(self._emit(self._buf[start:], pts_ns))
+        self._buf = b""
+        return out
+
+    def _emit(self, frame: bytes, pts_ns: int) -> Dict:
+        keyframe = False
+        try:
+            pic = h263.parse_picture(frame)
+            keyframe = pic.intra
+            if pic.width:
+                self.src_caps = {
+                    "media": "video/x-h263",
+                    "variant": "itu",
+                    "parsed": True,
+                    "width": pic.width,
+                    "height": pic.height,
+                    "h263version": ("h263p" if pic.plusptype
+                                    else "h263"),
+                }
+        except (ValueError, IndexError):
+            pass
+        return dict(data=frame, pts=pts_ns, keyframe=keyframe,
+                    caps=self.src_caps)
