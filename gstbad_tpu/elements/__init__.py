@@ -20,4 +20,5 @@ from gstbad_tpu.elements import mpegts  # noqa: F401
 from gstbad_tpu.elements import videoparsers  # noqa: F401
 from gstbad_tpu.elements import asfmux  # noqa: F401
 from gstbad_tpu.elements import mxf  # noqa: F401
+from gstbad_tpu.elements import onvif  # noqa: F401
 from gstbad_tpu.elements.audio import visualizers  # noqa: F401
