@@ -648,3 +648,33 @@ class AudioParse(Element):
 
     def process(self, params, state, batch):
         return state, batch
+
+
+from gstbad_tpu.io import uvch264 as _uvch264
+
+
+@register
+class UvcH264MjpgDemux(Element):
+    """uvch264mjpgdemux (sys/uvch264/gstuvch264_mjpgdemux.c): strips
+    the APP4 auxiliary segments out of UVC H.264 camera MJPEG frames,
+    reassembling the H264/YUY2/NV12 payloads; timestamps follow the
+    header (duration = frame_interval * 100ns, dts = pts - delay)."""
+
+    NAME = "uvch264mjpgdemux"
+    KIND = "host-source"
+    PROPERTIES = ()
+
+    def chain(self, data: bytes, pts_ns: int = -1):
+        """-> {"jpeg": bytes, "aux": [{fourcc,width,height,duration,
+        pts,dts,data}]}"""
+        jpeg, auxes = _uvch264.demux_mjpg(data)
+        out = []
+        for a in auxes:
+            dur = a.frame_interval * 100
+            pts = pts_ns
+            dts = max(0, pts - a.delay_ms * 1_000_000) \
+                if pts >= 0 else -1
+            out.append(dict(fourcc=a.fourcc, width=a.width,
+                            height=a.height, duration=dur, pts=pts,
+                            dts=dts, data=a.data))
+        return dict(jpeg=jpeg, aux=out)
