@@ -956,3 +956,92 @@ class H263Parse(Element):
             pass
         return dict(data=frame, pts=pts_ns, keyframe=keyframe,
                     caps=self.src_caps)
+
+
+import struct as _struct
+
+
+@register
+class Jpeg2000Parse(Element):
+    """jpeg2000parse (gstjpeg2000parse.c): frames JPEG 2000
+    codestreams (SOC..EOC), unwraps jp2 / j2c 'jp2c' contiguous
+    codestream boxes, and produces caps from the SIZ marker: width/
+    height from the image area minus offsets, sampling inferred from
+    the component subsampling factors (GRAYSCALE / RGB / YBR422 /
+    YBR420 / YBR411 / YBR410), colorspace GRAY / sRGB / sYUV, profile
+    from Rsiz."""
+
+    NAME = "jpeg2000parse"
+    KIND = "host-source"
+    PROPERTIES = ()
+
+    MAGIC = b"\xff\x4f\xff\x51"  # SOC + SIZ
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        self.src_caps: Optional[Dict] = None
+        self._buf = b""
+
+    def _siz_caps(self, frame: bytes) -> None:
+        """SIZ: Rsiz, Xsiz, Ysiz, XOsiz, YOsiz, tiles..., Csiz,
+        per-component (Ssiz, XRsiz, YRsiz)."""
+        if frame[:4] != self.MAGIC:
+            return
+        (lsiz,) = _struct.unpack_from(">H", frame, 4)
+        # Rsiz, Xsiz, Ysiz, XOsiz, YOsiz, XTsiz, YTsiz, XTOsiz, YTOsiz
+        rsiz, x, y, xo, yo = _struct.unpack_from(">HIIII", frame, 6)
+        (csiz,) = _struct.unpack_from(">H", frame, 40)
+        comps = [(frame[42 + 3 * i], frame[43 + 3 * i],
+                  frame[44 + 3 * i]) for i in range(csiz)]
+        width, height = x - xo, y - yo
+        dx = [c[1] for c in comps]
+        dy = [c[2] for c in comps]
+        if csiz == 1:
+            sampling, colorspace = "GRAYSCALE", "GRAY"
+        elif csiz >= 3 and dx[1] == dx[2] and dy[1] == dy[2]:
+            if dx[1] == 1 and dy[1] == 1:
+                sampling, colorspace = "RGB", "sRGB"
+            elif dx[1] == 2 and dy[1] == 1:
+                sampling, colorspace = "YCbCr-4:2:2", "sYUV"
+            elif dx[1] == 2 and dy[1] == 2:
+                sampling, colorspace = "YCbCr-4:2:0", "sYUV"
+            elif dx[1] == 4 and dy[1] == 1:
+                sampling, colorspace = "YCbCr-4:1:1", "sYUV"
+            elif dx[1] == 4 and dy[1] == 4:
+                sampling, colorspace = "YCbCr-4:1:0", "sYUV"
+            else:
+                sampling, colorspace = "RGB", "sRGB"
+        else:
+            sampling, colorspace = "RGB", "sRGB"
+        self.src_caps = {
+            "media": "image/x-jpc",
+            "parsed": True,
+            "width": width,
+            "height": height,
+            "sampling": sampling,
+            "colorspace": colorspace,
+            "profile": rsiz & 0x0FFF,
+        }
+
+    def push(self, data: bytes, pts_ns: int = -1) -> List[Dict]:
+        self._buf += data
+        out: List[Dict] = []
+        while True:
+            start = self._buf.find(self.MAGIC)
+            if start < 0:
+                self._buf = self._buf[-3:]
+                break
+            end = self._buf.find(b"\xff\xd9", start + 4)
+            if end < 0:
+                if start:
+                    self._buf = self._buf[start:]
+                break
+            frame = self._buf[start:end + 2]
+            self._buf = self._buf[end + 2:]
+            self._siz_caps(frame)
+            out.append(dict(data=frame, pts=pts_ns,
+                            caps=self.src_caps))
+        return out
+
+    def finish(self, pts_ns: int = -1) -> List[Dict]:
+        return self.push(b"", pts_ns)
