@@ -308,13 +308,14 @@ class MxfMux:
         return key + ber_encode(len(value), long_form=4) + value
 
     def _fill_to(self, blob: bytearray, boundary: int) -> None:
-        """KLV fill item up to the next KAG boundary."""
+        """KLV fill item up to the next KAG boundary (the fill KLV
+        itself is 16-byte key + 5-byte BER long form + value)."""
         need = (-len(blob)) % boundary
-        if need and need < 20:
+        if need and need < 21:
             need += boundary
         if need:
-            blob += KEY_FILL + ber_encode(need - 20, long_form=4) \
-                + b"\x00" * (need - 20)
+            blob += KEY_FILL + ber_encode(need - 21, long_form=4) \
+                + b"\x00" * (need - 21)
 
     def _partition_pack(self, key: bytes, this_partition: int,
                         footer: int, header_bytes: int,
