@@ -103,20 +103,25 @@ class H264Parse(Element):
 
     def _take_nal_headers(self, nal: bytes) -> None:
         t = h.nal_type(nal)
-        if t == h.NAL_SPS:
-            sps = h.parse_sps(nal)
-            self.sps[sps.sps_id] = sps
-        elif t == h.NAL_PPS:
-            pps = h.parse_pps(nal)
-            self.pps[pps.pps_id] = pps
-        elif t == h.NAL_SEI:
-            for ptype, payload in h.parse_sei(nal):
-                if ptype == h.SEI_CLLI:
-                    self._sei_caps["content-light-level"] = \
-                        h.content_light_level_string(payload)
-                elif ptype == h.SEI_MDCV:
-                    self._sei_caps["mastering-display-info"] = \
-                        h.mastering_display_string(payload)
+        try:
+            if t == h.NAL_SPS:
+                sps = h.parse_sps(nal)
+                self.sps[sps.sps_id] = sps
+            elif t == h.NAL_PPS:
+                pps = h.parse_pps(nal)
+                self.pps[pps.pps_id] = pps
+            elif t == h.NAL_SEI:
+                for ptype, payload in h.parse_sei(nal):
+                    if ptype == h.SEI_CLLI and len(payload) >= 4:
+                        self._sei_caps["content-light-level"] = \
+                            h.content_light_level_string(payload)
+                    elif ptype == h.SEI_MDCV and len(payload) >= 24:
+                        self._sei_caps["mastering-display-info"] = \
+                            h.mastering_display_string(payload)
+        except (ValueError, IndexError):
+            # corrupted parameter sets are skipped, like the
+            # reference's parser warnings
+            pass
 
     # -- push --------------------------------------------------------------
 
@@ -276,21 +281,24 @@ class H265Parse(Element):
 
     def _take_nal_headers(self, nal: bytes) -> None:
         t = h265.nal_type(nal)
-        if t == h265.NAL_VPS:
-            self.vps[0] = bytes(nal)
-        elif t == h265.NAL_SPS:
-            sps = h265.parse_sps(nal)
-            self.sps[sps.sps_id] = sps
-        elif t == h265.NAL_PPS:
-            self.pps[len(self.pps)] = bytes(nal)
-        elif t == h265.NAL_PREFIX_SEI:
-            for ptype, payload in h265.parse_sei(nal):
-                if ptype == h265.SEI_CLLI:
-                    self._sei_caps["content-light-level"] = \
-                        h.content_light_level_string(payload)
-                elif ptype == h265.SEI_MDCV:
-                    self._sei_caps["mastering-display-info"] = \
-                        h.mastering_display_string(payload)
+        try:
+            if t == h265.NAL_VPS:
+                self.vps[0] = bytes(nal)
+            elif t == h265.NAL_SPS:
+                sps = h265.parse_sps(nal)
+                self.sps[sps.sps_id] = sps
+            elif t == h265.NAL_PPS:
+                self.pps[len(self.pps)] = bytes(nal)
+            elif t == h265.NAL_PREFIX_SEI:
+                for ptype, payload in h265.parse_sei(nal):
+                    if ptype == h265.SEI_CLLI and len(payload) >= 4:
+                        self._sei_caps["content-light-level"] = \
+                            h.content_light_level_string(payload)
+                    elif ptype == h265.SEI_MDCV and len(payload) >= 24:
+                        self._sei_caps["mastering-display-info"] = \
+                            h.mastering_display_string(payload)
+        except (ValueError, IndexError):
+            pass
 
     def _update_caps(self) -> None:
         if not self.sps:

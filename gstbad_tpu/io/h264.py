@@ -44,6 +44,8 @@ class BitReader:
         self.pos = 0
 
     def read(self, n: int) -> int:
+        if self.pos + n > 8 * len(self.data):
+            raise ValueError("bitstream truncated")
         v = 0
         for _ in range(n):
             byte = self.data[self.pos >> 3]

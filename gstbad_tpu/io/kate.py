@@ -217,11 +217,13 @@ def serialize_comment_header(vendor: str,
 
 
 def parse_comment_header(data: bytes) -> Tuple[str, List[str]]:
-    if len(data) < 9 or data[0] != 0x81 or data[1:9] != MAGIC:
+    if len(data) < 13 or data[0] != 0x81 or data[1:9] != MAGIC:
         raise KateError("not a Kate comment header")
     pos = 9
     (vlen,) = struct.unpack_from("<I", data, pos)
     pos += 4
+    if pos + vlen + 4 > len(data):
+        raise KateError("truncated Kate comment header")
     vendor = data[pos:pos + vlen].decode("utf-8", "replace")
     pos += vlen
     (count,) = struct.unpack_from("<I", data, pos)
@@ -333,6 +335,13 @@ def serialize_text_packet(info: KateInfo, t0: float, t1: float,
 def parse_text_packet(info: KateInfo, data: bytes) -> KateEvent:
     if len(data) < 30 or data[0] != TEXT_TYPE:
         raise KateError("not a Kate text packet")
+    try:
+        return _parse_text_packet(info, data)
+    except (struct.error, IndexError) as e:
+        raise KateError(f"truncated Kate text packet: {e}")
+
+
+def _parse_text_packet(info: KateInfo, data: bytes) -> KateEvent:
     start, duration, backlink = struct.unpack_from("<qqq", data, 1)
     (tlen,) = struct.unpack_from("<I", data, 25)
     pos = 29
