@@ -45,6 +45,9 @@ class MpegTsMux(Element):
                  1, None, static=True),
         Property("pcr-interval", int, ts_io.DEFAULT_PCR_INTERVAL,
                  1, None, static=True),
+        Property("m2ts-mode", bool, False, static=True,
+                 doc="192-byte packets with the 4-byte 30-bit PCR "
+                     "arrival prefix (gstmpegtsmux.c:150-230)"),
     )
 
     #: caps-name -> TS stream type (the gstmpegtsmux.c sink template /
@@ -93,6 +96,13 @@ class MpegTsMux(Element):
         dts = ns_to_90k(dts_ns) if dts_ns >= 0 else ts_io.NO_TS
         pkts = self._mux.add_data(stream, data, pts, dts, random_access)
         self.packets_out += len(pkts)
+        if self.props["m2ts-mode"]:
+            # arrival timestamp = bottom 30 bits of the 27 MHz clock
+            # (the reference interpolates between PCRs; our mux knows
+            # the buffer clock directly)
+            t27 = (pts * 300) & 0x3FFFFFFF if pts != ts_io.NO_TS else 0
+            return b"".join(
+                t27.to_bytes(4, "big") + p for p in pkts)
         return b"".join(pkts)
 
     def process(self, params, state, batch):

@@ -39,6 +39,7 @@ from typing import Dict, List, Optional
 
 SYNC_BYTE = 0x47
 PACKET_LENGTH = 188
+M2TS_PACKET_LENGTH = 192  # 4-byte arrival timestamp + 188 (gstmpegtsmux.c:85)
 HEADER_LENGTH = 4
 PAYLOAD_LENGTH = PACKET_LENGTH - HEADER_LENGTH
 
@@ -371,9 +372,12 @@ class _PesState:
 
 class TsDemux:
     """mpegtspacketizer.c + tsdemux.c essentials: resync, PSI
-    assembly, PAT/PMT walk, PES reassembly."""
+    assembly, PAT/PMT walk, PES reassembly.  M2TS (192-byte packets
+    with a 4-byte arrival-timestamp prefix) is auto-detected like the
+    packetizer's size probe."""
 
     def __init__(self):
+        self.packet_size = None  # 188 or 192, sniffed
         self._buf = b""
         self.pat: Dict[int, int] = {}       # program_number -> PMT pid
         self.pmt_pids: Dict[int, int] = {}  # pid -> program_number
@@ -384,29 +388,49 @@ class TsDemux:
         self._pes: Dict[int, _PesState] = {}
         self.continuity_errors = 0
 
+    def _sniff_size(self) -> None:
+        """Detect 188 vs 192 (m2ts: sync at offset 4 with 192
+        spacing)."""
+        b = self._buf
+        if len(b) >= 4 + 193 and b[4] == SYNC_BYTE \
+                and b[196] == SYNC_BYTE \
+                and (len(b) < 389 or b[388] == SYNC_BYTE):
+            self.packet_size = M2TS_PACKET_LENGTH
+        elif len(b) >= 189 and b[0] == SYNC_BYTE \
+                and b[188] == SYNC_BYTE:
+            self.packet_size = PACKET_LENGTH
+
     def push(self, data: bytes) -> List[TsPacketOut]:
         self._buf += data
         out: List[TsPacketOut] = []
+        if self.packet_size is None:
+            self._sniff_size()
+            if self.packet_size is None and len(self._buf) < 4 + 193:
+                return out
+            if self.packet_size is None:
+                self.packet_size = PACKET_LENGTH
+        psize = self.packet_size
+        prefix = psize - PACKET_LENGTH
         while True:
             idx = self._buf.find(bytes([SYNC_BYTE]))
             if idx < 0:
                 self._buf = b""
                 break
-            if idx > 0:
-                self._buf = self._buf[idx:]
-            if len(self._buf) < PACKET_LENGTH:
+            if idx > prefix:
+                self._buf = self._buf[idx - prefix:]
+            if len(self._buf) < psize:
                 break
             # confirm sync spacing when more data is available
-            if (len(self._buf) > PACKET_LENGTH
-                    and self._buf[PACKET_LENGTH] != SYNC_BYTE):
-                nxt = self._buf.find(bytes([SYNC_BYTE]), 1)
+            if (len(self._buf) > psize
+                    and self._buf[psize + prefix] != SYNC_BYTE):
+                nxt = self._buf.find(bytes([SYNC_BYTE]), prefix + 1)
                 if nxt < 0:
                     self._buf = b""
                     break
-                self._buf = self._buf[nxt:]
+                self._buf = self._buf[nxt - prefix:]
                 continue
-            pkt = self._buf[:PACKET_LENGTH]
-            self._buf = self._buf[PACKET_LENGTH:]
+            pkt = self._buf[prefix:psize]
+            self._buf = self._buf[psize:]
             out.extend(self._packet(pkt))
         return out
 

@@ -230,3 +230,28 @@ def test_tsparse_passthrough(rng):
 def test_typefind_mpegts(rng):
     _, stream, _ = _mux_av(rng, n=2)
     assert find_type(stream) == "video/mpegts"
+
+
+def test_m2ts_mode(rng):
+    """m2ts-mode: 192-byte packets (4-byte 30-bit arrival prefix,
+    gstmpegtsmux.c:85,213-230); the demuxer auto-detects and strips."""
+    mux = gt.make("mpegtsmux", **{"m2ts-mode": True})
+    v = mux.connect("video/x-h264")
+    NSEC = 1_000_000_000
+    stream = b""
+    sent = []
+    for i in range(6):
+        d = rng.integers(0, 256, 400, np.uint8).tobytes()
+        stream += mux.chain(v, d, pts_ns=i * NSEC)
+        sent.append(d)
+    assert len(stream) % 192 == 0
+    assert stream[4] == ts.SYNC_BYTE and stream[196] == ts.SYNC_BYTE
+    dmx = gt.make("tsdemux")
+    outs = []
+    for i in range(0, len(stream), 700):
+        outs += dmx.push_bytes(stream[i:i + 700])
+    outs += dmx.event_eos()
+    assert [o["data"] for o in outs] == sent
+    if tsoracle.available():
+        _, pkts = tsoracle.demux(stream, any_format=True)
+        assert [p.data for p in pkts] == sent
