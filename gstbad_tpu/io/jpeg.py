@@ -181,6 +181,14 @@ def jif_mux(jpeg: bytes, comment: Optional[str] = None,
     app0 = [u for u in units if u[0] == 0xE0]
     keep = [u for u in units
             if u[0] not in (0xE0, 0xE1, 0xFE)]  # strip APP0/APP1/COM
+    # no APP14 Adobe RGB marker -> YUV/grayscale; synthesize the JFIF
+    # APP0 when the image has none (gstjifmux.c:476-500 jfif_data:
+    # version 1.2, density unit 0, 0/1 aspect, no thumbnail)
+    rgb = any(m == 0xEE and raw[4:10] == b"Adobe\x00" and
+              len(raw) >= 16 and raw[15] == 0 for m, raw in units)
+    if not app0 and not rgb:
+        app0 = [(0xE0, seg(0xE0, b"JFIF\x00\x01\x02\x00"
+                           b"\x00\x01\x00\x01\x00\x00"))]
     out = [jpeg[:2]]
     out += [raw for _, raw in app0]             # JFIF APP0 first
     if exif is not None:
