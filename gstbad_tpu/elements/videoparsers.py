@@ -25,6 +25,7 @@ from typing import Dict, List, Optional
 from gstbad_tpu.core.element import Element, Property
 from gstbad_tpu.core.registry import register
 from gstbad_tpu.io import h264 as h
+from gstbad_tpu.io import vc1
 
 NSEC = 1_000_000_000
 
@@ -1053,3 +1054,535 @@ class Jpeg2000Parse(Element):
 
     def finish(self, pts_ns: int = -1) -> List[Dict]:
         return self.push(b"", pts_ns)
+
+
+# ---------------------------------------------------------------- vc1
+
+
+@register
+class Vc1Parse(Element):
+    """vc1parse (gst/videoparsers/gstvc1parse.c): VC-1 / WMV3 stream
+    repackaging between the eight stream-formats x three
+    header-formats.
+
+    - input framing per stream-format (gstvc1parse.c:1173-1293): 36-byte
+      Annex-L sequence layer, BDU start-code scan, packetized ASF/raw
+      frames, 8-byte Annex-L frame-layer headers;
+    - codec_data sniffing (gstvc1parse.c:2375-2470): 4/5 bytes = ASF
+      simple/main STRUCT_C, 36 bytes with 0xC5 = sequence layer,
+      longer = advanced ASF (binding byte + 0x0F seq hdr BDU + 0x0E
+      entrypoint BDU);
+    - stream-format detection when caps don't say
+      (gst_vc1_parse_detect, gstvc1parse.c:634-729): scan 4-byte steps
+      for the sequence-layer fingerprint, then BDU-startcode check
+      behind it, then header-format heuristics;
+    - the conversion matrix (gst_vc1_parse_pre_push_frame,
+      gstvc1parse.c:1710-2035): drop the sequence-layer unit, emit a
+      synthesized sequence layer first, prepend 0x0000010D to raw ASF
+      frames (never in simple profile), or wrap in frame-layer headers
+      (first frame carries seq hdr + entrypoint BDUs in advanced
+      profile, keyframes re-carry the entrypoint);
+    - output caps (gst_vc1_parse_update_caps, gstvc1parse.c:876-1094):
+      WVC1/advanced + level "0".."4" or WMV3 + simple/main + level
+      low/medium/high, codec_data per output header-format.
+
+    Reference quirks reproduced faithfully (documented):
+    - gst_vc1_parse_set_caps inverts its profile strcmp tests
+      (gstvc1parse.c:2357-2363): caps profile "simple" selects MAIN and
+      anything else selects SIMPLE;
+    - gst_vc1_parse_handle_seq_layer assigns width from struct A's
+      VERT_SIZE and height from HORIZ_SIZE (gstvc1parse.c:2229-2230),
+      swapped relative to gst_vc1_parse_make_sequence_layer which
+      writes height first (gstvc1parse.c:838-840).
+    """
+
+    NAME = "vc1parse"
+    KIND = "host-source"
+
+    HEADER_FORMATS = ("none", "asf", "sequence-layer")
+    STREAM_FORMATS = ("bdu", "bdu-frame", "sequence-layer-bdu",
+                      "sequence-layer-bdu-frame",
+                      "sequence-layer-raw-frame",
+                      "sequence-layer-frame-layer", "asf", "frame-layer")
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        self.format = "WMV3"
+        self.profile = -1
+        self.level = -1
+        self.width = 0
+        self.height = 0
+        self.fps_n = self.fps_d = 0
+        self.par_n = self.par_d = 0
+        self.fps_from_caps = False
+        self.par_from_caps = False
+        self.in_header_format = "none"
+        self.in_stream_format: Optional[str] = None
+        self.out_header_format: Optional[str] = None
+        self.out_stream_format: Optional[str] = None
+        self.detecting = False
+        self.seq_hdr: Optional[vc1.SeqHdr] = None
+        self.seq_hdr_data: Optional[bytes] = None
+        self.seq_layer: Optional[vc1.SeqLayer] = None
+        self.seq_layer_data: Optional[bytes] = None
+        self.entrypoint_data: Optional[bytes] = None
+        self.src_caps: Optional[Dict] = None
+        self._seq_layer_sent = False
+        self._frame_layer_first_sent = False
+        self._buf = b""
+
+    # -- negotiation ---------------------------------------------------
+
+    def set_caps(self, format: str = "WMV3",
+                 profile: Optional[str] = None,
+                 width: int = 0, height: int = 0,
+                 framerate: Optional[tuple] = None,
+                 par: Optional[tuple] = None,
+                 header_format: Optional[str] = None,
+                 stream_format: Optional[str] = None,
+                 codec_data: Optional[bytes] = None) -> None:
+        """gst_vc1_parse_set_caps (gstvc1parse.c:2317-2488)."""
+        self.width, self.height = width, height
+        if framerate and framerate[1]:
+            self.fps_n, self.fps_d = framerate
+            self.fps_from_caps = True
+        if par and par[0] and par[1]:
+            self.par_n, self.par_d = par
+            self.par_from_caps = True
+        self.format = "WVC1" if format == "WVC1" else "WMV3"
+        # faithful inverted-strcmp selection (gstvc1parse.c:2357-2363):
+        # strcmp()!=0 is truthy, so "simple" falls through to the MAIN
+        # branch and every other string takes the SIMPLE branch
+        if profile is not None and profile != "simple":
+            self.profile = vc1.PROFILE_SIMPLE
+        elif profile is not None and profile != "main":
+            self.profile = vc1.PROFILE_MAIN
+        elif profile is not None and profile != "advanced":
+            self.profile = vc1.PROFILE_ADVANCED
+        elif self.format == "WVC1":
+            self.profile = vc1.PROFILE_ADVANCED
+        else:
+            self.profile = vc1.PROFILE_MAIN  # or SIMPLE
+        self.level = -1
+        self.seq_hdr = self.seq_layer = None
+        self.seq_hdr_data = self.seq_layer_data = None
+        self.entrypoint_data = None
+        if codec_data is not None:
+            if len(codec_data) in (4, 5):
+                # ASF simple/main: STRUCT_C without start codes
+                self._handle_seq_hdr(codec_data)
+                self.in_header_format = "asf"
+            elif len(codec_data) == 36 and codec_data[3] == 0xC5:
+                self._handle_seq_layer(codec_data)
+                self.in_header_format = "sequence-layer"
+            else:
+                if len(codec_data) < 1 + 4 + 4 + 4 + 2:
+                    raise vc1.Vc1Error(
+                        "too small for advanced-profile ASF header")
+                if codec_data[1:5] != b"\x00\x00\x01\x0f":
+                    raise vc1.Vc1Error(
+                        "advanced ASF header must start with the "
+                        "SequenceHeader startcode")
+                self._handle_bdus(codec_data[1:])
+                if self.seq_hdr_data is None \
+                        or self.entrypoint_data is None:
+                    raise vc1.Vc1Error("advanced ASF codec_data needs "
+                                       "sequence + entrypoint headers")
+                self.in_header_format = "asf"
+        else:
+            self.in_header_format = "none"
+        if stream_format is None:
+            self.detecting = True
+        else:
+            if stream_format not in self.STREAM_FORMATS:
+                raise vc1.Vc1Error(f"bad stream-format {stream_format}")
+            self.in_stream_format = stream_format
+        self._seq_layer_sent = False
+        self._frame_layer_first_sent = False
+
+    def set_output(self, header_format: Optional[str] = None,
+                   stream_format: Optional[str] = None) -> None:
+        """Downstream fixation (gst_vc1_parse_renegotiate,
+        gstvc1parse.c:480-577): unset fields inherit the input."""
+        self.out_header_format = header_format
+        self.out_stream_format = stream_format
+
+    def _resolved_output(self) -> tuple:
+        hf = self.out_header_format or self.in_header_format
+        sf = self.out_stream_format or self.in_stream_format
+        return hf, sf
+
+    def _check_format_allowed(self) -> None:
+        """gst_vc1_parse_is_format_allowed (gstvc1parse.c:326-478)."""
+        hf, sf = self._resolved_output()
+        inf = self.in_stream_format
+        if self.profile == vc1.PROFILE_ADVANCED \
+                and sf == "sequence-layer-raw-frame":
+            raise vc1.Vc1Error("sequence-layer-raw-frame is not "
+                               "allowed in advanced profile")
+        if self.profile == vc1.PROFILE_SIMPLE and sf in (
+                "bdu", "bdu-frame", "sequence-layer-bdu",
+                "sequence-layer-bdu-frame"):
+            raise vc1.Vc1Error(
+                "output stream-format not allowed in simple profile")
+        if hf in ("asf", "sequence-layer") \
+                and sf and sf.startswith("sequence-layer-"):
+            raise vc1.Vc1Error("sequence-layer-* stream-format makes "
+                               f"no sense with header-format {hf}")
+        if hf == "none":
+            if self.profile != vc1.PROFILE_ADVANCED and sf in (
+                    "bdu", "bdu-frame", "frame-layer"):
+                raise vc1.Vc1Error("simple/main profile has no "
+                                   "sequence header BDU")
+            if sf == "asf":
+                raise vc1.Vc1Error(
+                    "ASF stream-format doesn't carry sequence header")
+        if sf == inf:
+            return
+        allowed = {
+            "bdu": ("sequence-layer-bdu", "asf"),
+            "bdu-frame": ("sequence-layer-bdu-frame",),
+            "sequence-layer-bdu": ("bdu", "asf"),
+            "sequence-layer-bdu-frame": ("bdu-frame",),
+            "sequence-layer-raw-frame": ("asf",),
+            "sequence-layer-frame-layer": ("frame-layer", "asf"),
+            "asf": (),
+            "frame-layer": ("sequence-layer-frame-layer", "asf"),
+        }
+        if inf not in allowed.get(sf, ()):
+            raise vc1.Vc1Error(
+                f"stream conversion {inf} -> {sf} not implemented")
+
+    # -- header handling -----------------------------------------------
+
+    def _handle_seq_hdr(self, data: bytes) -> None:
+        """gst_vc1_parse_handle_seq_hdr (gstvc1parse.c:2068-2195)."""
+        hdr = vc1.parse_sequence_header(data)
+        self.seq_hdr = hdr
+        self.seq_hdr_data = bytes(data)
+        self.profile = hdr.profile
+        if not self.fps_from_caps and hdr.profile != vc1.PROFILE_ADVANCED:
+            fps = hdr.struct_c.framerate
+            if fps:
+                self.fps_n, self.fps_d = fps, 1
+        if hdr.profile == vc1.PROFILE_ADVANCED:
+            adv = hdr.advanced
+            self.level = adv.level
+            self.width = adv.max_coded_width
+            self.height = adv.max_coded_height
+            if not self.fps_from_caps and adv.framerate:
+                self.fps_n, self.fps_d = adv.framerate, 1
+            if adv.display_ext:
+                if not self.par_from_caps and adv.aspect_ratio_flag \
+                        and adv.par_n and adv.par_d:
+                    self.par_n, self.par_d = adv.par_n, adv.par_d
+                if not self.fps_from_caps and adv.framerate_flag \
+                        and adv.fps_n and adv.fps_d:
+                    self.fps_n, self.fps_d = adv.fps_n, adv.fps_d
+        self._update_caps()
+
+    def _handle_seq_layer(self, data: bytes) -> None:
+        """gst_vc1_parse_handle_seq_layer (gstvc1parse.c:2197-2264).
+        NOTE the faithful width/height swap: width <- VERT_SIZE,
+        height <- HORIZ_SIZE (gstvc1parse.c:2229-2230)."""
+        sl = vc1.parse_sequence_layer(data)
+        self.seq_layer = sl
+        self.seq_layer_data = bytes(data)
+        self.profile = sl.struct_c.profile
+        width = sl.struct_a.vert_size
+        height = sl.struct_a.horiz_size
+        if width > 0 and height > 0:
+            self.width, self.height = width, height
+        self.level = sl.struct_b.level
+        if not self.fps_from_caps \
+                and sl.struct_c.profile != vc1.PROFILE_ADVANCED:
+            fps = sl.struct_c.framerate
+            if fps in (0, 0xFFFFFFFF, -1):
+                fps = sl.struct_b.framerate
+            if fps and fps != 0xFFFFFFFF:
+                self.fps_n, self.fps_d = fps, 1
+        self._update_caps()
+
+    def _handle_bdu(self, typ: int, payload: bytes) -> None:
+        if typ == vc1.SEQUENCE:
+            self._handle_seq_hdr(payload)
+        elif typ == vc1.ENTRYPOINT:
+            self.entrypoint_data = bytes(payload)
+
+    def _handle_bdus(self, data: bytes) -> None:
+        for typ, off, size in vc1.split_bdus(data):
+            self._handle_bdu(typ, data[off:off + size])
+
+    # -- caps ------------------------------------------------------------
+
+    def _update_caps(self) -> None:
+        hf, sf = self._resolved_output()
+        caps: Dict = {"media": "video/x-wmv", "wmvversion": 3,
+                      "header-format": hf, "stream-format": sf}
+        if self.width and self.height:
+            caps["width"] = self.width
+            caps["height"] = self.height
+        if self.fps_d:
+            caps["framerate"] = (self.fps_n, self.fps_d)
+        if self.par_n and self.par_d:
+            caps["pixel-aspect-ratio"] = (self.par_n, self.par_d)
+        if self.profile == vc1.PROFILE_ADVANCED:
+            caps["format"] = "WVC1"
+            caps["profile"] = "advanced"
+            if self.seq_hdr:
+                caps["level"] = str(self.seq_hdr.advanced.level)
+        else:
+            caps["format"] = "WMV3"
+            caps["profile"] = ("simple" if self.profile ==
+                               vc1.PROFILE_SIMPLE else "main")
+            if self.seq_layer:
+                caps["level"] = {0: "low", 1: "medium",
+                                 2: "high"}.get(self.level, "high")
+        if hf == "asf":
+            caps["codec_data"] = self._make_asf_codec_data()
+        elif hf == "sequence-layer":
+            caps["codec_data"] = self.seq_layer_data \
+                or self._make_sequence_layer()
+        self.src_caps = caps
+
+    def _make_asf_codec_data(self) -> Optional[bytes]:
+        if self.profile != vc1.PROFILE_ADVANCED:
+            if self.seq_hdr_data:
+                return self.seq_hdr_data[:4]
+            if self.seq_layer:
+                word = vc1.make_struct_c_from_fields(
+                    self.profile, self.seq_layer.struct_c)
+                return word.to_bytes(4, "big")
+            return None
+        if not (self.seq_hdr_data and self.entrypoint_data):
+            return None
+        binding = 0x29 if self.profile == vc1.PROFILE_SIMPLE else 0x2B
+        return bytes([binding]) + b"\x00\x00\x01\x0f" \
+            + self.seq_hdr_data + b"\x00\x00\x01\x0e" \
+            + self.entrypoint_data
+
+    def _make_sequence_layer(self) -> bytes:
+        struct_c = self.seq_hdr.struct_c if self.seq_hdr \
+            else vc1.StructC(profile=self.profile)
+        return vc1.make_sequence_layer(self.profile, struct_c,
+                                       self.width, self.height,
+                                       self.level, self.fps_n,
+                                       self.fps_d)
+
+    # -- framing ---------------------------------------------------------
+
+    def _detect(self, data: bytes) -> bool:
+        """gst_vc1_parse_detect (gstvc1parse.c:634-729)."""
+        size = len(data)
+        pos = 0
+        while size - pos >= 40:
+            if data[pos + 3] == 0xC5 \
+                    and data[pos + 4:pos + 8] == b"\x04\x00\x00\x00" \
+                    and data[pos + 20:pos + 24] == b"\x0c\x00\x00\x00":
+                nxt = data[pos + 36:pos + 39]
+                if nxt == b"\x00\x00\x01":
+                    self.in_stream_format = \
+                        "sequence-layer-bdu-frame"
+                else:
+                    self.in_stream_format = \
+                        "sequence-layer-frame-layer"
+                self.detecting = False
+                return True
+            pos += 4
+        if size <= 128:
+            return False  # request more data
+        if self.in_header_format == "asf":
+            self.in_stream_format = "asf"
+        elif self.in_header_format == "sequence-layer":
+            self.in_stream_format = "frame-layer"
+        else:
+            raise vc1.Vc1Error("can't detect or assume a stream format")
+        self.detecting = False
+        return True
+
+    def chain(self, data: bytes, pts_ns: int = 0,
+              keyframe: bool = True) -> List[Dict]:
+        """Push one buffer.  ASF / raw inputs are packetized (one frame
+        per call); BDU / frame-layer inputs may carry partial units
+        which are buffered across calls."""
+        self._buf += data
+        if self.detecting:
+            if not self._detect(self._buf):
+                return []
+        out: List[Dict] = []
+        for frame, no_frame in self._split_frames():
+            out += self._push_one(frame, no_frame, pts_ns, keyframe)
+        return out
+
+    def finish(self, pts_ns: int = 0, keyframe: bool = True
+               ) -> List[Dict]:
+        """EOS drain (GST_BASE_PARSE_DRAINING: an unterminated BDU is
+        assumed complete)."""
+        out: List[Dict] = []
+        if self.detecting and self._buf:
+            try:
+                self._detect(self._buf)
+            except vc1.Vc1Error:
+                self._buf = b""
+                raise
+        for frame, no_frame in self._split_frames():
+            out += self._push_one(frame, no_frame, pts_ns, keyframe)
+        sf = self.in_stream_format
+        bdu_mode = sf in ("bdu", "bdu-frame") or (
+            self.seq_layer_data is not None
+            and sf in ("sequence-layer-bdu", "sequence-layer-bdu-frame"))
+        if bdu_mode and len(self._buf) >= 4:
+            # draining: an unterminated BDU is assumed complete
+            bdu = vc1.identify_next_bdu(self._buf)
+            if bdu is not None:
+                frame = self._buf[bdu.sc_offset:]
+                self._buf = b""
+                self._handle_bdu(frame[3], frame[4:])
+                out += self._push_one(frame, False, pts_ns, keyframe)
+        self._buf = b""
+        return out
+
+    def _split_frames(self):
+        """Incremental framing (gst_vc1_parse_handle_frame,
+        gstvc1parse.c:1209-1293).  Yields (frame_bytes, no_frame)."""
+        sf = self.in_stream_format
+        while True:
+            buf = self._buf
+            if self.seq_layer_data is None and sf in (
+                    "sequence-layer-bdu", "sequence-layer-bdu-frame",
+                    "sequence-layer-raw-frame",
+                    "sequence-layer-frame-layer"):
+                if len(buf) < 36:
+                    return
+                if buf[3] == 0xC5 \
+                        and buf[4:8] == b"\x04\x00\x00\x00" \
+                        and buf[20:24] == b"\x0c\x00\x00\x00":
+                    self._handle_seq_layer(buf[:36])
+                    self._buf = buf[36:]
+                    yield buf[:36], True
+                    continue
+                self._buf = buf[1:]  # skipsize 1
+                continue
+            if sf in ("bdu", "bdu-frame") or (
+                    self.seq_layer_data is not None and sf in (
+                        "sequence-layer-bdu",
+                        "sequence-layer-bdu-frame")):
+                if len(buf) < 4:
+                    return
+                bdu = vc1.identify_next_bdu(buf)
+                if bdu is None:
+                    self._buf = buf[max(0, len(buf) - 3):]
+                    return
+                if bdu.sc_offset > 4:
+                    self._buf = buf[bdu.sc_offset:]
+                    continue
+                if bdu.size < 0:
+                    return  # need more data
+                end = bdu.offset + bdu.size
+                frame = buf[bdu.sc_offset:end]
+                self._buf = buf[end:]
+                startcode = frame[3]
+                if startcode != vc1.SEQUENCE and \
+                        self.seq_hdr_data is None \
+                        and self.seq_layer_data is None:
+                    raise vc1.Vc1Error("need sequence header/layer "
+                                       "before anything else")
+                self._handle_bdu(startcode, frame[4:])
+                yield frame, False
+                continue
+            if sf == "asf" or (self.seq_layer_data is not None
+                               and sf == "sequence-layer-raw-frame"):
+                if not buf:
+                    return
+                if self.seq_hdr_data is None \
+                        and self.seq_layer_data is None:
+                    raise vc1.Vc1Error(
+                        "need a sequence header or sequence layer")
+                self._buf = b""
+                if self.profile == vc1.PROFILE_ADVANCED \
+                        and len(buf) >= 8 \
+                        and buf[0:3] == b"\x00\x00\x01":
+                    self._handle_bdus(buf)
+                yield buf, False
+                continue
+            # frame-layer or sequence-layer-frame-layer
+            if len(buf) < 8:
+                return
+            size = int.from_bytes(buf[0:3], "little") + 8
+            if len(buf) < size:
+                return
+            self._buf = buf[size:]
+            yield buf[:size], False
+
+    # -- output conversion -------------------------------------------------
+
+    def _push_one(self, frame: bytes, no_frame: bool, pts_ns: int,
+                  keyframe: bool) -> List[Dict]:
+        """gst_vc1_parse_pre_push_frame (gstvc1parse.c:1710-2035)."""
+        self._check_format_allowed()
+        self._update_caps()
+        hf, sf = self._resolved_output()
+        inf = self.in_stream_format
+        out: List[Dict] = []
+
+        def emit(payload: bytes) -> None:
+            out.append(dict(data=payload, pts=pts_ns,
+                            keyframe=keyframe, caps=self.src_caps))
+
+        if sf == inf:
+            emit(frame)
+            return out
+        needs_seq_layer_first = (
+            (sf == "sequence-layer-bdu" and inf in ("bdu", "asf"))
+            or (sf == "sequence-layer-bdu-frame" and inf == "bdu-frame")
+            or (sf == "sequence-layer-raw-frame" and inf == "asf")
+            or (sf == "sequence-layer-frame-layer"
+                and inf in ("asf", "frame-layer")))
+        drops_seq_layer = (
+            (sf == "bdu" and inf == "sequence-layer-bdu")
+            or (sf == "bdu-frame" and inf == "sequence-layer-bdu-frame")
+            or (sf == "frame-layer"
+                and inf == "sequence-layer-frame-layer"))
+        if drops_seq_layer and no_frame:
+            return out  # GST_BASE_PARSE_FLOW_DROPPED
+        if needs_seq_layer_first and not self._seq_layer_sent:
+            emit(self.seq_layer_data or self._make_sequence_layer())
+            self._seq_layer_sent = True
+        if inf == "asf" and sf in ("bdu", "sequence-layer-bdu"):
+            emit(self._asf_to_bdu(frame))
+        elif inf == "asf" and sf in ("frame-layer",
+                                     "sequence-layer-frame-layer"):
+            emit(self._to_frame_layer(frame, pts_ns, keyframe))
+        else:
+            emit(frame)
+        return out
+
+    def _asf_to_bdu(self, frame: bytes) -> bytes:
+        """gst_vc1_parse_convert_asf_to_bdu (gstvc1parse.c:1568-1623):
+        prepend the 0x0000010D frame startcode unless one is already
+        there; impossible in simple profile."""
+        if self.profile == vc1.PROFILE_SIMPLE:
+            raise vc1.Vc1Error("can't convert to bdu in simple profile")
+        if len(frame) >= 4 and frame[0:3] == b"\x00\x00\x01":
+            return frame
+        return b"\x00\x00\x01\x0d" + frame
+
+    def _to_frame_layer(self, frame: bytes, pts_ns: int,
+                        keyframe: bool) -> bytes:
+        """gst_vc1_parse_convert_to_frame_layer
+        (gstvc1parse.c:1625-1709)."""
+        header = vc1.make_frame_layer_header(len(frame), keyframe,
+                                             pts_ns)
+        mid = b""
+        if self.profile == vc1.PROFILE_ADVANCED:
+            if not self._frame_layer_first_sent:
+                mid += b"\x00\x00\x01\x0f" + (self.seq_hdr_data or b"")
+                mid += b"\x00\x00\x01\x0e" + (self.entrypoint_data
+                                              or b"")
+            elif keyframe:
+                mid += b"\x00\x00\x01\x0e" + (self.entrypoint_data
+                                              or b"")
+            if not (len(frame) >= 4 and frame[0:3] == b"\x00\x00\x01"):
+                mid += b"\x00\x00\x01\x0d"
+        self._frame_layer_first_sent = True
+        return header + mid + frame
