@@ -278,3 +278,29 @@ def test_mss_fragments_and_switch():
     assert frags[1]["caps"]["width"] == 1280
     assert frags[1]["pts"] == 2_000_000_000
     assert frags[1]["duration"] == 2_000_000_000
+
+
+# ------------------------------------------------------------- elements
+
+def test_demux_elements_registered():
+    import gstbad_tpu as gt
+    net = FakeNet(_hls_files(), rate_bps=10_000_000)
+    el = gt.make("hlsdemux", **{"connection-speed": 150})
+    el.load(MASTER, net.fetch, uri="http://x/master.m3u8",
+            clock=net.clock)
+    frags = list(el.fragments(max_fragments=2))
+    # pinned 150 kbps keeps the 100k variant
+    assert all(f["uri"].startswith("http://x/low") for f in frags)
+
+    net2 = FakeNet(_dash_files())
+    d = gt.make("dashdemux", **{"bitrate-limit": 0.5})
+    d.load(MPD, net2.fetch, base_uri="http://d/", clock=net2.clock)
+    assert next(d.fragments())["is-init"]
+    assert d.demux.bitrate_limit == 0.5
+
+    m = gt.make("mssdemux")
+    files = {f"http://m/QualityLevels(300000)/Fragments(video={t})":
+             b"f" * 100 for t in range(0, 80000000, 20000000)}
+    m.load(MSS, FakeNet(files).fetch, base_uri="http://m/")
+    first = next(m.fragments())
+    assert first["caps"]["width"] == 320
