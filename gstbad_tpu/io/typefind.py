@@ -87,6 +87,29 @@ def find_type(data: bytes) -> Optional[str]:
         return "audio/x-xm"
     if len(data) > 48 and data[44:48] == b"SCRM":
         return "audio/x-s3m"
+    if data[:8] == b"OpusHead":
+        return "audio/x-opus"
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return "video/quicktime"  # ISO BMFF (mp4/mov family)
+    if data[:8] == b"\x00\x00\x00\x18moof" or data[4:8] == b"moof" \
+            or data[4:8] == b"styp":
+        return "video/iso-fragmented"
+    if data[:7] == b"#EXTM3U":
+        return "application/x-hls"
+    head = data[:512].lstrip(b"\xef\xbb\xbf \t\r\n")
+    if head.startswith(b"<?xml") or head.startswith(b"<"):
+        body = data[:2048]
+        if b"<MPD" in body:
+            return "application/dash+xml"
+        if b"<SmoothStreamingMedia" in body:
+            return "application/vnd.ms-sstr+xml"
+        if b"<tt" in body and b"ttml" in body.replace(b"ttaf1", b"ttml"):
+            return "application/ttml+xml"
+    if len(data) >= 40 and data[3] == 0xC5 \
+            and data[4:8] == b"\x04\x00\x00\x00" \
+            and data[20:24] == b"\x0c\x00\x00\x00":
+        # VC-1 Annex-L sequence layer (the vc1parse detection pattern)
+        return "video/x-wmv"
     return None
 
 
