@@ -207,3 +207,67 @@ def test_fuzz_dashmpd(rng):
             dashmpd.parse_mpd(blob.decode("latin1"))
         except OK_ERRORS:
             pass
+
+
+def test_fuzz_mss_manifest(rng):
+    from tests.test_mss import MANIFEST
+    for blob in _mutations(rng, MANIFEST.encode(), n=20):
+        try:
+            m = __import__("gstbad_tpu.io.mss",
+                           fromlist=["MssManifest"])
+            man = m.MssManifest(blob)
+            for s in man.streams:
+                s.active = True
+                s.get_caps()
+                s.get_fragment_url()
+        except OK_ERRORS:
+            pass
+
+
+def test_fuzz_isoff(rng):
+    from gstbad_tpu.io import isoff, mss
+    moof = open(os.path.join(DATA, "isoff", "moof1.bin"), "rb").read()
+    frag = open(os.path.join(DATA, "isoff",
+                             "Fragments_audio.bin"), "rb").read()
+    blobs = list(_mutations(rng, moof, n=20)) \
+        + list(_mutations(rng, frag[:512], n=10))
+    for blob in blobs:
+        try:
+            isoff.parse_moof(blob)      # None or parse, never crash
+            isoff.parse_moov(blob)
+            p = isoff.SidxParser()
+            p.parse(blob[:256])
+            mss.MssFragmentParser().add_buffer(blob)
+        except OK_ERRORS:
+            pass
+
+
+def test_fuzz_vc1(rng):
+    from gstbad_tpu.io import vc1
+    layer = vc1.make_sequence_layer(
+        vc1.PROFILE_MAIN, vc1.StructC(profile=vc1.PROFILE_MAIN),
+        320, 240, 2, 25, 1)
+    for blob in _mutations(rng, layer, n=25):
+        try:
+            vc1.parse_sequence_layer(blob)
+            vc1.parse_sequence_header(blob)
+            if len(blob) >= 4:
+                vc1.identify_next_bdu(blob)
+        except OK_ERRORS:
+            pass
+
+
+def test_fuzz_opus(rng):
+    from gstbad_tpu.io import opus
+    import gstbad_tpu as gt
+    pkt = bytes([16 << 3 | 3, 4]) + b"x" * 64
+    for blob in _mutations(rng, pkt, n=25):
+        try:
+            opus.packet_parse(blob)
+        except OK_ERRORS:
+            pass
+        el = gt.make("opusparse")
+        try:
+            el.chain(blob)
+        except OK_ERRORS:
+            pass
