@@ -20,6 +20,7 @@ from gstbad_tpu.elements import mpegts  # noqa: F401
 from gstbad_tpu.elements import videoparsers  # noqa: F401
 from gstbad_tpu.elements import jpegformat  # noqa: F401
 from gstbad_tpu.elements import adaptivedemux  # noqa: F401
+from gstbad_tpu.elements import ioelements  # noqa: F401
 from gstbad_tpu.elements import asfmux  # noqa: F401
 from gstbad_tpu.elements import mxf  # noqa: F401
 from gstbad_tpu.elements import onvif  # noqa: F401
