@@ -528,3 +528,72 @@ def open_mss(manifest_data: bytes, fetch: Fetch, base_uri: str = "",
     for stream in manifest.streams:
         demux.add_stream(MssAdaptiveStream(manifest, stream, base_uri))
     return demux
+
+
+# ------------------------------------------------------------------ seek
+
+def _hls_seek(stream: HlsStream, time_ns: int, forward: bool = True,
+              snap_after: bool = False) -> int:
+    """gst_hls_demux seek: walk the files accumulating EXTINF
+    durations; snap-after moves to the next fragment boundary."""
+    t = 0
+    chosen = None
+    for f in stream.playlist.files:
+        if t + f.duration > time_ns:
+            chosen = f
+            if snap_after and t != time_ns:
+                idx = stream.playlist.files.index(f)
+                if idx + 1 < len(stream.playlist.files):
+                    chosen = stream.playlist.files[idx + 1]
+                    t += f.duration
+            break
+        t += f.duration
+    if chosen is None and stream.playlist.files:
+        chosen = stream.playlist.files[-1]
+        t -= chosen.duration
+    if chosen is not None:
+        stream._sequence = chosen.sequence
+        stream._pts = t
+        stream._sent_init = None
+    return t
+
+
+def _dash_seek(stream: DashStream, time_ns: int, forward: bool = True,
+               snap_after: bool = False) -> int:
+    segments = stream._segments()
+    final = 0
+    for i, (_, pts, dur) in enumerate(segments):
+        if pts + dur > time_ns:
+            idx = i
+            if snap_after and pts != time_ns \
+                    and i + 1 < len(segments):
+                idx = i + 1
+            stream.segment_index = idx
+            final = segments[idx][1]
+            break
+    else:
+        stream.segment_index = len(segments)
+        final = time_ns
+    stream._init_sent = False  # re-send the init after a seek
+    return final
+
+
+def demux_seek(demux: AdaptiveDemux, time_ns: int,
+               forward: bool = True, snap_after: bool = False) -> None:
+    """gst_adaptive_demux seek: reposition every stream (flush +
+    per-subclass stream_seek)."""
+    for st in demux.streams:
+        adapter = st.adapter
+        st.eos = False
+        st.need_caps = True
+        if isinstance(adapter, HlsStream):
+            _hls_seek(adapter, time_ns, forward, snap_after)
+        elif isinstance(adapter, DashStream):
+            _dash_seek(adapter, time_ns, forward, snap_after)
+        elif isinstance(adapter, MssAdaptiveStream):
+            adapter.stream.fragment_repetition_index = 0
+            adapter.stream.seek(forward, time_ns,
+                                snap_after=snap_after)
+
+
+AdaptiveDemux.seek = demux_seek

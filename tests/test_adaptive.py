@@ -304,3 +304,60 @@ def test_demux_elements_registered():
     m.load(MSS, FakeNet(files).fetch, base_uri="http://m/")
     first = next(m.fragments())
     assert first["caps"]["width"] == 320
+
+
+# ----------------------------------------------------------------- seek
+
+def test_hls_seek():
+    """testSeek/testSeekPosition analog: reposition to the fragment
+    containing the time; snap-after takes the next boundary."""
+    net = FakeNet(_hls_files())
+    demux = ad.open_hls(MASTER, "http://x/master.m3u8", net.fetch,
+                        clock=net.clock, connection_speed_kbps=50)
+    demux.seek(5_000_000_000)  # inside fragment 2 (2s each)
+    frag = next(demux.fragments())
+    assert frag["uri"].endswith("2.ts")
+    assert frag["pts"] == 4_000_000_000
+    demux.seek(4_000_000_000, snap_after=True)  # exact boundary stays
+    assert next(demux.fragments())["uri"].endswith("2.ts")
+    demux.seek(4_100_000_000, snap_after=True)  # snaps forward
+    assert next(demux.fragments())["uri"].endswith("3.ts")
+
+
+def test_dash_seek_resends_init():
+    net = FakeNet(_dash_files())
+    demux = ad.open_dash(MPD, net.fetch, base_uri="http://d/",
+                         clock=net.clock, connection_speed_kbps=50)
+    list(demux.fragments(max_fragments=3))
+    demux.seek(7_000_000_000)  # 2s segments: segment index 3 (seg-4)
+    frags = list(demux.fragments(max_fragments=2))
+    assert frags[0]["is-init"]  # init re-sent after the seek
+    assert frags[1]["uri"].endswith("seg-4.m4s")
+    assert frags[1]["pts"] == 6_000_000_000
+
+
+def test_mss_seek():
+    files = {f"http://m/QualityLevels(300000)/Fragments(video={t})":
+             b"f" * 100 for t in range(0, 80000000, 20000000)}
+    net = FakeNet(files)
+    demux = ad.open_mss(MSS.encode(), net.fetch, base_uri="http://m/",
+                        clock=net.clock, connection_speed_kbps=50)
+    demux.seek(4_500_000_000)
+    frag = next(demux.fragments())
+    assert "Fragments(video=40000000)" in frag["uri"]
+    assert frag["pts"] == 4_000_000_000
+
+
+def test_download_error_propagates():
+    def failing_fetch(uri, byte_range=None):
+        raise IOError(f"404 {uri}")
+    files = {"http://x/one.m3u8":
+             b"#EXTM3U\n#EXTINF:2,\nhttp://x/s0.ts\n#EXT-X-ENDLIST\n"}
+    def fetch(uri, byte_range=None):
+        if uri.endswith(".m3u8"):
+            return files[uri]
+        raise IOError(f"404 {uri}")
+    demux = ad.open_hls(files["http://x/one.m3u8"].decode(),
+                        "http://x/one.m3u8", fetch)
+    with pytest.raises(IOError):
+        list(demux.fragments())
