@@ -213,7 +213,14 @@ class AdaptiveDemux:
                         and count >= max_fragments:
                     return
             if not progressed:
+                if self._advance_period():
+                    continue
                 return
+
+    def _advance_period(self) -> bool:
+        """Format hook: move to the next period (DASH) when every
+        stream reached EOS.  Default: no more periods."""
+        return False
 
 
 # ------------------------------------------------------------------ HLS
@@ -368,6 +375,9 @@ class DashStream(AdaptiveStream):
         self.name = f"dash-{adaptation_set.contentType or 'stream'}"
         period = client.current_period()
         self.period_duration_ms = period.duration_ms if period else -1
+        # fragments carry presentation time: period start + media time
+        self.period_start_ns = (period.start_ms if period else 0) \
+            * 1_000_000
 
     # -- segment enumeration ------------------------------------------
 
@@ -471,7 +481,8 @@ class DashStream(AdaptiveStream):
         if self.segment_index >= len(segments):
             return None
         uri, pts, dur = segments[self.segment_index]
-        return FragmentInfo(uri=self.base_uri + uri, pts=pts,
+        return FragmentInfo(uri=self.base_uri + uri,
+                            pts=self.period_start_ns + pts,
                             duration=dur)
 
     def advance(self) -> bool:
@@ -499,16 +510,39 @@ class DashStream(AdaptiveStream):
 
 # ---------------------------------------------------------------- fronts
 
+class DashAdaptiveDemux(AdaptiveDemux):
+    """AdaptiveDemux with DASH period switching: when every stream of
+    the current period reaches EOS, advance to the next period and
+    rebuild the streams (gstdashdemux period-switch path)."""
+
+    def __init__(self, client: dashmpd.MpdClient, fetch: Fetch,
+                 base_uri: str = "", **kw):
+        super().__init__(fetch, **kw)
+        self.client = client
+        self.base_uri = base_uri
+        self._build_period_streams()
+
+    def _build_period_streams(self) -> None:
+        self.streams = []
+        period = self.client.current_period()
+        for aset in period.period.AdaptationSets:
+            self.add_stream(DashStream(self.client, aset,
+                                       self.base_uri))
+
+    def _advance_period(self) -> bool:
+        if not self.client.has_next_period():
+            return False
+        self.client.set_period_index(self.client.period_idx + 1)
+        self._build_period_streams()
+        return True
+
+
 def open_dash(mpd_xml: str, fetch: Fetch, base_uri: str = "",
               **kw) -> AdaptiveDemux:
     client = dashmpd.MpdClient(mpd_xml)
     if not client.setup_media_presentation():
         raise AdaptiveError("could not set up media presentation")
-    demux = AdaptiveDemux(fetch, **kw)
-    period = client.current_period()
-    for aset in period.period.AdaptationSets:
-        demux.add_stream(DashStream(client, aset, base_uri))
-    return demux
+    return DashAdaptiveDemux(client, fetch, base_uri, **kw)
 
 
 def open_hls(master_data: str, uri: str, fetch: Fetch,

@@ -361,3 +361,43 @@ def test_download_error_propagates():
                         "http://x/one.m3u8", fetch)
     with pytest.raises(IOError):
         list(demux.fragments())
+
+
+MPD_TWO_PERIODS = """<?xml version="1.0"?>
+<MPD xmlns="urn:mpeg:dash:schema:mpd:2011" type="static"
+     mediaPresentationDuration="PT8S">
+  <Period duration="PT4S">
+    <AdaptationSet contentType="video" mimeType="video/mp4">
+      <SegmentTemplate media="p1/$Number$.m4s" duration="2"
+          timescale="1" startNumber="1"/>
+      <Representation id="r" bandwidth="100"/>
+    </AdaptationSet>
+  </Period>
+  <Period>
+    <AdaptationSet contentType="video" mimeType="video/mp4">
+      <SegmentTemplate media="p2/$Number$.m4s" duration="2"
+          timescale="1" startNumber="1"/>
+      <Representation id="r" bandwidth="100"/>
+    </AdaptationSet>
+  </Period>
+</MPD>
+"""
+
+
+def test_dash_multi_period():
+    """Period switching: after the first period drains, streams are
+    rebuilt for the next period and pts carries the period start."""
+    files = {f"http://d/p{p}/{n}.m4s": b"x" * 50
+             for p in (1, 2) for n in (1, 2)}
+    net = FakeNet(files)
+    demux = ad.open_dash(MPD_TWO_PERIODS, net.fetch,
+                         base_uri="http://d/", clock=net.clock)
+    frags = list(demux.fragments())
+    assert [f["uri"] for f in frags] == [
+        "http://d/p1/1.m4s", "http://d/p1/2.m4s",
+        "http://d/p2/1.m4s", "http://d/p2/2.m4s"]
+    # second period fragments are offset by the 4 s period start
+    assert [f["pts"] for f in frags] == [
+        0, 2_000_000_000, 4_000_000_000, 6_000_000_000]
+    # the new period re-announces caps
+    assert "caps" in frags[2]
