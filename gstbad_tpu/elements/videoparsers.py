@@ -570,12 +570,15 @@ class Av1Parse(Element):
     obu-stream and annex-b formats at obu / frame / tu alignment.
 
     Frame completion follows gstav1parse.c:1167-1199: an OBU_FRAME
-    always completes (it carries all its tile groups), a FRAME_HEADER
-    completes when show_existing_frame is set (first payload bit);
-    leading TD/sequence/metadata/padding OBUs attach to the frame they
-    precede.  Standalone TILE_GROUP completion would need the full
-    frame-header tile-info parse; such streams flush at the next
-    temporal delimiter instead (documented divergence).
+    always completes (its embedded tile group must cover the frame,
+    5.10.1), a FRAME_HEADER completes when show_existing_frame is set,
+    and a standalone TILE_GROUP completes when tg_end == num_tiles - 1
+    — via the full uncompressed-header/tile_info parse
+    (io/av1obu.parse_frame_header) with the reference frame store
+    carried across frames.  When the header parse fails (damaged
+    stream), the element degrades to the round-2 heuristics:
+    FRAME/show-existing-bit completion, tile groups flushed at the
+    next temporal delimiter.
     """
 
     NAME = "av1parse"
@@ -592,6 +595,8 @@ class Av1Parse(Element):
         self._buf = b""
         self._pending: List[av1.Obu] = []   # obus of the open frame
         self._tu_frames: List[List[av1.Obu]] = []
+        self._pstate = av1.ParserState()
+        self._seq_raw: Optional[bytes] = None
 
     def set_caps(self, stream_format: str = "obu-stream") -> None:
         self.in_format = stream_format
@@ -662,6 +667,9 @@ class Av1Parse(Element):
         out: List[Dict] = []
         if obu.obu_type == av1.OBU_SEQUENCE_HEADER:
             self.seq = av1.parse_sequence_header(obu.payload)
+            if self._seq_raw is not None and self._seq_raw != obu.payload:
+                self._pstate.sequence_changed = True
+            self._seq_raw = obu.payload
             self._update_caps()
         if self.out_alignment == "obu":
             # every obu is its own buffer, TDs included (the upstream
@@ -676,12 +684,7 @@ class Av1Parse(Element):
             if self._tu_frames:
                 out += self._emit_tu(pts_ns)
         self._pending.append(obu)
-        complete = False
-        if obu.obu_type == av1.OBU_FRAME:
-            complete = True
-        elif obu.obu_type == av1.OBU_FRAME_HEADER and obu.payload \
-                and obu.payload[0] & 0x80:
-            complete = True  # show_existing_frame
+        complete = self._frame_complete(obu)
         if complete:
             self._tu_frames.append(self._pending)
             self._pending = []
@@ -689,6 +692,41 @@ class Av1Parse(Element):
                 out += [self._mk(f, pts_ns) for f in self._tu_frames]
                 self._tu_frames = []
         return out
+
+    def _frame_complete(self, obu: av1.Obu) -> bool:
+        """gstav1parse.c:1167-1199 over the full header parse, with
+        the round-2 heuristics as the damaged-stream fallback."""
+        st = self._pstate
+        if obu.obu_type in (av1.OBU_FRAME, av1.OBU_FRAME_HEADER,
+                            av1.OBU_REDUNDANT_FRAME_HEADER):
+            fh = None
+            if self.seq is not None:
+                try:
+                    fh = av1.parse_frame_header(obu, self.seq, st)
+                except (ValueError, IndexError):
+                    fh = None
+            if fh is None:  # degraded path
+                return obu.obu_type == av1.OBU_FRAME or (
+                    obu.obu_type == av1.OBU_FRAME_HEADER
+                    and bool(obu.payload) and bool(obu.payload[0] & 0x80))
+            if not fh.show_existing_frame or fh.frame_type == av1.FRAME_KEY:
+                try:
+                    av1.reference_frame_update(st, fh)
+                except ValueError:
+                    pass
+            if obu.obu_type == av1.OBU_FRAME:
+                # the embedded tile group must cover the whole frame
+                # (5.10.1: tile_start_and_end_present_flag == 0)
+                st.seen_frame_header = False
+                return True
+            return fh.show_existing_frame
+        if obu.obu_type == av1.OBU_TILE_GROUP:
+            try:
+                tg = av1.parse_tile_group(obu.payload, st)
+            except (ValueError, IndexError):
+                return False  # degraded: flush at the next TD
+            return tg.tg_end == tg.num_tiles - 1
+        return False
 
     def _emit_tu(self, pts_ns: int) -> List[Dict]:
         frames, self._tu_frames = self._tu_frames, []

@@ -73,7 +73,17 @@ class _EncCfgPrefix(Structure):
                 ("fwd_kf_enabled", c_int),
                 ("kf_mode", c_int),
                 ("kf_min_dist", c_uint),
-                ("kf_max_dist", c_uint)]
+                ("kf_max_dist", c_uint),
+                ("sframe_dist", c_uint),
+                ("sframe_mode", c_uint),
+                ("large_scale_tile", c_uint),
+                ("monochrome", c_uint),
+                ("full_still_picture_hdr", c_uint),
+                ("save_as_annexb", c_uint),
+                ("tile_width_count", c_int),
+                ("tile_height_count", c_int),
+                ("tile_widths", c_int * 64),
+                ("tile_heights", c_int * 64)]
 
 
 class _ImagePrefix(Structure):
