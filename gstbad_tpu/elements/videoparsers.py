@@ -699,8 +699,17 @@ class Av1Parse(Element):
         st = self._pstate
         if obu.obu_type in (av1.OBU_FRAME, av1.OBU_FRAME_HEADER,
                             av1.OBU_REDUNDANT_FRAME_HEADER):
+            # OBU-ordering guards (gstav1parser.c:4591-4600,4637): a
+            # FRAME/FRAME_HEADER while seen_frame_header is set, or a
+            # REDUNDANT_FRAME_HEADER with it clear, is a bitstream error
+            # upstream — do NOT re-parse (it would overwrite the open
+            # frame's tile layout and re-apply reference_frame_update);
+            # fall to the degraded heuristics instead.
+            ordering_ok = (
+                (obu.obu_type == av1.OBU_REDUNDANT_FRAME_HEADER)
+                == st.seen_frame_header)
             fh = None
-            if self.seq is not None:
+            if self.seq is not None and ordering_ok:
                 try:
                     fh = av1.parse_frame_header(obu, self.seq, st)
                 except (ValueError, IndexError):

@@ -210,7 +210,15 @@ class AV1Encoder:
         # start AND the far end of the transcribed prefix
         if (cfg.g_w, cfg.g_h) != (320, 240) or cfg.g_bit_depth != 8 \
                 or cfg.rc_max_quantizer != 63 \
-                or cfg.kf_max_dist != 9999:
+                or cfg.kf_max_dist != 9999 \
+                or cfg.sframe_dist != 0 \
+                or cfg.sframe_mode not in (1, 2) \
+                or cfg.tile_width_count != 0 \
+                or cfg.tile_height_count != 0:
+            # The tail checks (sframe_*/tile_*_count) guard the ten fields
+            # appended after kf_max_dist: an aom ABI that inserts or
+            # reorders fields there would otherwise silently write
+            # tile_widths/heights at wrong offsets.
             raise RuntimeError("aom_codec_enc_cfg layout mismatch")
         cfg.g_w = width
         cfg.g_h = height

@@ -742,6 +742,12 @@ def parse_frame_header(obu: Obu, seq: SequenceHeader,
             fh.frame_type = ref.frame_type
             if fh.frame_type == FRAME_KEY:
                 fh.refresh_frame_flags = all_frames
+            # Reproduced reference quirk (gstav1parser.c show_existing
+            # path: memset + goto success): current_frame_id and
+            # order_hint are NOT copied from the shown ref slot and stay
+            # 0, so reference_frame_update after a show-existing KEY
+            # frame stamps frame_id=0/order_hint=0 into all 8 slots —
+            # diverging from spec 7.21 load semantics, faithfully.
             fh.frame_width = ref.frame_width
             fh.frame_height = ref.frame_height
             fh.upscaled_width = ref.upscaled_width
