@@ -123,6 +123,66 @@ def picture_type(data: bytes) -> int:
     return (v >> 3) & 0x7
 
 
+# ---------------------------------------------- decoder-layer parses
+# (gstmpegvideoparser.c parse_picture_header / parse_picture_extension
+#  / parse_gop — the fields gstmpeg2decoder.c consumes)
+
+PICTURE_STRUCTURE_TOP = 1
+PICTURE_STRUCTURE_BOTTOM = 2
+PICTURE_STRUCTURE_FRAME = 3
+
+
+@dataclass
+class PictureHdr:
+    tsn: int = 0          # temporal_sequence_number
+    pic_type: int = 0     # PICTURE_I/P/B
+
+
+def parse_picture_header(data: bytes) -> PictureHdr:
+    """Payload after 00 00 01 00."""
+    v = int.from_bytes(data[:2], "big")
+    return PictureHdr(tsn=v >> 6, pic_type=(v >> 3) & 0x7)
+
+
+@dataclass
+class PictureExt:
+    picture_structure: int = PICTURE_STRUCTURE_FRAME
+    top_field_first: int = 0
+    progressive_frame: int = 1
+
+
+def parse_picture_ext(data: bytes) -> PictureExt:
+    """0xB5 payload with extension id 8 (picture coding extension)."""
+    ext = PictureExt()
+    if (data[0] >> 4) != 8 or len(data) < 5:
+        return ext
+    # f_codes: 16 bits spanning data[0..2] low nibble + data[1] +
+    # data[2] high nibble; intra_dc_precision 2, picture_structure 2
+    ext.picture_structure = data[2] & 0x3
+    ext.top_field_first = (data[3] >> 7) & 1
+    ext.progressive_frame = (data[4] >> 7) & 1
+    return ext
+
+
+@dataclass
+class Gop:
+    closed_gop: int = 0
+    broken_link: int = 0
+    hour: int = 0
+    minute: int = 0
+    second: int = 0
+    frame: int = 0
+
+
+def parse_gop(data: bytes) -> Gop:
+    """Payload after 00 00 01 B8 (6.3.8 group_of_pictures_header)."""
+    v = int.from_bytes(data[:4], "big")
+    return Gop(
+        hour=(v >> 26) & 0x1F, minute=(v >> 20) & 0x3F,
+        second=(v >> 13) & 0x3F, frame=(v >> 7) & 0x3F,
+        closed_gop=(v >> 6) & 1, broken_link=(v >> 5) & 1)
+
+
 def parse_ga94_captions(data: bytes) -> Optional[bytes]:
     """ATSC A/53 user data -> raw cc triplets (cc_valid|cc_type byte +
     2 data bytes each), what GstVideoCaptionMeta CEA708_RAW holds."""
