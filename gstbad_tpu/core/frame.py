@@ -54,6 +54,13 @@ class FrameBatch:
     # chain can start without the u8<->i32 relayout round trip.  Any
     # with_data() drops it — it is only ever a view of the CURRENT data.
     word: Optional[Array] = None
+    # optional [1, H, W] i32 BROADCAST base of `word`: producers whose
+    # frame is static across the window (videotestsrc non-animated
+    # patterns) attach the single source frame so the fused chain kernel
+    # (ops/chainfuse.py) can read it once instead of reading a
+    # materialized [B, H, W] broadcast per frame.  Like `word`, any
+    # with_data() drops it.
+    word_base: Optional[Array] = None
     # optional [B, 2] int32 (head, tail) samples logically REMOVED from
     # audio blocks — the gst_audio_buffer_clip analog for static shapes.
     # Gating elements (avwait, audiosegmentclip) set it on boundary
@@ -92,7 +99,8 @@ class FrameBatch:
                     == getattr(self.data, "shape", None))
             if not same:
                 trim = None
-        return dataclasses.replace(self, data=data, word=None, trim=trim)
+        return dataclasses.replace(self, data=data, word=None,
+                                   word_base=None, trim=trim)
 
     def replace(self, **kw) -> "FrameBatch":
         return dataclasses.replace(self, **kw)

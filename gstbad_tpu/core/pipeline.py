@@ -301,7 +301,11 @@ class Pipeline:
                                              chain.src_batch)
                         if tail is not None:
                             new_states[si], data = tail
-                            values[id(n)] = chain.src_batch.with_data(data)
+                            # a tail may return a full FrameBatch (to keep
+                            # a word twin attached for the sink)
+                            values[id(n)] = (
+                                data if isinstance(data, FrameBatch)
+                                else chain.src_batch.with_data(data))
                             continue
                         if try_absorb(chain, el, params[si]):
                             chain.members.append((si, el))
@@ -343,18 +347,30 @@ class Pipeline:
 
         if mesh is not None and out_shardings is None:
             # source-driven multi-chip: shard every leaf batch dp over
-            # frames, sp over rows (parallel/mesh.py placement)
+            # frames, sp over rows (parallel/mesh.py placement).  The
+            # sharding pytree is derived from the traced output shapes so
+            # optional FrameBatch fields (word/word_base/trim) get
+            # divisibility-checked specs instead of a static mismatch.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            data_s = NamedSharding(mesh, P("dp", "sp"))
-            meta_s = NamedSharding(mesh, P("dp"))
-            batch_s = FrameBatch(data=data_s, pts=meta_s, flags=meta_s,
-                                 valid=meta_s)
+            dp_n = mesh.shape.get("dp", 1)
+            sp_n = mesh.shape.get("sp", 1)
+            states0 = self._states or [n.element.init_state(window)
+                                       for n in order]
+            out_abs = jax.eval_shape(
+                step, [n.element.dynamic_params() for n in order],
+                states0, None)
+
+            def _sh(x):
+                if getattr(x, "ndim", 0) == 0:
+                    return NamedSharding(mesh, P())
+                spec = ["dp" if x.shape[0] % dp_n == 0 else None]
+                if x.ndim >= 2:
+                    spec.append("sp" if x.shape[1] % sp_n == 0 else None)
+                return NamedSharding(mesh, P(*spec))
+
             out_shardings = (
-                None,
-                [batch_s for _ in range(len(leaves) + len(extra_nodes)
-                                        + len(tap_extra))],
-                None)
+                None, jax.tree_util.tree_map(_sh, out_abs[1]), None)
         if jit:
             donate = (1,) if donate_state else ()
             step = jax.jit(step, donate_argnums=donate,
@@ -455,6 +471,18 @@ class Pipeline:
             def compacted(oi: int) -> List[FrameBatch]:
                 if oi not in np_batches:
                     np_batch = leaf_batches[oi].to_numpy()
+                    # a word-keeping sink (fakesink over a packed twin)
+                    # returns the i32 word view; restore the byte view
+                    # host-side (free bitcast — identical memory bytes)
+                    d = np_batch.data
+                    if (np_batch.word is not None
+                            and not isinstance(d, dict)
+                            and d.dtype == np.int32 and d.ndim == 3
+                            and d.shape == np_batch.word.shape):
+                        np_batch = np_batch.replace(
+                            data=np.ascontiguousarray(d).view(np.uint8)
+                            .reshape(d.shape + (4,)), word=None,
+                            word_base=None)
                     mask = np.asarray(np_batch.valid)
                     if not mask.all():
                         if not mask.any():

@@ -67,6 +67,10 @@ class TableChain:
     def __init__(self, src_batch: FrameBatch, src_word: jnp.ndarray):
         self.src_batch = src_batch
         self.src_word = src_word          # [B, H, W] int32 packed pixels
+        # [1, H, W] broadcast base of src_word when the producer attached
+        # one (FrameBatch.word_base) — the fused chain kernel reads it
+        # instead of the materialized broadcast
+        self.src_word_base: Optional[jnp.ndarray] = None
         self.idx: Optional[jnp.ndarray] = None   # [B, H, W] int32 in [0,256)
         self.index_fn = None              # the head's word -> idx function
         self.bytes_: List[Tuple[str, Any]] = [(SRC, None)] * 4
@@ -235,5 +239,10 @@ def start_chain(batch: FrameBatch) -> Optional[TableChain]:
             or data.shape[-1] != 4 or data.dtype != jnp.uint8):
         return None
     if batch.word is not None and batch.word.shape == data.shape[:-1]:
-        return TableChain(batch, batch.word.astype(jnp.int32))
+        chain = TableChain(batch, batch.word.astype(jnp.int32))
+        wb = batch.word_base
+        if (wb is not None and wb.shape[0] == 1
+                and wb.shape[1:] == data.shape[1:-1]):
+            chain.src_word_base = wb.astype(jnp.int32)
+        return chain
     return TableChain(batch, pack32(data))

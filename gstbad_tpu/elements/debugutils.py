@@ -25,10 +25,21 @@ class Identity(Element):
 
 @register
 class FakeSink(Element):
+    """Terminal sink (drops buffers, like GStreamer's fakesink).
+
+    When the batch carries a packed-u32 word twin (FrameBatch.word — a
+    byte-identical view of 4-byte packed video), the sink keeps the WORD
+    as its retained data: nothing downstream consumes the bytes, so XLA
+    can drop the i32->u8 relayout pass entirely.  Pipeline.run restores
+    the u8 view host-side (a free numpy bitcast), so run() callers always
+    observe ordinary uint8 frames."""
+
     NAME = "fakesink"
     KIND = "sink"
 
     def process(self, params, state, batch: FrameBatch):
+        if batch.word is not None and not isinstance(batch.data, dict):
+            return state, batch.replace(data=batch.word)
         return state, batch
 
 

@@ -194,6 +194,7 @@ class VideoTestSrc(Element):
             return jnp.broadcast_to(bg, (window,) + bg.shape)
 
         word = None  # packed-u32 twin attached for 4-byte packed formats
+        word_base = None  # [1, H, W] base when the twin is a broadcast
         if pattern == "ball":
             # moving bright ball on the static background luma
             t = n.astype(jnp.float64)
@@ -232,6 +233,7 @@ class VideoTestSrc(Element):
                     data = data.at[..., 0].set(255)
         elif self._bg_word is not None:
             word = jnp.broadcast_to(self._bg_word, (window, h, w))
+            word_base = self._bg_word[None]  # [1, H, W] broadcast base
             data = jax.lax.bitcast_convert_type(
                 word[..., None], jnp.uint8).reshape(window, h, w, 4)
         else:
@@ -241,7 +243,7 @@ class VideoTestSrc(Element):
         pts = n * dur
         batch = FrameBatch.make(data, pts=pts)
         if word is not None:
-            batch = batch.replace(word=word)
+            batch = batch.replace(word=word, word_base=word_base)
         return state + window, batch
 
     def _apply_luma_overlay(self, data, mask):

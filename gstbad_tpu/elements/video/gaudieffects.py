@@ -212,12 +212,37 @@ class GaussianBlur(VideoFilter):
             return
         kern, rows, cols = blur_ops.make_blur_tables(
             sigma, self.in_spec.height, self.in_spec.width)
+        self._np_tables = (kern, rows, cols)  # host f32 (Pallas path)
         self._tables = (jnp.asarray(kern), jnp.asarray(rows),
                         jnp.asarray(cols))
 
     def process(self, params, state, batch: FrameBatch):
         if self._tables is None:
             return state, batch
+        import jax
+        from gstbad_tpu.ops import blur_pallas
+        from gstbad_tpu.ops.pointops import pack32, unpack32
+        kern_np, rows_np, cols_np = self._np_tables
+        h, w = self.in_spec.height, self.in_spec.width
+        if ((jax.default_backend() == "tpu" or blur_pallas.INTERPRET)
+                and kern_np.shape[0] // 2 <= blur_pallas._HALO
+                and h % 8 == 0 and w % 128 == 0):
+            # one-pass Pallas kernel over the packed word plane; a
+            # producer word twin skips the u8->i32 relayout and a static
+            # broadcast base is read once per row sweep
+            b = batch.batch
+            if (batch.word_base is not None
+                    and batch.word_base.shape == (1, h, w)):
+                src = batch.word_base.astype(jnp.int32)
+            elif (batch.word is not None
+                    and batch.word.shape == (b, h, w)):
+                src = batch.word.astype(jnp.int32)
+            else:
+                src = pack32(batch.data)
+            out = blur_pallas.gaussian_blur_words(
+                src, kern_np, rows_np, cols_np, batch=b,
+                interpret=blur_pallas.INTERPRET)
+            return state, batch.with_data(unpack32(out)).replace(word=out)
         kern, rows, cols = self._tables
         return state, batch.with_data(
             blur_ops.gaussian_blur(batch.data, kern, rows, cols))

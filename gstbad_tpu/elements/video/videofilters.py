@@ -75,7 +75,7 @@ class ZebraStripe(_LumaFilter):
             return None
         thr = (16 + jnp.floor(0.5 + 2.19 * params["threshold"]
                               .astype(jnp.float64))).astype(jnp.int32)
-        b = chain.src_word.shape[0]
+        b = chain.src_batch.batch
         h, w = chain.src_word.shape[-2:]
         tph = state + jnp.arange(b, dtype=jnp.int32)
 
@@ -84,24 +84,30 @@ class ZebraStripe(_LumaFilter):
         # (ops/chainfuse.py) when tables are per-run and shapes tile
         import jax
         from gstbad_tpu.core import tablefuse
+        from gstbad_tpu.ops import chainfuse
         ps = chain.pending_stencil
         if (ps is not None and ps[3] == "dilate3"
                 and chain.index_fn is not None
-                and jax.default_backend() == "tpu"
+                and (jax.default_backend() == "tpu" or chainfuse.INTERPRET)
                 and h % 8 == 0 and w % 128 == 0
                 and ps[0].ndim == 1 and thr.ndim <= 1
                 and all((k == tablefuse.IDX and t.ndim == 1)
                         or (k == tablefuse.CONST
                             and jnp.asarray(t).ndim == 0)
                         for k, t in chain.bytes_)):
-            from gstbad_tpu.ops import chainfuse
             key_t, _move, sparams, _tag = ps
             chain.pending_stencil = None
+            src = (chain.src_word_base if chain.src_word_base is not None
+                   else chain.src_word)
             out = chainfuse.dilate_zebra_fused(
-                chain.src_word, chain.rank_table(key_t),
+                src, chain.rank_table(key_t),
                 chain.word_table(), chain.index_fn,
-                sparams["erode"], thr, tph)
-            return state + b, pointops.unpack32(out)
+                sparams["erode"], thr, tph,
+                interpret=chainfuse.INTERPRET, batch=b)
+            # attach the output word twin: a sink that keeps the word view
+            # (fakesink) lets XLA drop the i32->u8 relayout entirely
+            return state + b, chain.src_batch.with_data(
+                pointops.unpack32(out)).replace(word=out)
 
         thr = pointops._per_frame(thr, 3)
         i = jnp.arange(w, dtype=jnp.int32)[None, :]

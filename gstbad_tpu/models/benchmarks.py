@@ -66,13 +66,15 @@ def config2_blur(width=1920, height=1080) -> Pipeline:
 
 
 def config3_audio() -> Pipeline:
-    """audiomixmatrix -> freeverb, 48 kHz 8-channel in (BASELINE config 3)."""
+    """audiomixmatrix -> freeverb -> removesilence, 48 kHz 8-channel in
+    (BASELINE config 3 — the full three-element chain incl. the VAD scan)."""
     matrix = "<" + ",".join(
         "<" + ",".join("1.0" if i == o else "0.125" for i in range(8)) + ">"
         for o in range(2)) + ">"
     return parse_launch(
         "audiotestsrc wave=sine channels=8 format=F32 samplesperbuffer=4800 "
-        f"! audiomixmatrix matrix='{matrix}' ! freeverb ! fakesink")
+        f"! audiomixmatrix matrix='{matrix}' ! freeverb "
+        "! audioconvert format=S16 channels=1 ! removesilence ! fakesink")
 
 
 def config4_warp(width=3840, height=2160) -> Pipeline:

@@ -43,6 +43,17 @@ from gstbad_tpu.ops.lut import _dnums
 
 _ZEBRA_KEEP = np.int32(np.uint32(0xFFFF00FF))  # clear the AYUV Y byte
 
+# When True, dilate_zebra_fused callers (zebrastripe's table_tail) take the
+# fused-kernel path even off-TPU, running the kernel in Pallas interpret
+# mode — the multichip dryrun uses this to certify the REAL fused program
+# on a CPU mesh.
+INTERPRET = False
+
+# Trace-time counter: how many times dilate_zebra_fused was actually
+# traced.  Tests and the multichip dryrun assert on it to prove the fused
+# fast path really ran (instead of silently falling back to XLA).
+TRACES = 0
+
 
 def _gather256(table_ref, x, scratch):
     """table[x] for a [2, 128] split 256-entry table over a [BR, W] block,
@@ -65,9 +76,17 @@ def _gather256(table_ref, x, scratch):
 
 
 def _kernel(scal_ref, src_ref, nxt_ref, rkt_ref, wdt_ref, out_ref,
-            s_rank, s_nxt, *, br, w, h, index_fn):
-    bi = pl.program_id(0)
-    rb = pl.program_id(1)
+            s_rank, s_nxt, *, br, w, h, index_fn, bcast):
+    if bcast:
+        # broadcast-source grid order (rows outer, batch inner): the src
+        # block index is then CONSTANT along the innermost dim, so the
+        # pipeline fetches each source block ONCE per row sweep instead of
+        # once per frame
+        rb = pl.program_id(0)
+        bi = pl.program_id(1)
+    else:
+        bi = pl.program_id(0)
+        rb = pl.program_id(1)
     erode = scal_ref[0, bi]
     thr = scal_ref[1, bi]
     phase = scal_ref[2, bi]
@@ -131,14 +150,26 @@ def block_rows(h: int, cap: int = 128) -> int:
 
 def dilate_zebra_fused(src_word: jnp.ndarray, rank_table: jnp.ndarray,
                        word_table: jnp.ndarray, index_fn, erode, thr,
-                       phase, interpret: bool = False) -> jnp.ndarray:
+                       phase, interpret: bool = False,
+                       batch: int | None = None) -> jnp.ndarray:
     """[B, H, W] i32 source words -> final AYUV words, one kernel.
 
     rank_table/word_table: [256] int32.  erode/thr/phase: per-frame [B]
     int32.  index_fn: pure word -> index-in-[0,256) function traced into
     the kernel body.
+
+    src_word may be a BROADCAST twin of shape [1, H, W] with batch=B (the
+    videotestsrc static-pattern path): the kernel then reads the single
+    source frame and writes B output frames.  The grid is reordered (rows
+    outer, batch inner) so the source block index is constant along the
+    innermost grid dim — the Mosaic pipeline fetches each source block
+    once per row sweep, cutting per-frame HBM reads to ~1/B.
     """
-    b, h, w = src_word.shape
+    global TRACES
+    TRACES += 1
+    sb, h, w = src_word.shape
+    b = sb if batch is None else batch
+    bcast = sb == 1 and b > 1
     br = block_rows(h)
     assert br and w % 128 == 0
     sub = br // 8       # 8-row subtiles per block
@@ -150,30 +181,54 @@ def dilate_zebra_fused(src_word: jnp.ndarray, rank_table: jnp.ndarray,
     ])
     zero = np.int32(0)
 
-    def nxt_index(bi, r, s):
-        # first 8-row subtile of the NEXT block, clamped to the frame end
-        # (the clamped tile's first row is then masked off in-kernel)
-        return (bi, jnp.minimum((r + 1) * sub, nsub - 1), zero)
+    if bcast:
+        grid = (h // br, b)
+
+        def src_index(r, bi, s):
+            return (zero, r, zero)
+
+        def nxt_index(r, bi, s):
+            return (zero, jnp.minimum((r + 1) * sub, nsub - 1), zero)
+
+        def tbl_index(r, bi, s):
+            return (zero, zero)
+
+        def out_index(r, bi, s):
+            return (bi, r, zero)
+    else:
+        grid = (b, h // br)
+
+        def src_index(bi, r, s):
+            return (bi, r, zero)
+
+        def nxt_index(bi, r, s):
+            # first 8-row subtile of the NEXT block, clamped to the frame
+            # end (the clamped tile's first row is then masked in-kernel)
+            return (bi, jnp.minimum((r + 1) * sub, nsub - 1), zero)
+
+        def tbl_index(bi, r, s):
+            return (zero, zero)
+
+        def out_index(bi, r, s):
+            return (bi, r, zero)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, h // br),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, br, w), lambda bi, r, s: (bi, r, zero),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, br, w), src_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, w), nxt_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 128), lambda bi, r, s: (zero, zero),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 128), lambda bi, r, s: (zero, zero),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), tbl_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), tbl_index, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, br, w), lambda bi, r, s: (bi, r, zero),
+        out_specs=pl.BlockSpec((1, br, w), out_index,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((br, w), jnp.int32),
                         pltpu.VMEM((8, w), jnp.int32)],
     )
     return pl.pallas_call(
-        functools.partial(_kernel, br=br, w=w, h=h, index_fn=index_fn),
+        functools.partial(_kernel, br=br, w=w, h=h, index_fn=index_fn,
+                          bcast=bcast),
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,

@@ -997,3 +997,40 @@ def test_chromaprint_library_acoustid_compatible():
     fp_n = h2.bus.pop(element="chromaprint")[0][
         "chromaprint-fingerprint"]
     assert fp_n and fp_n != got
+
+
+def test_audioconvert_f32_to_s16_mono(rng):
+    """audioconvert (the gst-base dependency config 3 needs): F32 stereo
+    -> S16 mono = equal-average downmix, scale 2^15, round half away,
+    clamp."""
+    x = ((rng.random((2, 64, 2)) - 0.5) * 2.2).astype(np.float32)
+    h = Harness("audioconvert", format="S16", channels=1)
+    h.set_src_spec(_spec(AudioFormat.F32, 2))
+    got = h.push_pull(x)
+    mono = x.astype(np.float64).mean(axis=-1, keepdims=True)
+    want = np.clip(np.round(mono * 32768.0), -32768, 32767).astype(np.int16)
+    np.testing.assert_array_equal(got, want)
+    assert got.dtype == np.int16
+
+
+def test_audioconvert_s16_roundtrip(rng):
+    """S16 -> F32 -> S16 is lossless (scale by exactly 2^15)."""
+    x = rng.integers(-32768, 32768, (1, 128, 2), dtype=np.int16)
+    h1 = Harness("audioconvert", format="F32")
+    h1.set_src_spec(_spec(AudioFormat.S16, 2))
+    f = h1.push_pull(x)
+    assert f.dtype == np.float32
+    h2 = Harness("audioconvert", format="S16")
+    h2.set_src_spec(_spec(AudioFormat.F32, 2))
+    back = h2.push_pull(f)
+    np.testing.assert_array_equal(back, x)
+
+
+def test_audioconvert_mix_matrix_override(rng):
+    x = (rng.random((1, 32, 4)) - 0.5).astype(np.float32)
+    h = Harness("audioconvert", **{"mix-matrix": MATRIX_4_2})
+    h.set_src_spec(_spec(AudioFormat.F32, 4))
+    got = h.push_pull(x)
+    want = np.einsum("bsc,oc->bso", x.astype(np.float64),
+                     NP_MATRIX_4_2).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=1e-7)

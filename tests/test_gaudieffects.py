@@ -87,3 +87,48 @@ def test_burn_batch_matches_per_frame(rng):
     got = h.push_pull(imgs)
     for i in range(3):
         np.testing.assert_array_equal(got[i], golden.burn(imgs[i]))
+
+
+@pytest.mark.parametrize("sigma", [1.2, 0.5, 3.0, -2.0])
+def test_gaussianblur_pallas_kernel(rng, sigma):
+    """The one-pass Pallas blur kernel (ops/blur_pallas.py) in interpret
+    mode is bit-exact vs the golden C transcription on tile-aligned
+    shapes, including the broadcast-source grid."""
+    import jax.numpy as jnp
+    from gstbad_tpu.ops import blur as blur_ops
+    from gstbad_tpu.ops import blur_pallas
+    from gstbad_tpu.ops.pointops import pack32, unpack32
+
+    b, h, w = 2, 32, 128
+    img = rng.integers(0, 256, (b, h, w, 4), dtype=np.uint8)
+    kern, rows, cols = blur_ops.make_blur_tables(sigma, h, w)
+    out = blur_pallas.gaussian_blur_words(
+        pack32(jnp.asarray(img)), kern, rows, cols, interpret=True)
+    got = np.asarray(unpack32(out))
+    want = np.stack([golden.gaussianblur(f, sigma) for f in img])
+    np.testing.assert_array_equal(got, want)
+
+    # [1, H, W] broadcast base + batch=B == the materialized broadcast
+    src1 = pack32(jnp.asarray(img[:1]))
+    a = np.asarray(blur_pallas.gaussian_blur_words(
+        src1, kern, rows, cols, batch=3, interpret=True))
+    bb = np.asarray(blur_pallas.gaussian_blur_words(
+        jnp.broadcast_to(src1, (3, h, w)), kern, rows, cols,
+        interpret=True))
+    np.testing.assert_array_equal(a, bb)
+
+
+def test_gaussianblur_element_pallas_path(rng):
+    """The element's Pallas fast path (forced via blur_pallas.INTERPRET)
+    matches its XLA path on aligned AYUV frames."""
+    from gstbad_tpu.ops import blur_pallas
+
+    img = rng.integers(0, 256, (32, 128, 4), dtype=np.uint8)
+    blur_pallas.INTERPRET = True
+    try:
+        got = _run("gaussianblur", img, fmt=VideoFormat.AYUV, sigma=1.2)
+    finally:
+        blur_pallas.INTERPRET = False
+    want = _run("gaussianblur", img, fmt=VideoFormat.AYUV, sigma=1.2)
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 1, f"max diff {diff.max()}"

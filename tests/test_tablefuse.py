@@ -234,3 +234,55 @@ def test_chromahold_achromatic_target_in_chain(img):
     a = _run(chain, img, fuse=True)
     b = _run(chain, img, fuse=False)
     np.testing.assert_array_equal(a, b)
+
+
+def test_dilate_zebra_fused_broadcast_source(rng):
+    """A [1, H, W] broadcast base + batch=B (the videotestsrc static
+    pattern path) must equal the materialized [B, H, W] run."""
+    import jax.numpy as jnp
+    from gstbad_tpu.core.tablefuse import TableChain
+    from gstbad_tpu.ops import chainfuse, pointops
+
+    b, h, w = 4, 16, 256
+    src1 = jnp.asarray(rng.integers(-2**31, 2**31, (1, h, w),
+                                    dtype=np.int64).astype(np.int32))
+    word_t = jnp.asarray(rng.integers(-2**31, 2**31, 256, dtype=np.int64)
+                         .astype(np.int32))
+    key_t = jnp.asarray(rng.integers(0, 60000, 256, dtype=np.int64)
+                        .astype(np.int32))
+    phase = jnp.arange(b, dtype=jnp.int32) + 5
+
+    def index_fn(word):
+        return (pointops.byte_of(word, 1) + pointops.byte_of(word, 2)) >> 1
+
+    a = np.asarray(chainfuse.dilate_zebra_fused(
+        src1, TableChain.rank_table(key_t), word_t, index_fn,
+        jnp.bool_(False), jnp.int32(120), phase, interpret=True, batch=b))
+    bb = np.asarray(chainfuse.dilate_zebra_fused(
+        jnp.broadcast_to(src1, (b, h, w)), TableChain.rank_table(key_t),
+        word_t, index_fn, jnp.bool_(False), jnp.int32(120), phase,
+        interpret=True))
+    np.testing.assert_array_equal(a, bb)
+
+
+def test_fused_kernel_pipeline_word_sink():
+    """The REAL fused program (Pipeline.compile + the chainfuse Pallas
+    kernel in interpret mode + the word-keeping fakesink) is bit-exact vs
+    the unfused element-by-element run, and run() restores uint8 frames."""
+    from gstbad_tpu.ops import chainfuse
+
+    launch = ("videotestsrc pattern=bars width=256 height=32 format=BGRx ! "
+              + HEADLINE)
+    outs = {}
+    for mode in ("kernel", "unfused"):
+        chainfuse.INTERPRET = mode == "kernel"
+        try:
+            p = gt.parse_launch(launch)
+            p.negotiate()
+            p.compile(4, fuse_luts=mode == "kernel")
+            res = p.run(n_frames=8, window=4)
+        finally:
+            chainfuse.INTERPRET = False
+        outs[mode] = np.concatenate([np.asarray(b.data) for b in res])
+        assert outs[mode].dtype == np.uint8
+    np.testing.assert_array_equal(outs["kernel"], outs["unfused"])
