@@ -144,6 +144,14 @@ class TsDemuxElement(Element):
     def continuity_errors(self) -> int:
         return self._dmx.continuity_errors
 
+    @property
+    def si_sections(self):
+        """Typed PSI/SI sections seen so far (the tsdemux
+        section-message posting analog): io/mpegts_si.Section objects
+        with get_pat/get_pmt/get_cat/get_nit/get_sdt/get_bat/get_eit/
+        get_tdt/get_tot/get_atsc_* accessors."""
+        return list(self._dmx.si_sections)
+
     def process(self, params, state, batch):
         return state, batch
 

@@ -44,6 +44,11 @@ HEADER_LENGTH = 4
 PAYLOAD_LENGTH = PACKET_LENGTH - HEADER_LENGTH
 
 CLOCK_FREQ = 90000  # TSMUX_CLOCK_FREQ (27 MHz / 300)
+# fixed SI pids routed through section assembly (EN 300 468 table 2 +
+# ATSC A/65 base pid): CAT, NIT, SDT/BAT, EIT, TDT/TOT, ATSC base
+SI_PIDS = frozenset({0x0000, 0x0001, 0x0010, 0x0011, 0x0012, 0x0014,
+                     0x1FFB})
+
 DEFAULT_PAT_INTERVAL = CLOCK_FREQ // 10
 DEFAULT_PMT_INTERVAL = CLOCK_FREQ // 10
 DEFAULT_PCR_INTERVAL = CLOCK_FREQ // 25
@@ -196,6 +201,7 @@ class TsMux:
         self.pcr_stream: Optional[TsMuxStream] = None
         self._pat_cc = 0
         self._pmt_cc = 0
+        self._si_cc: Dict[int, int] = {}
         self._last_pat_ts = None
         self._last_pmt_ts = None
         self._last_pcr = None
@@ -263,6 +269,32 @@ class TsMux:
             raise TsError("PSI section does not fit one packet")
         pkt += b"\xFF" * (PACKET_LENGTH - len(pkt))
         return bytes(pkt)
+
+    def psi_packets(self, pid: int, section: bytes) -> List[bytes]:
+        """Packetize an arbitrary SI section (EIT/BAT/TOT/VCT/...) onto
+        `pid`, spanning multiple TS packets when the section exceeds one
+        payload (tsmux_section_write_packet's spanning walk).  Keeps a
+        per-pid continuity counter."""
+        cc = self._si_cc.get(pid, 0)
+        out = []
+        pos = 0
+        first = True
+        while pos < len(section) or first:
+            pkt = bytearray()
+            pkt.append(SYNC_BYTE)
+            pkt += struct.pack(">H", (0x4000 if first else 0) | pid)
+            pkt.append(0x10 | cc)
+            cc = (cc + 1) & 0x0F
+            if first:
+                pkt.append(0x00)  # pointer_field
+                first = False
+            room = PACKET_LENGTH - len(pkt)
+            pkt += section[pos:pos + room]
+            pos += room
+            pkt += b"\xFF" * (PACKET_LENGTH - len(pkt))
+            out.append(bytes(pkt))
+        self._si_cc[pid] = cc
+        return out
 
     def _maybe_psi(self, ts90k: int) -> List[bytes]:
         out = []
@@ -387,6 +419,9 @@ class TsDemux:
         self._psi_buf: Dict[int, bytearray] = {}
         self._pes: Dict[int, _PesState] = {}
         self.continuity_errors = 0
+        # typed PSI/SI sections in arrival order (the tsdemux
+        # section-message analog); io/mpegts_si.Section objects
+        self.si_sections: list = []
 
     def _sniff_size(self) -> None:
         """Detect 188 vs 192 (m2ts: sync at offset 4 with 192
@@ -473,7 +508,7 @@ class TsDemux:
             return []
         payload = pkt[pos:]
 
-        if pid == 0x0000 or pid in self.pmt_pids:
+        if pid == 0x0000 or pid in self.pmt_pids or pid in SI_PIDS:
             self._psi(pid, pusi, payload)
             return []
         if pid in self.streams:
@@ -499,8 +534,21 @@ class TsDemux:
             del buf[:length]
 
     def _section(self, pid: int, sec: bytes) -> None:
-        if crc32_mpeg(sec) != 0:
+        # long sections are CRC-checked and dropped when corrupt; short
+        # sections are not (the reference checks CRCs only behind the
+        # syntax indicator, gstmpegtssection.c:181-187 — TDT carries no
+        # CRC at all)
+        if (sec[1] & 0x80) and crc32_mpeg(sec) != 0:
             return  # bad CRC: drop (packetizer does the same)
+        # tsdemux section posting: wrap + collect every PSI/SI section
+        # (PAT/PMT/CAT/NIT/SDT/BAT/EIT/TDT/TOT/ATSC) as a typed Section
+        from gstbad_tpu.io import mpegts_si
+        try:
+            self.si_sections.append(mpegts_si.section_new(pid, sec))
+        except mpegts_si.SiError:
+            pass
+        if pid in SI_PIDS and pid != 0x0000:
+            return
         table_id = sec[0]
         body = sec[8:-4]
         if table_id == 0x00 and pid == 0x0000:

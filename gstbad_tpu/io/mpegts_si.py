@@ -28,13 +28,29 @@ from gstbad_tpu.io.mpegts import crc32_mpeg
 
 # table ids
 TABLE_ID_PAT = 0x00
+TABLE_ID_CAT = 0x01
 TABLE_ID_PMT = 0x02
 TABLE_ID_NIT_ACTUAL = 0x40
 TABLE_ID_NIT_OTHER = 0x41
 TABLE_ID_SDT_ACTUAL = 0x42
 TABLE_ID_SDT_OTHER = 0x46
+TABLE_ID_BAT = 0x4A
+TABLE_ID_EIT_PF_ACTUAL = 0x4E           # present/following, actual TS
+TABLE_ID_EIT_PF_OTHER = 0x4F
+TABLE_ID_EIT_SCHEDULE_ACTUAL = 0x50     # 0x50..0x5F
+TABLE_ID_EIT_SCHEDULE_OTHER = 0x60      # 0x60..0x6F
+TABLE_ID_TDT = 0x70
+TABLE_ID_TOT = 0x73
+TABLE_ID_ATSC_MGT = 0xC7
+TABLE_ID_ATSC_TVCT = 0xC8
+TABLE_ID_ATSC_CVCT = 0xC9
+TABLE_ID_ATSC_EIT = 0xCB
 TABLE_ID_ATSC_STT = 0xCD
 TABLE_ID_SCTE_SPLICE = 0xFC
+
+_EIT_TABLE_IDS = frozenset(
+    [TABLE_ID_EIT_PF_ACTUAL, TABLE_ID_EIT_PF_OTHER]
+    + list(range(0x50, 0x70)))
 
 # descriptor tags
 DESC_REGISTRATION = 0x05
@@ -180,6 +196,10 @@ class Section:
     section_number: int = 0
     last_section_number: int = 0
     data: bytes = b""
+    # TDT is the one section with no CRC at all (EN 300 468 §5.2.5; the
+    # reference only ever CRC-checks long sections and TDT is short,
+    # gstmpegtssection.c:181-187).  SCTE-35 and TOT are short WITH a CRC.
+    has_crc: bool = True
     _payload: object = None  # the typed table object, pre-packetize
 
     @property
@@ -210,6 +230,10 @@ class Section:
         if self.data:
             return self.data
         body = self._payload_bytes()
+        if not self.has_crc:
+            length = (3 if self.short_section else 8) + len(body)
+            self.data = self._header(length) + body
+            return self.data
         length = (3 if self.short_section else 8) + len(body) + 4
         head = self._header(length)
         crc_input = head + body
@@ -283,6 +307,79 @@ class Section:
         if not self.data or crc32_mpeg(self.data) != 0:
             return None
         return _parse_sit(self.data)
+
+    def get_cat(self):
+        """_parse_cat (gstmpegtssection.c:953-963): the body IS one
+        descriptor loop."""
+        if self.table_id != TABLE_ID_CAT:
+            return None
+        body = self._checked_body()
+        if body is None:
+            return None
+        return parse_descriptors(body)
+
+    def get_eit(self):
+        if self.table_id not in _EIT_TABLE_IDS:
+            return None
+        body = self._checked_body()
+        if body is None:
+            return None
+        return _parse_eit(self, body)
+
+    def get_bat(self):
+        if self.table_id != TABLE_ID_BAT:
+            return None
+        body = self._checked_body()
+        if body is None:
+            return None
+        return _parse_bat(self, body)
+
+    def get_tdt(self):
+        """Short section, no CRC: the reference parses straight at
+        data+3 (gst-dvb-section.c:1159-1162)."""
+        if self.table_id != TABLE_ID_TDT or not self.short_section:
+            return None
+        if not self.data:
+            self.packetize()
+        if len(self.data) < 8:
+            return None
+        return parse_utc_time(self.data, 3)
+
+    def get_tot(self):
+        """Short section WITH a trailing CRC; the reference never
+        checks it (short sections skip the CRC check,
+        gstmpegtssection.c:181-187) — reproduced."""
+        if self.table_id != TABLE_ID_TOT or not self.short_section:
+            return None
+        if not self.data:
+            self.packetize()
+        return _parse_tot(self.data)
+
+    def get_atsc_vct(self):
+        """TVCT or CVCT (gst-atsc-section.c:135-247)."""
+        if self.table_id not in (TABLE_ID_ATSC_TVCT,
+                                 TABLE_ID_ATSC_CVCT):
+            return None
+        body = self._checked_body()
+        if body is None:
+            return None
+        return _parse_atsc_vct(self, body)
+
+    def get_atsc_mgt(self):
+        if self.table_id != TABLE_ID_ATSC_MGT:
+            return None
+        body = self._checked_body()
+        if body is None:
+            return None
+        return _parse_atsc_mgt(body)
+
+    def get_atsc_eit(self):
+        if self.table_id != TABLE_ID_ATSC_EIT:
+            return None
+        body = self._checked_body()
+        if body is None:
+            return None
+        return _parse_atsc_eit(self, body)
 
 
 def section_new(pid: int, data: bytes) -> Section:
@@ -806,3 +903,716 @@ _PACKETIZERS = {
     Sdt: _pack_sdt,
     ScteSit: _pack_sit_body,
 }
+
+
+# ------------------------------------------------------- DVB UTC time
+
+@dataclasses.dataclass
+class DvbTime:
+    """_parse_utc_time (gst-dvb-section.c:110-152): 16-bit MJD + 3 BCD
+    time bytes.  hour == -1 mirrors the reference's 0xFFFFFF time
+    (date-only GstDateTime)."""
+    year: int = 0
+    month: int = 0
+    day: int = 0
+    hour: int = 0
+    minute: int = 0
+    second: int = 0
+
+
+def parse_utc_time(data: bytes, pos: int = 0) -> Optional[DvbTime]:
+    """EN 300 468 Annex C decode, float-for-float with the reference
+    (including the double literals and truncating guint casts)."""
+    if pos + 5 > len(data):
+        return None
+    mjd = struct.unpack_from(">H", data, pos)[0]
+    if mjd == 0xFFFF:
+        return None
+    year = int((mjd - 15078.2) / 365.25)
+    month = int((mjd - 14956.1 - int(year * 365.25)) / 30.6001)
+    day = mjd - 14956 - int(year * 365.25) - int(month * 30.6001)
+    if month in (14, 15):
+        year += 1
+        month = month - 1 - 12
+    else:
+        month -= 1
+    year += 1900
+    u0, u1, u2 = data[pos + 2], data[pos + 3], data[pos + 4]
+    hour = ((u0 & 0x30) >> 4) * 10 + (u0 & 0x0F)
+    minute = ((u1 & 0x70) >> 4) * 10 + (u1 & 0x0F)
+    second = ((u2 & 0x70) >> 4) * 10 + (u2 & 0x0F)
+    if hour < 24 and minute < 60 and second < 60:
+        return DvbTime(year, month, day, hour, minute, second)
+    if u0 == 0xFF and u1 == 0xFF and u2 == 0xFF:
+        return DvbTime(year, month, day, -1, -1, -1)
+    return None
+
+
+def pack_utc_time(t: DvbTime) -> bytes:
+    """EN 300 468 Annex C encode (the inverse conversion the spec
+    gives; round-trips through parse_utc_time bit-exactly)."""
+    leap = 1 if t.month in (1, 2) else 0
+    mjd = (14956 + t.day + int((t.year - 1900 - leap) * 365.25)
+           + int((t.month + 1 + leap * 12) * 30.6001))
+    if mjd > 0xFFFF:
+        raise SiError("date beyond the 16-bit MJD range (2038-04-22)")
+
+    def bcd(v: int) -> int:
+        return ((v // 10) << 4) | (v % 10)
+
+    if t.hour < 0:
+        return struct.pack(">H", mjd) + b"\xff\xff\xff"
+    return struct.pack(">H", mjd) + bytes(
+        [bcd(t.hour), bcd(t.minute), bcd(t.second)])
+
+
+# ------------------------------------------------------------------ EIT
+
+@dataclasses.dataclass
+class EitEvent:
+    """GstMpegtsEITEvent (gst-dvb-section.c:235-270)."""
+    event_id: int = 0
+    start_time: Optional[DvbTime] = None
+    duration: int = 0               # seconds
+    running_status: int = 0
+    free_CA_mode: bool = False
+    descriptors: List[Descriptor] = dataclasses.field(
+        default_factory=list)
+
+
+@dataclasses.dataclass
+class Eit:
+    """GstMpegtsEIT (gst-dvb-section.c:203-289); service_id rides as
+    the section's subtable_extension."""
+    service_id: int = 0
+    transport_stream_id: int = 0
+    original_network_id: int = 0
+    segment_last_section_number: int = 0
+    last_table_id: int = 0
+    actual_stream: bool = True
+    present_following: bool = True
+    events: List[EitEvent] = dataclasses.field(default_factory=list)
+
+
+def _parse_eit(section: Section, body: bytes) -> Optional[Eit]:
+    if len(body) < 6:
+        return None
+    eit = Eit()
+    eit.service_id = section.subtable_extension
+    eit.transport_stream_id, eit.original_network_id = \
+        struct.unpack_from(">HH", body, 0)
+    eit.segment_last_section_number = body[4]
+    eit.last_table_id = body[5]
+    tid = section.table_id
+    eit.actual_stream = (tid == TABLE_ID_EIT_PF_ACTUAL
+                         or 0x50 <= tid <= 0x5F)
+    eit.present_following = tid in (TABLE_ID_EIT_PF_ACTUAL,
+                                    TABLE_ID_EIT_PF_OTHER)
+    pos, end = 6, len(body)
+    while pos < end:
+        if end - pos < 12:   # 12 is the minimum entry size
+            return None
+        ev = EitEvent()
+        ev.event_id = struct.unpack_from(">H", body, pos)[0]
+        ev.start_time = parse_utc_time(body, pos + 2)
+        d0, d1, d2 = body[pos + 7], body[pos + 8], body[pos + 9]
+        ev.duration = ((((d0 & 0xF0) >> 4) * 10 + (d0 & 0x0F)) * 3600
+                       + (((d1 & 0xF0) >> 4) * 10 + (d1 & 0x0F)) * 60
+                       + ((d2 & 0xF0) >> 4) * 10 + (d2 & 0x0F))
+        pos += 10
+        ev.running_status = body[pos] >> 5
+        ev.free_CA_mode = bool((body[pos] >> 4) & 0x01)
+        dll = struct.unpack_from(">H", body, pos)[0] & 0x0FFF
+        pos += 2
+        descs = parse_descriptors(body[pos:pos + dll])
+        if descs is None:
+            return None
+        ev.descriptors = descs
+        pos += dll
+        eit.events.append(ev)
+    if pos != end:
+        return None
+    return eit
+
+
+def _pack_eit(eit: Eit) -> bytes:
+    out = bytearray()
+    out += struct.pack(">HH", eit.transport_stream_id,
+                       eit.original_network_id)
+    out.append(eit.segment_last_section_number)
+    out.append(eit.last_table_id)
+
+    def bcd(v: int) -> int:
+        return ((v // 10) << 4) | (v % 10)
+
+    for ev in eit.events:
+        out += struct.pack(">H", ev.event_id)
+        out += (b"\xff\xff\xff\xff\xff" if ev.start_time is None
+                else pack_utc_time(ev.start_time))
+        h, rem = divmod(ev.duration, 3600)
+        m, s = divmod(rem, 60)
+        out += bytes([bcd(h), bcd(m), bcd(s)])
+        descs = _pack_descriptors(ev.descriptors)
+        out += struct.pack(
+            ">H", (ev.running_status << 13)
+            | (0x1000 if ev.free_CA_mode else 0) | len(descs))
+        out += descs
+    return bytes(out)
+
+
+def section_from_eit(eit: Eit, table_id: Optional[int] = None) -> Section:
+    """table_id defaults from the actual/present_following flags (the
+    first schedule table id for non-p/f)."""
+    if table_id is None:
+        if eit.present_following:
+            table_id = (TABLE_ID_EIT_PF_ACTUAL if eit.actual_stream
+                        else TABLE_ID_EIT_PF_OTHER)
+        else:
+            table_id = (TABLE_ID_EIT_SCHEDULE_ACTUAL if eit.actual_stream
+                        else TABLE_ID_EIT_SCHEDULE_OTHER)
+    s = Section(pid=0x12, table_id=table_id,
+                subtable_extension=eit.service_id)
+    s._payload = eit
+    return s
+
+
+# ------------------------------------------------------------------ BAT
+
+@dataclasses.dataclass
+class BatStream:
+    """GstMpegtsBATStream (gst-dvb-section.c:313-330)."""
+    transport_stream_id: int = 0
+    original_network_id: int = 0
+    descriptors: List[Descriptor] = dataclasses.field(
+        default_factory=list)
+
+
+@dataclasses.dataclass
+class Bat:
+    """GstMpegtsBAT (gst-dvb-section.c:362-460); bouquet_id rides as
+    the section's subtable_extension."""
+    bouquet_id: int = 0
+    descriptors: List[Descriptor] = dataclasses.field(
+        default_factory=list)
+    streams: List[BatStream] = dataclasses.field(default_factory=list)
+
+
+def _parse_bat(section: Section, body: bytes) -> Optional[Bat]:
+    if len(body) < 4:
+        return None
+    bat = Bat()
+    bat.bouquet_id = section.subtable_extension
+    dll = struct.unpack_from(">H", body, 0)[0] & 0x0FFF
+    pos = 2
+    descs = parse_descriptors(body[pos:pos + dll])
+    if descs is None or pos + dll + 2 > len(body):
+        return None
+    bat.descriptors = descs
+    pos += dll
+    loop_len = struct.unpack_from(">H", body, pos)[0] & 0x0FFF
+    pos += 2
+    end = pos + loop_len
+    if end > len(body):
+        return None
+    while pos < end:
+        if pos + 6 > end:   # each entry is at least 6 bytes
+            return None
+        st = BatStream()
+        st.transport_stream_id, st.original_network_id = \
+            struct.unpack_from(">HH", body, pos)
+        d_len = struct.unpack_from(">H", body, pos + 4)[0] & 0x0FFF
+        pos += 6
+        descs = parse_descriptors(body[pos:pos + d_len])
+        if descs is None:
+            return None
+        st.descriptors = descs
+        pos += d_len
+        bat.streams.append(st)
+    return bat
+
+
+def _pack_bat(bat: Bat) -> bytes:
+    out = bytearray()
+    descs = _pack_descriptors(bat.descriptors)
+    out += struct.pack(">H", 0xF000 | len(descs))
+    out += descs
+    loop = bytearray()
+    for st in bat.streams:
+        d = _pack_descriptors(st.descriptors)
+        loop += struct.pack(">HH", st.transport_stream_id,
+                            st.original_network_id)
+        loop += struct.pack(">H", 0xF000 | len(d))
+        loop += d
+    out += struct.pack(">H", 0xF000 | len(loop))
+    out += loop
+    return bytes(out)
+
+
+def section_from_bat(bat: Bat) -> Section:
+    s = Section(pid=0x11, table_id=TABLE_ID_BAT,
+                subtable_extension=bat.bouquet_id)
+    s._payload = bat
+    return s
+
+
+# ------------------------------------------------------------------ CAT
+
+@dataclasses.dataclass
+class Cat:
+    """CAT is one bare descriptor loop (gstmpegtssection.c:953-963)."""
+    descriptors: List[Descriptor] = dataclasses.field(
+        default_factory=list)
+
+
+def _pack_cat(cat: Cat) -> bytes:
+    return _pack_descriptors(cat.descriptors)
+
+
+def section_from_cat(cat: Cat) -> Section:
+    s = Section(pid=0x01, table_id=TABLE_ID_CAT)
+    s._payload = cat
+    return s
+
+
+# ------------------------------------------------------------ TDT / TOT
+
+def section_from_tdt(time: DvbTime) -> Section:
+    """TDT: a SHORT section whose whole body is the 5-byte UTC time,
+    with NO CRC (EN 300 468 §5.2.5; gst-dvb-section.c:1159-1162)."""
+    s = Section(pid=0x14, table_id=TABLE_ID_TDT, short_section=True,
+                has_crc=False)
+    s._payload = _TdtWrap(time)
+    return s
+
+
+@dataclasses.dataclass
+class _TdtWrap:
+    time: DvbTime
+
+
+@dataclasses.dataclass
+class Tot:
+    """GstMpegtsTOT (gst-dvb-section.c:1215-1241): UTC time + one
+    descriptor loop; a short section that DOES carry a trailing CRC."""
+    utc_time: Optional[DvbTime] = None
+    descriptors: List[Descriptor] = dataclasses.field(
+        default_factory=list)
+
+
+def _parse_tot(data: bytes) -> Optional[Tot]:
+    if len(data) < 14:
+        return None
+    tot = Tot()
+    tot.utc_time = parse_utc_time(data, 3)
+    desc_len = struct.unpack_from(">H", data, 8)[0] & 0xFFF
+    descs = parse_descriptors(data[10:10 + desc_len])
+    if descs is None:
+        return None
+    tot.descriptors = descs
+    return tot
+
+
+def _pack_tot(tot: Tot) -> bytes:
+    descs = _pack_descriptors(tot.descriptors)
+    out = bytearray(pack_utc_time(tot.utc_time)
+                    if tot.utc_time is not None else b"\xff" * 5)
+    out += struct.pack(">H", 0xF000 | len(descs))
+    out += descs
+    return bytes(out)
+
+
+def section_from_tot(tot: Tot) -> Section:
+    s = Section(pid=0x14, table_id=TABLE_ID_TOT, short_section=True)
+    s._payload = tot
+    return s
+
+
+# ------------------------------------------------------------- ATSC VCT
+
+@dataclasses.dataclass
+class AtscVctSource:
+    """GstMpegtsAtscVCTSource (gst-atsc-section.c:168-232)."""
+    short_name: str = ""
+    major_channel_number: int = 0
+    minor_channel_number: int = 0
+    modulation_mode: int = 0
+    carrier_frequency: int = 0
+    channel_TSID: int = 0
+    program_number: int = 0
+    ETM_location: int = 0
+    access_controlled: bool = False
+    hidden: bool = False
+    path_select: bool = False       # CVCT only
+    out_of_band: bool = False       # CVCT only
+    hide_guide: bool = False
+    service_type: int = 0
+    source_id: int = 0
+    descriptors: List[Descriptor] = dataclasses.field(
+        default_factory=list)
+
+
+@dataclasses.dataclass
+class AtscVct:
+    """GstMpegtsAtscVCT; cable=True is the CVCT (table 0xC9)."""
+    cable: bool = False
+    transport_stream_id: int = 0
+    protocol_version: int = 0
+    sources: List[AtscVctSource] = dataclasses.field(
+        default_factory=list)
+    descriptors: List[Descriptor] = dataclasses.field(
+        default_factory=list)
+
+
+def _parse_atsc_vct(section: Section, body: bytes) -> Optional[AtscVct]:
+    if len(body) < 2 + 2 + 2:
+        return None
+    vct = AtscVct()
+    vct.cable = section.table_id == TABLE_ID_ATSC_CVCT
+    vct.transport_stream_id = section.subtable_extension
+    vct.protocol_version = body[0]
+    source_nb = body[1]
+    pos = 2
+    for _ in range(source_nb):
+        if len(body) - pos < 32 + 2:
+            return None
+        src = AtscVctSource()
+        # 14 bytes UTF-16BE, NUL-padded (the reference g_convert's all
+        # 14 bytes; trailing NULs stripped here for a usable str)
+        src.short_name = body[pos:pos + 14].decode(
+            "utf-16-be", errors="replace").rstrip("\x00")
+        pos += 14
+        tmp32 = struct.unpack_from(">I", body, pos)[0]
+        src.major_channel_number = (tmp32 >> 18) & 0x03FF
+        src.minor_channel_number = (tmp32 >> 8) & 0x03FF
+        src.modulation_mode = tmp32 & 0xF
+        pos += 4
+        src.carrier_frequency = struct.unpack_from(">I", body, pos)[0]
+        pos += 4
+        src.channel_TSID = struct.unpack_from(">H", body, pos)[0]
+        pos += 2
+        src.program_number = struct.unpack_from(">H", body, pos)[0]
+        pos += 2
+        tmp16 = struct.unpack_from(">H", body, pos)[0]
+        src.ETM_location = (tmp16 >> 14) & 0x3
+        src.access_controlled = bool((tmp16 >> 13) & 0x1)
+        src.hidden = bool((tmp16 >> 12) & 0x1)
+        src.path_select = bool((tmp16 >> 11) & 0x1)
+        src.out_of_band = bool((tmp16 >> 10) & 0x1)
+        src.hide_guide = bool((tmp16 >> 9) & 0x1)
+        src.service_type = tmp16 & 0x3F
+        pos += 2
+        src.source_id = struct.unpack_from(">H", body, pos)[0]
+        pos += 2
+        dll = struct.unpack_from(">H", body, pos)[0] & 0x03FF
+        pos += 2
+        if len(body) - pos < dll + 2:
+            return None
+        descs = parse_descriptors(body[pos:pos + dll])
+        if descs is None:
+            return None
+        src.descriptors = descs
+        pos += dll
+        vct.sources.append(src)
+    if len(body) - pos < 2:
+        return None
+    dll = struct.unpack_from(">H", body, pos)[0] & 0x03FF
+    pos += 2
+    if len(body) - pos < dll:
+        return None
+    descs = parse_descriptors(body[pos:pos + dll])
+    if descs is None:
+        return None
+    vct.descriptors = descs
+    return vct
+
+
+def _pack_atsc_vct(vct: AtscVct) -> bytes:
+    out = bytearray()
+    out.append(vct.protocol_version)
+    out.append(len(vct.sources))
+    for src in vct.sources:
+        name = src.short_name.encode("utf-16-be")[:14]
+        out += name + b"\x00" * (14 - len(name))
+        tmp32 = (0xF0000000
+                 | ((src.major_channel_number & 0x3FF) << 18)
+                 | ((src.minor_channel_number & 0x3FF) << 8)
+                 | 0xF0 | (src.modulation_mode & 0xF))
+        out += struct.pack(">I", tmp32)
+        out += struct.pack(">I", src.carrier_frequency)
+        out += struct.pack(">H", src.channel_TSID)
+        out += struct.pack(">H", src.program_number)
+        tmp16 = ((src.ETM_location & 0x3) << 14
+                 | (0x2000 if src.access_controlled else 0)
+                 | (0x1000 if src.hidden else 0)
+                 | (0x0800 if src.path_select else 0)
+                 | (0x0400 if src.out_of_band else 0)
+                 | (0x0200 if src.hide_guide else 0)
+                 | 0x01C0 | (src.service_type & 0x3F))
+        out += struct.pack(">H", tmp16)
+        out += struct.pack(">H", src.source_id)
+        descs = _pack_descriptors(src.descriptors)
+        out += struct.pack(">H", 0xFC00 | len(descs))
+        out += descs
+    descs = _pack_descriptors(vct.descriptors)
+    out += struct.pack(">H", 0xFC00 | len(descs))
+    out += descs
+    return bytes(out)
+
+
+def section_from_atsc_vct(vct: AtscVct) -> Section:
+    s = Section(pid=0x1FFB,
+                table_id=(TABLE_ID_ATSC_CVCT if vct.cable
+                          else TABLE_ID_ATSC_TVCT),
+                subtable_extension=vct.transport_stream_id)
+    s._payload = vct
+    return s
+
+
+# ------------------------------------------------------------- ATSC MGT
+
+@dataclasses.dataclass
+class AtscMgtTable:
+    """GstMpegtsAtscMGTTable (gst-atsc-section.c:372-404)."""
+    table_type: int = 0
+    pid: int = 0
+    version_number: int = 0
+    number_bytes: int = 0
+    descriptors: List[Descriptor] = dataclasses.field(
+        default_factory=list)
+
+
+@dataclasses.dataclass
+class AtscMgt:
+    protocol_version: int = 0
+    tables: List[AtscMgtTable] = dataclasses.field(default_factory=list)
+    descriptors: List[Descriptor] = dataclasses.field(
+        default_factory=list)
+
+
+def _parse_atsc_mgt(body: bytes) -> Optional[AtscMgt]:
+    if len(body) < 5:
+        return None
+    mgt = AtscMgt()
+    mgt.protocol_version = body[0]
+    tables_defined = struct.unpack_from(">H", body, 1)[0]
+    pos = 3
+    for _ in range(tables_defined):
+        if pos + 11 > len(body):
+            return None
+        t = AtscMgtTable()
+        t.table_type = struct.unpack_from(">H", body, pos)[0]
+        t.pid = struct.unpack_from(">H", body, pos + 2)[0] & 0x1FFF
+        t.version_number = body[pos + 4] & 0x1F
+        t.number_bytes = struct.unpack_from(">I", body, pos + 5)[0]
+        dll = struct.unpack_from(">H", body, pos + 9)[0] & 0x0FFF
+        pos += 11
+        descs = parse_descriptors(body[pos:pos + dll])
+        if descs is None:
+            return None
+        t.descriptors = descs
+        pos += dll
+        mgt.tables.append(t)
+    if pos + 2 > len(body):
+        return None
+    dll = struct.unpack_from(">H", body, pos)[0] & 0xFFF
+    pos += 2
+    descs = parse_descriptors(body[pos:pos + dll])
+    if descs is None:
+        return None
+    mgt.descriptors = descs
+    return mgt
+
+
+def _pack_atsc_mgt(mgt: AtscMgt) -> bytes:
+    """_packetize_mgt (gst-atsc-section.c:420-517) with one documented
+    DIVERGENCE: the reference indexes `mgt->tables` with the constant 1
+    instead of the loop variable (an upstream bug that repeats table[1]
+    for every row); this packs each table correctly so that
+    pack->parse round-trips."""
+    out = bytearray()
+    out.append(mgt.protocol_version)
+    out += struct.pack(">H", len(mgt.tables))
+    for t in mgt.tables:
+        out += struct.pack(">H", t.table_type)
+        out += struct.pack(">H", 0xE000 | (t.pid & 0x1FFF))
+        out.append(0xE0 | (t.version_number & 0x1F))
+        out += struct.pack(">I", t.number_bytes)
+        descs = _pack_descriptors(t.descriptors)
+        out += struct.pack(">H", 0xF000 | len(descs))
+        out += descs
+    descs = _pack_descriptors(mgt.descriptors)
+    out += struct.pack(">H", 0xF000 | len(descs))
+    out += descs
+    return bytes(out)
+
+
+def section_from_atsc_mgt(mgt: AtscMgt) -> Section:
+    s = Section(pid=0x1FFB, table_id=TABLE_ID_ATSC_MGT)
+    s._payload = mgt
+    return s
+
+
+# ------------------------------------------------------------- ATSC EIT
+
+@dataclasses.dataclass
+class AtscStringSegment:
+    """GstMpegtsAtscStringSegment (gst-atsc-section.c:800-812)."""
+    compression_type: int = 0
+    mode: int = 0
+    compressed_data: bytes = b""
+
+
+@dataclasses.dataclass
+class AtscMultString:
+    """GstMpegtsAtscMultString (gst-atsc-section.c:747-827)."""
+    iso_639_langcode: str = "eng"
+    segments: List[AtscStringSegment] = dataclasses.field(
+        default_factory=list)
+
+
+def _parse_atsc_mult_string(data: bytes
+                            ) -> Optional[List[AtscMultString]]:
+    if not data:
+        return []
+    num_strings = data[0]
+    pos = 1
+    out = []
+    for _ in range(num_strings):
+        if len(data) - pos < 4:
+            return None
+        ms = AtscMultString()
+        ms.iso_639_langcode = data[pos:pos + 3].decode(
+            "latin-1")
+        num_segments = data[pos + 3]
+        pos += 4
+        for _ in range(num_segments):
+            if len(data) - pos < 3:
+                return None
+            seg = AtscStringSegment()
+            seg.compression_type = data[pos]
+            seg.mode = data[pos + 1]
+            size = data[pos + 2]
+            pos += 3
+            if len(data) - pos < size:
+                return None
+            seg.compressed_data = data[pos:pos + size]
+            pos += size
+            ms.segments.append(seg)
+        out.append(ms)
+    return out
+
+
+def _pack_atsc_mult_string(strings: List[AtscMultString]) -> bytes:
+    """_packetize_atsc_mult_string (gst-atsc-section.c:830-878)."""
+    out = bytearray([len(strings)])
+    for ms in strings:
+        out += ms.iso_639_langcode.encode("latin-1")[:3].ljust(3, b"\x00")
+        out.append(len(ms.segments))
+        for seg in ms.segments:
+            out.append(seg.compression_type)
+            out.append(seg.mode)
+            out.append(len(seg.compressed_data))
+            out += seg.compressed_data
+    return bytes(out)
+
+
+@dataclasses.dataclass
+class AtscEitEvent:
+    """GstMpegtsAtscEITEvent (gst-atsc-section.c:985-1030)."""
+    event_id: int = 0
+    start_time: int = 0             # GPS seconds
+    etm_location: int = 0
+    length_in_seconds: int = 0
+    titles: List[AtscMultString] = dataclasses.field(
+        default_factory=list)
+    descriptors: List[Descriptor] = dataclasses.field(
+        default_factory=list)
+
+
+@dataclasses.dataclass
+class AtscEit:
+    source_id: int = 0
+    protocol_version: int = 0
+    events: List[AtscEitEvent] = dataclasses.field(default_factory=list)
+
+
+def _parse_atsc_eit(section: Section, body: bytes) -> Optional[AtscEit]:
+    if len(body) < 2:
+        return None
+    eit = AtscEit()
+    eit.source_id = section.subtable_extension
+    eit.protocol_version = body[0]
+    num_events = body[1]
+    pos = 2
+    for _ in range(num_events):
+        if len(body) - pos < 12:
+            return None
+        ev = AtscEitEvent()
+        ev.event_id = struct.unpack_from(">H", body, pos)[0] & 0x3FFF
+        ev.start_time = struct.unpack_from(">I", body, pos + 2)[0]
+        tmp = struct.unpack_from(">I", body, pos + 6)[0]
+        ev.etm_location = (tmp >> 28) & 0x3
+        ev.length_in_seconds = (tmp >> 8) & 0x0FFFFF
+        text_length = tmp & 0xFF
+        pos += 10
+        if text_length > len(body) - pos - 2:
+            return None
+        titles = _parse_atsc_mult_string(body[pos:pos + text_length])
+        if titles is None:
+            return None
+        ev.titles = titles
+        pos += text_length
+        dll = struct.unpack_from(">H", body, pos)[0] & 0x0FFF
+        pos += 2
+        if len(body) - pos < dll:
+            return None
+        descs = parse_descriptors(body[pos:pos + dll])
+        if descs is None:
+            return None
+        ev.descriptors = descs
+        pos += dll
+        eit.events.append(ev)
+    if pos != len(body):
+        return None
+    return eit
+
+
+def _pack_atsc_eit(eit: AtscEit) -> bytes:
+    out = bytearray()
+    out.append(eit.protocol_version)
+    out.append(len(eit.events))
+    for ev in eit.events:
+        out += struct.pack(">H", 0xC000 | (ev.event_id & 0x3FFF))
+        out += struct.pack(">I", ev.start_time)
+        text = _pack_atsc_mult_string(ev.titles)
+        # bits 31-30 reserved, 29-28 etm_location,
+        # 27-8 length_in_seconds, 7-0 title_length
+        tmp = ((0x3 << 30) | ((ev.etm_location & 0x3) << 28)
+               | ((ev.length_in_seconds & 0x0FFFFF) << 8)
+               | (len(text) & 0xFF))
+        out += struct.pack(">I", tmp)
+        out += text
+        descs = _pack_descriptors(ev.descriptors)
+        out += struct.pack(">H", 0xF000 | len(descs))
+        out += descs
+    return bytes(out)
+
+
+def section_from_atsc_eit(eit: AtscEit, pid: int) -> Section:
+    """ATSC EIT PIDs come from the MGT (table types 0x100..0x17F)."""
+    s = Section(pid=pid, table_id=TABLE_ID_ATSC_EIT,
+                subtable_extension=eit.source_id)
+    s._payload = eit
+    return s
+
+
+_PACKETIZERS.update({
+    Eit: _pack_eit,
+    Bat: _pack_bat,
+    Cat: _pack_cat,
+    _TdtWrap: lambda w: pack_utc_time(w.time),
+    Tot: _pack_tot,
+    AtscVct: _pack_atsc_vct,
+    AtscMgt: _pack_atsc_mgt,
+    AtscEit: _pack_atsc_eit,
+})
