@@ -115,6 +115,93 @@ class MxfTrack:
     kind: str = "unknown"     # picture | sound | data
 
 
+# ------------------------------------------------------------------
+# Essence descriptors (gst/mxf/mxfmetadata.c) — the metadata sets that
+# map essence to caps.  Set types (metadata_class->type):
+#   0x25 FileDescriptor, 0x27 GenericPicture, 0x28 CDCI, 0x29 RGBA,
+#   0x42 GenericSound, 0x47 AES3, 0x48 WaveAudio (mxfaes-bwf.c),
+#   0x51 MPEGVideo (mxfmpeg.c:394), 0x44 MultipleDescriptor.
+
+@dataclass
+class MxfPictureDescriptor:
+    """GenericPicture/CDCI/RGBA/MPEGVideo essence descriptor
+    (mxfmetadata.c:4343-4528 generic tags, 5437-5500 CDCI tags,
+    5770-5800 RGBA pixel layout)."""
+    kind: str = "generic"     # generic | cdci | rgba | mpeg
+    linked_track_id: int = 0  # 0x3006 (mxfmetadata.c:4171)
+    sample_rate: Tuple[int, int] = (0, 1)          # 0x3001
+    essence_container: bytes = b""                 # 0x3004
+    picture_essence_coding: bytes = b""            # 0x3201
+    signal_standard: int = 0                       # 0x3215
+    frame_layout: int = 255                        # 0x320c
+    stored_width: int = 0                          # 0x3203
+    stored_height: int = 0                         # 0x3202
+    display_width: int = 0                         # 0x3209
+    display_height: int = 0                        # 0x3208
+    aspect_ratio: Tuple[int, int] = (0, 0)         # 0x320e
+    # CDCI (mxfmetadata.c:5437-5500)
+    component_depth: int = 0                       # 0x3301
+    horizontal_subsampling: int = 0                # 0x3302
+    vertical_subsampling: int = 0                  # 0x3308
+    color_siting: int = 0xFF                       # 0x3303
+    black_ref_level: int = 0                       # 0x3304
+    white_ref_level: int = 0                       # 0x3305
+    color_range: int = 0                           # 0x3306
+    # RGBA (mxfmetadata.c:5770)
+    pixel_layout: bytes = b""                      # 0x3401
+
+    @property
+    def codec(self) -> str:
+        """Picture essence coding UL -> codec name (the mapping the
+        reference's mxfmpeg.c/mxfup.c essence handlers key on)."""
+        ul = self.picture_essence_coding
+        if len(ul) != 16:
+            return "unknown"
+        if ul[8:13] == bytes.fromhex("0401020201"):
+            sub = ul[13]
+            if sub in (0x01, 0x02, 0x03):   # MPEG-2 profiles
+                return "mpeg2"
+            if sub == 0x20:
+                return "mpeg4"
+            if 0x31 <= sub <= 0x34:         # AVC byte stream profiles
+                return "h264"
+        if ul[8:13] == bytes.fromhex("0401020203"):
+            return "jpeg2000"
+        if ul[8:11] == bytes.fromhex("040201"):
+            return "raw"
+        return "unknown"
+
+
+@dataclass
+class MxfSoundDescriptor:
+    """GenericSound/AES3/WaveAudio essence descriptor
+    (mxfmetadata.c:5094-5165 generic tags, mxfaes-bwf.c:125-200
+    wave tags)."""
+    kind: str = "generic"     # generic | aes3 | wave
+    linked_track_id: int = 0                       # 0x3006
+    sample_rate: Tuple[int, int] = (0, 1)          # 0x3001
+    essence_container: bytes = b""                 # 0x3004
+    audio_sampling_rate: Tuple[int, int] = (0, 1)  # 0x3d03
+    locked: bool = False                           # 0x3d02
+    channel_count: int = 0                         # 0x3d07
+    quantization_bits: int = 0                     # 0x3d01
+    sound_essence_compression: bytes = b""         # 0x3d06
+    block_align: int = 0                           # 0x3d0a (wave)
+    avg_bps: int = 0                               # 0x3d09 (wave)
+
+    @property
+    def codec(self) -> str:
+        ul = self.sound_essence_compression
+        if len(ul) != 16 or ul[8:12] == bytes.fromhex("04020201") \
+                or not any(ul):
+            return "pcm"    # uncompressed sound coding (or unset)
+        if ul[8:13] == bytes.fromhex("0402020303"):
+            return "ac3"
+        if ul[8:13] == bytes.fromhex("0402020302"):
+            return "mpeg-audio"
+        return "unknown"
+
+
 @dataclass
 class MxfFrame:
     track_number: int
@@ -133,6 +220,8 @@ class MxfDemux:
         self.tracks: Dict[int, MxfTrack] = {}   # by track_number
         self.partitions = 0
         self._counts: Dict[int, int] = {}
+        # essence descriptors, in metadata order
+        self.descriptors: List[object] = []
 
     def push(self, data: bytes) -> List[MxfFrame]:
         self._buf += data
@@ -187,6 +276,16 @@ class MxfDemux:
         # Timeline track sets (key byte 13/14: 01 3b) carry
         # TrackID/TrackNumber/EditRate with SMPTE-static tags
         items = parse_local_set(value)
+        if key[13] == 0x01:
+            set_type = key[14]
+            if set_type in (0x27, 0x28, 0x29, 0x51):
+                self.descriptors.append(
+                    _parse_picture_descriptor(set_type, items))
+                return
+            if set_type in (0x42, 0x47, 0x48):
+                self.descriptors.append(
+                    _parse_sound_descriptor(set_type, items))
+                return
         if TAG_TRACK_NUMBER in items and TAG_TRACK_ID in items:
             num = int.from_bytes(items[TAG_TRACK_NUMBER], "big")
             if num == 0:
@@ -203,6 +302,115 @@ class MxfDemux:
                        else "sound" if item in _SOUND else "data")
             self.tracks[num] = tr
 
+    def descriptor_for_track(self, track_number: int):
+        """The essence descriptor linked to a track (0x3006
+        LinkedTrackID joins the source package's TrackID,
+        mxfdemux.c's track<->descriptor resolution)."""
+        tr = self.tracks.get(track_number)
+        if tr is None:
+            return None
+        for d in self.descriptors:
+            if d.linked_track_id == tr.track_id:
+                return d
+        # single-essence files may omit the linkage
+        want = (MxfPictureDescriptor if tr.kind == "picture"
+                else MxfSoundDescriptor)
+        single = [d for d in self.descriptors if isinstance(d, want)]
+        return single[0] if len(single) == 1 else None
+
+    def track_caps(self, track_number: int) -> Dict[str, object]:
+        """Caps-style dict for a track from its descriptor (the
+        mxf_metadata_*_descriptor_to_structure analogs +
+        set_caps walks, mxfmetadata.c:4545,4946,5176)."""
+        tr = self.tracks.get(track_number)
+        d = self.descriptor_for_track(track_number)
+        if tr is None or d is None:
+            return {}
+        if isinstance(d, MxfPictureDescriptor):
+            caps = {"kind": "video", "codec": d.codec,
+                    "width": d.stored_width,
+                    "height": d.stored_height,
+                    "framerate": tr.edit_rate,
+                    "interlaced": d.frame_layout not in (0, 255)}
+            if d.aspect_ratio[0] and d.aspect_ratio[1]:
+                caps["aspect-ratio"] = d.aspect_ratio
+            if d.kind == "cdci" and d.horizontal_subsampling:
+                caps["depth"] = d.component_depth or 8
+                caps["subsampling"] = (d.horizontal_subsampling,
+                                       d.vertical_subsampling or 1)
+            if d.kind == "rgba" and d.pixel_layout:
+                caps["pixel-layout"] = d.pixel_layout
+            return caps
+        caps = {"kind": "audio", "codec": d.codec,
+                "rate": (d.audio_sampling_rate[0]
+                         // max(d.audio_sampling_rate[1], 1)),
+                "channels": d.channel_count,
+                "bits": d.quantization_bits}
+        if d.block_align:
+            caps["block-align"] = d.block_align
+        return caps
+
+
+def _u32(v: bytes) -> int:
+    return int.from_bytes(v[:4], "big") if len(v) >= 4 else 0
+
+
+def _rat(v: bytes) -> Tuple[int, int]:
+    if len(v) == 8:
+        return struct.unpack(">II", v)
+    return (0, 1)
+
+
+def _parse_picture_descriptor(set_type: int, items: Dict[int, bytes]
+                              ) -> MxfPictureDescriptor:
+    d = MxfPictureDescriptor(
+        kind={0x27: "generic", 0x28: "cdci", 0x29: "rgba",
+              0x51: "mpeg"}[set_type])
+    d.linked_track_id = _u32(items.get(0x3006, b""))
+    d.sample_rate = _rat(items.get(0x3001, b""))
+    d.essence_container = items.get(0x3004, b"")
+    d.picture_essence_coding = items.get(0x3201, b"")
+    if 0x3215 in items:
+        d.signal_standard = items[0x3215][0]
+    if 0x320C in items and items[0x320C]:
+        d.frame_layout = items[0x320C][0]
+    d.stored_width = _u32(items.get(0x3203, b""))
+    d.stored_height = _u32(items.get(0x3202, b""))
+    d.display_width = _u32(items.get(0x3209, b"")) or d.stored_width
+    d.display_height = _u32(items.get(0x3208, b"")) or d.stored_height
+    d.aspect_ratio = _rat(items.get(0x320E, b""))
+    if set_type in (0x28, 0x51):   # MPEGVideo extends CDCI
+        d.component_depth = _u32(items.get(0x3301, b""))
+        d.horizontal_subsampling = _u32(items.get(0x3302, b""))
+        d.vertical_subsampling = _u32(items.get(0x3308, b""))
+        if 0x3303 in items and items[0x3303]:
+            d.color_siting = items[0x3303][0]
+        d.black_ref_level = _u32(items.get(0x3304, b""))
+        d.white_ref_level = _u32(items.get(0x3305, b""))
+        d.color_range = _u32(items.get(0x3306, b""))
+    if set_type == 0x29:
+        d.pixel_layout = items.get(0x3401, b"")
+    return d
+
+
+def _parse_sound_descriptor(set_type: int, items: Dict[int, bytes]
+                            ) -> MxfSoundDescriptor:
+    d = MxfSoundDescriptor(
+        kind={0x42: "generic", 0x47: "aes3", 0x48: "wave"}[set_type])
+    d.linked_track_id = _u32(items.get(0x3006, b""))
+    d.sample_rate = _rat(items.get(0x3001, b""))
+    d.essence_container = items.get(0x3004, b"")
+    d.audio_sampling_rate = _rat(items.get(0x3D03, b""))
+    if 0x3D02 in items and items[0x3D02]:
+        d.locked = items[0x3D02][0] != 0
+    d.channel_count = _u32(items.get(0x3D07, b""))
+    d.quantization_bits = _u32(items.get(0x3D01, b""))
+    d.sound_essence_compression = items.get(0x3D06, b"")
+    if 0x3D0A in items and len(items[0x3D0A]) == 2:
+        d.block_align = struct.unpack(">H", items[0x3D0A])[0]
+    d.avg_bps = _u32(items.get(0x3D09, b""))
+    return d
+
 
 # ----------------------------------------------------------------------
 # OP1a mux (the ffmpeg-interoperable subset of gst/mxf/mxfmux.c)
@@ -215,6 +423,12 @@ UL_DATADEF_PICTURE = bytes.fromhex("060e2b34040101010103020201000000")
 UL_DATADEF_SOUND = bytes.fromhex("060e2b34040101010103020202000000")
 UL_DATADEF_TIMECODE = bytes.fromhex("060e2b34040101010103020101000000")
 UL_PEC_MPEG2_MPML = bytes.fromhex("060e2b34040101030401020201011100")
+# AVC byte-stream frame-wrapped essence container + High-profile coding
+# (the ULs ffmpeg's mxfenc writes; SMPTE RP224/ST 381-3)
+UL_EC_AVC = bytes.fromhex("060e2b340401010a0d01030102106001")
+UL_PEC_AVC_HIGH = bytes.fromhex("060e2b340401010a0401020201311101")
+# BWF frame-wrapped sound essence container (SMPTE 382M)
+UL_EC_BWF = bytes.fromhex("060e2b34040101010d01030102060100")
 
 KEY_HEADER_PARTITION = bytes.fromhex("060e2b34020501010d01020101020400")
 KEY_BODY_PARTITION = bytes.fromhex("060e2b34020501010d01020101030400")
@@ -230,8 +444,9 @@ _PRIMER_TAGS = [
     0x1902, 0x4401, 0x4405, 0x4404, 0x4403, 0x4701, 0x4801, 0x4804,
     0x4B01, 0x4B02, 0x4803, 0x0201, 0x0202, 0x1001, 0x1201, 0x1101,
     0x1102, 0x1501, 0x1502, 0x1503, 0x3001, 0x3004, 0x3F01, 0x3006,
-    0x3203, 0x3202, 0x320C, 0x320E, 0x3201, 0x3D02, 0x3D03, 0x3D07,
-    0x3D01, 0x3D0A, 0x2701, 0x3F06, 0x3F07,
+    0x3203, 0x3202, 0x3209, 0x3208, 0x320C, 0x320E, 0x3201, 0x3301,
+    0x3302, 0x3308, 0x3D02, 0x3D03, 0x3D07, 0x3D01, 0x3D0A, 0x3D09,
+    0x2701, 0x3F06, 0x3F07,
 ]
 # tag -> defining UL: mxfdemux resolves via its own table; a zero UL in
 # the primer is accepted by ffmpeg (it keys on the tag values)
@@ -267,7 +482,9 @@ class MxfMux:
 
     def __init__(self, edit_rate=(25, 1), width: int = 0,
                  height: int = 0, audio_rate: int = 48000,
-                 channels: int = 2, bits: int = 16):
+                 channels: int = 2, bits: int = 16,
+                 video_codec: str = "mpeg2",
+                 audio_desc: str = "aes3"):
         self.edit_rate = edit_rate
         self.width = width
         self.height = height
@@ -276,6 +493,15 @@ class MxfMux:
         self.bits = bits
         self.has_video = width > 0
         self.has_audio = channels > 0
+        # "mpeg2" -> MPEGVideo descriptor (set 0x51, MPEG-ES container);
+        # "h264" -> CDCI descriptor (set 0x28) with the AVC coding +
+        # byte-stream container ULs
+        if video_codec not in ("mpeg2", "h264"):
+            raise ValueError(f"video_codec {video_codec!r}")
+        if audio_desc not in ("aes3", "wave"):
+            raise ValueError(f"audio_desc {audio_desc!r}")
+        self.video_codec = video_codec
+        self.audio_desc = audio_desc
         self._uuid_n = 0
         self._frames: List[Tuple[int, bytes]] = []  # (tracknum, data)
         self.duration = 0
@@ -317,14 +543,22 @@ class MxfMux:
             blob += KEY_FILL + ber_encode(need - 21, long_form=4) \
                 + b"\x00" * (need - 21)
 
+    @property
+    def _video_ec(self) -> bytes:
+        return UL_EC_AVC if self.video_codec == "h264" else UL_EC_MPEG_ES
+
+    @property
+    def _audio_ec(self) -> bytes:
+        return UL_EC_BWF if self.audio_desc == "wave" else UL_EC_AES3
+
     def _partition_pack(self, key: bytes, this_partition: int,
                         footer: int, header_bytes: int,
                         body_sid: int, body_offset: int = 0) -> bytes:
         ecs = []
         if self.has_video:
-            ecs.append(UL_EC_MPEG_ES)
+            ecs.append(self._video_ec)
         if self.has_audio:
-            ecs.append(UL_EC_AES3)
+            ecs.append(self._audio_ec)
         v = struct.pack(">HHIQQQ", 1, 3, self.KAG, this_partition, 0,
                         footer)
         v += struct.pack(">QQ", header_bytes, 0)  # header, index bytes
@@ -442,36 +676,62 @@ class MxfMux:
                          _item(0x1102, struct.pack(">I", 0))])],
                 tracknum))
 
-        # descriptors
+        # descriptors (full caps fields: stored+display sizes, frame
+        # layout, reduced aspect ratio; CDCI subsampling for h264 —
+        # mxf_metadata_*_descriptor_from_caps, mxfmetadata.c:5030+)
+        import math
         sub_descs = []
         if self.has_video:
-            sets.append(_set(0x51, [
+            g = math.gcd(self.width, self.height) or 1
+            common = [
                 _item(TAG_INSTANCE_UID, u["vdesc"]),
                 _item(0x3006, struct.pack(
                     ">I", src_track_ids["video"])),
                 _item(0x3001, er),
-                _item(0x3004, UL_EC_MPEG_ES),
+                _item(0x3004, self._video_ec),
                 _item(0x3203, struct.pack(">I", self.width)),
                 _item(0x3202, struct.pack(">I", self.height)),
-                _item(0x320C, b"\x00"),
-                _item(0x320E, _rational(4, 3)),
-                _item(0x3201, UL_PEC_MPEG2_MPML),
-            ]))
+                _item(0x3209, struct.pack(">I", self.width)),
+                _item(0x3208, struct.pack(">I", self.height)),
+                _item(0x320C, b"\x00"),  # full frame (progressive)
+                _item(0x320E, _rational(self.width // g,
+                                        self.height // g)),
+            ]
+            if self.video_codec == "h264":
+                # CDCI descriptor: 8-bit 4:2:0 + the AVC coding UL
+                sets.append(_set(0x28, common + [
+                    _item(0x3301, struct.pack(">I", 8)),
+                    _item(0x3302, struct.pack(">I", 2)),
+                    _item(0x3308, struct.pack(">I", 2)),
+                    _item(0x3201, UL_PEC_AVC_HIGH),
+                ]))
+            else:
+                sets.append(_set(0x51, common + [
+                    _item(0x3201, UL_PEC_MPEG2_MPML),
+                ]))
             sub_descs.append(u["vdesc"])
         if self.has_audio:
-            sets.append(_set(0x47, [
+            audio_common = [
                 _item(TAG_INSTANCE_UID, u["adesc"]),
                 _item(0x3006, struct.pack(
                     ">I", src_track_ids["audio"])),
                 _item(0x3001, _rational(self.audio_rate, 1)),
-                _item(0x3004, UL_EC_AES3),
+                _item(0x3004, self._audio_ec),
                 _item(0x3D02, b"\x01"),
                 _item(0x3D03, _rational(self.audio_rate, 1)),
                 _item(0x3D07, struct.pack(">I", self.channels)),
                 _item(0x3D01, struct.pack(">I", self.bits)),
                 _item(0x3D0A, struct.pack(
                     ">H", self.channels * self.bits // 8)),
-            ]))
+            ]
+            if self.audio_desc == "wave":
+                sets.append(_set(0x48, audio_common + [
+                    _item(0x3D09, struct.pack(
+                        ">I", self.audio_rate * self.channels
+                        * self.bits // 8)),
+                ]))
+            else:
+                sets.append(_set(0x47, audio_common))
             sub_descs.append(u["adesc"])
         descriptor = sub_descs[0]
         if len(sub_descs) > 1:
@@ -507,8 +767,8 @@ class MxfMux:
             _item(0x3B03, u["storage"]),
             _item(0x3B09, UL_OP1A),
             _item(0x3B0A, _batch(
-                ([UL_EC_MPEG_ES] if self.has_video else [])
-                + ([UL_EC_AES3] if self.has_audio else []))),
+                ([self._video_ec] if self.has_video else [])
+                + ([self._audio_ec] if self.has_audio else []))),
             _item(0x3B0B, struct.pack(">II", 0, 0)),
         ]), _set(0x30, [
             _item(TAG_INSTANCE_UID, u["ident"]),
