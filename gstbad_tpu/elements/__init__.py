@@ -25,3 +25,4 @@ from gstbad_tpu.elements import asfmux  # noqa: F401
 from gstbad_tpu.elements import mxf  # noqa: F401
 from gstbad_tpu.elements import onvif  # noqa: F401
 from gstbad_tpu.elements.audio import visualizers  # noqa: F401
+from gstbad_tpu.elements import rfbsrc  # noqa: F401
