@@ -28,10 +28,6 @@ CAP = 8  # field queue capacity (reference GST_IVTC_MAX_FIELDS = 10)
 THRESHOLD = 100
 
 
-def _planes_of(data):
-    return data if isinstance(data, dict) else {"y": data}
-
-
 @register
 class Ivtc(VideoFilter):
     """Inverse telecine.  The reference strips framerate and forces
@@ -75,53 +71,89 @@ class Ivtc(VideoFilter):
         field_dur = jnp.int64(spec.frame_duration_ns // 2)
         out_dur = jnp.int64(self.out_spec.frame_duration_ns)
         is_dict = isinstance(batch.data, dict)
+        data = batch.data if is_dict else {"y": batch.data}
+        b = batch.batch
 
-        def slot(st, i):
-            return (st["head"] + i) % CAP
+        # ---- dense field sequence for the whole window ---------------
+        # Fields only ever ARRIVE in order and retire from the front, so
+        # every comb score construct_frame can ask for is a score of an
+        # ADJACENT pair in arrival order.  Lay the window's fields out
+        # densely (queue leftovers first, then this window's candidates,
+        # invalid candidates routed to a dummy tail slot) and score ALL
+        # adjacent pairs in ONE batched chain pass — the per-frame scan
+        # then just indexes pair_scores.  The old shape (one n=2 chain
+        # pass inside each construct) paid 2B sequential Pallas
+        # dispatches per window and used 2 of 8 vreg sublanes; this is
+        # one dispatch at full sublane occupancy (ops/comb.py).
+        L = CAP + 3 * b
+        ring = (state["head"] + jnp.arange(CAP)) % CAP
+        pos_old = jnp.where(jnp.arange(CAP) < state["count"],
+                            jnp.arange(CAP), L)
+        seq = {}
+        for k in state["q"]:
+            buf = jnp.zeros((L + 1,) + state["q"][k].shape[1:],
+                            state["q"][k].dtype)
+            seq[k] = buf.at[pos_old].set(state["q"][k][ring])
+        parity_seq = jnp.zeros(L + 1, jnp.int32).at[pos_old].set(
+            state["parity"][ring])
+        ts_seq = jnp.zeros(L + 1, jnp.int64).at[pos_old].set(
+            state["ts"][ring])
 
-        def field_plane(st, k, i):
-            return st["q"][k][slot(st, i)]
+        tff = (batch.flags & FLAG_TFF) != 0
+        onefield = (batch.flags & FLAG_ONEFIELD) != 0
+        rff = (batch.flags & FLAG_RFF) != 0
+        p0 = jnp.where(tff, 0, 1).astype(jnp.int32)
+        cand_par = jnp.stack([p0, 1 - p0, p0], axis=1).reshape(3 * b)
+        cand_valid = jnp.stack(
+            [jnp.ones(b, bool), ~onefield, ~onefield & rff],
+            axis=1).reshape(3 * b)
+        cand_ts = (batch.pts[:, None].astype(jnp.int64)
+                   + jnp.arange(3, dtype=jnp.int64)[None, :]
+                   * field_dur).reshape(3 * b)
+        cpos = (state["count"] + jnp.cumsum(cand_valid.astype(jnp.int32))
+                - cand_valid.astype(jnp.int32))
+        cpos = jnp.where(cand_valid, cpos, L)
+        for k in seq:
+            seq[k] = seq[k].at[cpos].set(jnp.repeat(data[k], 3, axis=0))
+        parity_seq = parity_seq.at[cpos].set(cand_par)
+        ts_seq = ts_seq.at[cpos].set(cand_ts)
+        arrivals = cand_valid.reshape(b, 3).sum(axis=1).astype(jnp.int32)
 
-        def similarity_pair(st):
-            """prev (0,1) and next (1,2) comb scores in ONE batched pass
-            (the row chain dominates; two frames per scan step halve the
-            dispatch count)."""
-            f = [field_plane(st, "y", i) for i in range(3)]
-            p = [st["parity"][slot(st, i)] for i in range(3)]
-            tops, bottoms = [], []
-            for a, bb in ((0, 1), (1, 2)):
-                top_first = p[a] == 0
-                tops.append(jnp.where(top_first, f[a], f[bb]))
-                bottoms.append(jnp.where(top_first, f[bb], f[a]))
-            scores = comb_ops.comb_score(jnp.stack(tops),
-                                         jnp.stack(bottoms))
-            return scores[0], scores[1]
+        luma = seq["y"]
+        top_first = (parity_seq[:L - 1] == 0)[:, None, None]
+        pair_scores = comb_ops.comb_score(
+            jnp.where(top_first, luma[:L - 1], luma[1:L]),
+            jnp.where(top_first, luma[1:L], luma[:L - 1]))   # [L-1]
 
         def weave_frame(st, i1, i2):
-            p1 = st["parity"][slot(st, i1)]
+            j1 = st["head_abs"] + i1
+            j2 = st["head_abs"] + i2
+            p1 = parity_seq[j1]
             out = {}
-            for k in st["q"]:
-                f1 = field_plane(st, k, i1)
-                f2 = field_plane(st, k, i2)
+            for k in seq:
+                f1 = seq[k][j1]
+                f2 = seq[k][j2]
                 top = jnp.where(p1 == 0, f1, f2)
                 bottom = jnp.where(p1 == 0, f2, f1)
                 out[k] = ivtc_ops.weave(top, bottom)
             return out
 
         def single_frame(st, i1):
-            p = st["parity"][slot(st, i1)]
+            j1 = st["head_abs"] + i1
+            p = parity_seq[j1]
             out = {"y": ivtc_ops.reconstruct_single_luma(
-                field_plane(st, "y", i1), p)}
-            for k in st["q"]:
+                seq["y"][j1], p)}
+            for k in seq:
                 if k != "y":
                     out[k] = ivtc_ops.reconstruct_single_chroma(
-                        field_plane(st, k, i1), p)
+                        seq[k][j1], p)
             return out
 
         def construct(st):
             """construct_frame (gstivtc.c:565-630)."""
-            forward_ok = st["ts"][slot(st, 1)] < st["current_ts"]
-            prev_score, next_score = similarity_pair(st)
+            forward_ok = ts_seq[st["head_abs"] + 1] < st["current_ts"]
+            prev_score = pair_scores[st["head_abs"]]
+            next_score = pair_scores[st["head_abs"] + 1]
 
             weave_next = weave_frame(st, 1, 2)
             weave_prev = weave_frame(st, 1, 0)
@@ -137,52 +169,33 @@ class Ivtc(VideoFilter):
                     jnp.where(use_next_a, weave_next[k], weave_prev[k]),
                     jnp.where(branch_next, weave_next[k], single[k]))
 
-            out = {k: sel(k) for k in st["q"]}
+            out = {k: sel(k) for k in seq}
             n_retire = jnp.where(
                 branch_prev, jnp.where(use_next_a, 3, 2),
                 jnp.where(branch_next, jnp.where(forward_ok, 3, 2), 2)
             ).astype(jnp.int32)
             pts = st["current_ts"]
             st = {**st,
-                  "head": (st["head"] + n_retire) % CAP,
+                  "head_abs": st["head_abs"] + n_retire,
                   "count": st["count"] - n_retire,
                   "current_ts": st["current_ts"] + out_dur}
             return st, out, pts
 
-        def step(st, inp):
-            frame, pts, flags = inp
-            planes = _planes_of(frame)
-            tff = (flags & FLAG_TFF) != 0
-            onefield = (flags & FLAG_ONEFIELD) != 0
-            rff = (flags & FLAG_RFF) != 0
-            p0 = jnp.where(tff, 0, 1).astype(jnp.int32)
-            adds = [(p0, jnp.bool_(True)),
-                    (1 - p0, ~onefield),
-                    (p0, ~onefield & rff)]
-            for idx, (par, ok) in enumerate(adds):
-                pos = (st["head"] + st["count"]) % CAP
-                newq = {k: st["q"][k].at[pos].set(
-                    jnp.where(ok, planes[k], st["q"][k][pos]))
-                    for k in st["q"]}
-                st = {**st,
-                      "q": newq,
-                      "parity": st["parity"].at[pos].set(
-                          jnp.where(ok, par, st["parity"][pos])),
-                      "ts": st["ts"].at[pos].set(
-                          jnp.where(ok, pts + idx * field_dur,
-                                    st["ts"][pos])),
-                      "count": st["count"] + ok.astype(jnp.int32)}
+        def step(st, arr):
+            # this step's fields are already in seq; they become visible
+            # by bumping count (arrival order == dense-sequence order)
+            st = {**st, "count": st["count"] + arr}
 
             # retire early fields (gstivtc.c:536-540)
             def retire_cond(hc):
-                head, count = hc
-                return (count > 0) & (st["ts"][head % CAP]
+                head_abs, count = hc
+                return (count > 0) & (ts_seq[head_abs]
                                       + 50_000_000 < st["current_ts"])
 
-            head, count = lax.while_loop(
-                retire_cond, lambda hc: ((hc[0] + 1) % CAP, hc[1] - 1),
-                (st["head"], st["count"]))
-            st = {**st, "head": head, "count": count}
+            head_abs, count = lax.while_loop(
+                retire_cond, lambda hc: (hc[0] + 1, hc[1] - 1),
+                (st["head_abs"], st["count"]))
+            st = {**st, "head_abs": head_abs, "count": count}
 
             outs = []
             outs_pts = []
@@ -194,7 +207,7 @@ class Ivtc(VideoFilter):
                     return construct(st)
 
                 def dont(st=st):
-                    dummy = {k: st["q"][k][0] for k in st["q"]}
+                    dummy = {k: seq[k][0] for k in seq}
                     return st, dummy, jnp.int64(0)
 
                 st, out, opts = lax.cond(can, do, dont)
@@ -205,11 +218,24 @@ class Ivtc(VideoFilter):
             return st, (stacked, jnp.stack(outs_pts),
                         jnp.stack(outs_valid))
 
-        data = batch.data if is_dict else {"y": batch.data}
-        state, (frames, pts, valid) = lax.scan(
-            step, state, (data, batch.pts, batch.flags))
+        sst = {"head_abs": jnp.int32(0), "count": state["count"],
+               "current_ts": state["current_ts"]}
+        sst, (frames, pts, valid) = lax.scan(step, sst, arrivals)
+
+        # write the surviving tail of the dense sequence back into the
+        # ring state (head renormalized to 0; slots past count are
+        # whatever the clipped gather grabs and are never read)
+        tail = jnp.clip(sst["head_abs"] + jnp.arange(CAP), 0, L)
+        state = {
+            "q": {k: seq[k][tail] for k in seq},
+            "parity": parity_seq[tail],
+            "ts": ts_seq[tail],
+            "head": jnp.int32(0),
+            "count": sst["count"],
+            "current_ts": sst["current_ts"],
+        }
+
         # [B, 2, ...] -> [2B, ...]
-        b = batch.batch
         out_data = {k: v.reshape((2 * b,) + v.shape[2:])
                     for k, v in frames.items()}
         if not is_dict:

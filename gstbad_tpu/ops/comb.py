@@ -98,15 +98,19 @@ def _shift_right(v, d, fill, lane):
 
 
 def _comb_chain_kernel(m_ref, out_ref, carry_ref):
-    """One 8-row block of the thisline chain.  The TPU grid runs
-    sequentially, so the carried row lives in VMEM scratch across grid
-    steps; inside the step everything is straight-line register code —
-    the whole per-row segmented scan costs nanoseconds instead of the
-    ~2 us/op an XLA op sequence pays (measured: a 716-row chain was
-    ~35 ms in XLA regardless of formulation)."""
-    w = m_ref.shape[-1]
+    """One block of `rb` rows of the thisline chain for ALL chains at
+    once.  Independent chains (batched field pairs) ride the SUBLANE
+    dimension so every [8,128] i32 vreg tile is fully used — the old
+    layout scanned one [1, W] chain row per step and wasted 7/8 of each
+    vreg (measured 5.5x slower at n=8).  The TPU grid runs sequentially
+    over row blocks, so the carried row lives in VMEM scratch across
+    grid steps; inside the step everything is straight-line register
+    code — the whole per-row segmented scan costs nanoseconds instead
+    of the ~2 us/op an XLA op sequence pays (measured: a 716-row chain
+    was ~35 ms in XLA regardless of formulation)."""
+    nsub, w = m_ref.shape[-2], m_ref.shape[-1]
 
-    @pl.when(pl.program_id(1) == 0)
+    @pl.when(pl.program_id(0) == 0)
     def _init():
         carry_ref[...] = jnp.zeros(carry_ref.shape, jnp.int32)
 
@@ -114,12 +118,10 @@ def _comb_chain_kernel(m_ref, out_ref, carry_ref):
     # typed i32 or Mosaic recurses lowering the weak-i64 converts
     zero = jnp.int32(0)
     one = jnp.int32(1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (nsub, w), 1)
     p = carry_ref[...]
-    mb = m_ref[0]
-    outs = []
-    for j in range(8):
-        mi = mb[j:j + 1, :]                      # [1, W] i32 0/1
+    for j in range(m_ref.shape[0]):
+        mi = m_ref[j]                            # [nsub, W] i32 0/1
         # segmented Hillis-Steele scan of (p + 1) over outlier runs;
         # f = 1 marks segment boundaries (non-outlier cells)
         v = jnp.where(mi == one, p + one, zero)
@@ -132,40 +134,48 @@ def _comb_chain_kernel(m_ref, out_ref, carry_ref):
             f = jnp.maximum(f, fs)
             d *= 2
         seg = jnp.where(mi == one, v, zero)
-        outs.append((seg > jnp.int32(100)).astype(jnp.int32))
+        out_ref[j] = (seg > jnp.int32(100)).astype(jnp.int32)
         p = jnp.minimum(seg, jnp.int32(1000))
-    out_ref[0] = jnp.concatenate(outs, axis=0)
     carry_ref[...] = p
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _scan_rows_pallas(m: jnp.ndarray, interpret: bool = False):
-    """Pallas path for _scan_rows: m [..., R, W] bool -> over mask."""
+    """Pallas path for _scan_rows: m [..., R, W] bool -> over mask.
+
+    Layout: [R, n_pad, W_pad] — rows outer (the sequential grid axis),
+    chains in sublanes.  The two moveaxis relayouts are one cheap XLA
+    pass each; the chain itself is where the milliseconds were."""
     lead = m.shape[:-2]
     r, w = m.shape[-2], m.shape[-1]
     n = 1
     for s in lead:
         n *= s
-    rp = -(-r // 8) * 8
+    npad = -(-n // 8) * 8
     wp = -(-w // 128) * 128
-    mi = jnp.zeros((n, rp, wp), jnp.int32)
-    mi = mi.at[:, :r, :w].set(
-        m.reshape((n, r, w)).astype(jnp.int32))
+    # rows per grid step: amortize step overhead, cap the in+out block
+    # pair at ~4 MB of double-buffered VMEM
+    rb = max(1, min(8, (1 << 19) // (npad * wp)))
+    rp = -(-r // rb) * rb
+    mi = jnp.zeros((rp, npad, wp), jnp.int32)
+    mi = mi.at[:r, :n, :w].set(
+        jnp.moveaxis(m.reshape((n, r, w)).astype(jnp.int32), 0, 1))
     out = pl.pallas_call(
         _comb_chain_kernel,
-        grid=(n, rp // 8),
-        # the column index must be a typed i32: a literal 0 is weak-i64
+        grid=(rp // rb,),
+        # the block indices must be typed i32: a literal 0 is weak-i64
         # under the package's global x64 and Mosaic rejects the index
         # map's func.return
-        in_specs=[pl.BlockSpec((1, 8, wp),
-                               lambda b, i: (b, i, jnp.int32(0)))],
-        out_specs=pl.BlockSpec((1, 8, wp),
-                               lambda b, i: (b, i, jnp.int32(0))),
-        out_shape=jax.ShapeDtypeStruct((n, rp, wp), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((1, wp), jnp.int32)],
+        in_specs=[pl.BlockSpec((rb, npad, wp),
+                               lambda i: (i, jnp.int32(0), jnp.int32(0)))],
+        out_specs=pl.BlockSpec((rb, npad, wp),
+                               lambda i: (i, jnp.int32(0), jnp.int32(0))),
+        out_shape=jax.ShapeDtypeStruct((rp, npad, wp), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((npad, wp), jnp.int32)],
         interpret=interpret,
     )(mi)
-    return (out[:, :r, :w] > 0).reshape(lead + (r, w))
+    return (jnp.moveaxis(out[:r, :n, :w], 1, 0)
+            > 0).reshape(lead + (r, w))
 
 
 def comb_mask(luma: jnp.ndarray, j_start: int = 2, j_stop_off: int = 2,
