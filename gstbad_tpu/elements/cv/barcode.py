@@ -4,24 +4,27 @@ ext/zxing/gstzxing.cpp).
 Both reference elements pass the 8-bit luma plane to an external
 scanner library and post `barcode` element messages per detection;
 video passes through untouched.  The scanning engines here are
-io/qrdecode.py's from-spec implementations (QR incl. Reed-Solomon
-error correction, EAN-13 scanlines) — symbology coverage and the
-quality metric are the documented divergences.
+io/qrdecode.py (QR incl. Reed-Solomon error correction, EAN-13/EAN-8
+scanlines) and io/barcode1d.py (Code 128, Code 39, Code 93,
+Interleaved 2-of-5, Codabar, UPC-E) — from-spec implementations of
+libzbar's decoder set; the quality metric (scanline agreement votes,
+not zbar's edge confidence) is the documented divergence.
 
 zbar message fields (gstzbar.c:308-325): timestamp, stream-time,
 running-time (all the buffer pts in this single-segment model), type
-(libzbar symbol names: "QR-Code", "EAN-13", "EAN-8"), symbol, quality,
-duration, and `frame` when attach-frame is set.  The cache property
-suppresses symbols already reported on the immediately preceding
-frame (libzbar's inter-frame consistency cache, simplified to
-consecutive dedupe — documented).
+(libzbar symbol names: "QR-Code", "EAN-13", "EAN-8", "UPC-A",
+"UPC-E", "CODE-128", "CODE-39", "CODE-93", "I2/5", "Codabar"),
+symbol, quality, duration, and `frame` when attach-frame is set.  The
+cache property suppresses symbols already reported on the immediately
+preceding frame (libzbar's inter-frame consistency cache, simplified
+to consecutive dedupe — documented).
 
 zxing message fields (gstzxing.cpp:393-399): timestamp, stream-time,
-running-time, type (zxing-cpp format names: "QR_CODE", "EAN_13"),
-symbol, plus `frame` with attach-frame.  `format` narrows the
-symbology ("all", "qr_code", "ean_13"; the other enum nicks are
-accepted but never match — this build's scanners).  try-rotate scans
-the three right-angle rotations as well; try-faster is accepted as a
+running-time, type (zxing-cpp format names: "QR_CODE", "EAN_13",
+"CODE_128", ...), symbol, plus `frame` with attach-frame.  `format`
+narrows the symbology; aztec/maxicode/pdf_417/png nicks are accepted
+but never match (no scanner in this build).  try-rotate scans the
+three right-angle rotations as well; try-faster is accepted as a
 no-op hint (it tunes libZXing internals)."""
 
 from __future__ import annotations
@@ -124,6 +127,7 @@ class ZBar(_BarcodeBase):
         return f
 
     def _scan(self, gray):
+        from gstbad_tpu.io import barcode1d as b1
         from gstbad_tpu.io import qrdecode as qd
         out = []
         for text, _info in qd.scan_qr(gray):
@@ -139,6 +143,16 @@ class ZBar(_BarcodeBase):
         ean8 = qd.scan_ean8(gray)
         if ean8 is not None:
             out.append(("EAN-8", ean8[0], ean8[1]))
+        # the rest of libzbar's linear set (zbar symbol names)
+        for name, scan in (("CODE-128", b1.scan_code128),
+                           ("CODE-39", b1.scan_code39),
+                           ("CODE-93", b1.scan_code93),
+                           ("I2/5", b1.scan_itf),
+                           ("Codabar", b1.scan_codabar),
+                           ("UPC-E", b1.scan_upce)):
+            got = scan(gray)
+            if got is not None:
+                out.append((name, got[0], got[1]))
         return out
 
 
@@ -162,6 +176,7 @@ class ZXing(_BarcodeBase):
         return super().negotiate(in_spec)
 
     def _scan(self, gray):
+        from gstbad_tpu.io import barcode1d as b1
         from gstbad_tpu.io import qrdecode as qd
         fmt = self.props["format"]
         planes = [gray]
@@ -169,22 +184,27 @@ class ZXing(_BarcodeBase):
             planes += [np.rot90(gray, k) for k in (1, 2, 3)]
         out = []
         seen = set()
+        linear = (("ean_13", "EAN_13", qd.scan_ean13),
+                  ("ean_8", "EAN_8", qd.scan_ean8),
+                  ("code_128", "CODE_128", b1.scan_code128),
+                  ("code_39", "CODE_39", b1.scan_code39),
+                  ("code_93", "CODE_93", b1.scan_code93),
+                  ("itf", "ITF", b1.scan_itf),
+                  ("codabar", "CODABAR", b1.scan_codabar),
+                  ("upc_e", "UPC_E", b1.scan_upce))
         for g in planes:
             if fmt in ("all", "qr_code"):
                 for text, _info in qd.scan_qr(g):
                     if text not in seen:
                         seen.add(text)
                         out.append(("QR_CODE", text, 1))
-            if fmt in ("all", "ean_13"):
-                ean = qd.scan_ean13(g)
-                if ean is not None and ean[0] not in seen:
-                    seen.add(ean[0])
-                    out.append(("EAN_13", ean[0], ean[1]))
-            if fmt in ("all", "ean_8"):
-                ean8 = qd.scan_ean8(g)
-                if ean8 is not None and ean8[0] not in seen:
-                    seen.add(ean8[0])
-                    out.append(("EAN_8", ean8[0], ean8[1]))
+            for nick, name, scan in linear:
+                if fmt not in ("all", nick):
+                    continue
+                got = scan(g)
+                if got is not None and got[0] not in seen:
+                    seen.add(got[0])
+                    out.append((name, got[0], got[1]))
             if out and not self.props["try-rotate"]:
                 break
         return out
