@@ -1,0 +1,659 @@
+"""LV2 plugin host (ext/lv2/gstlv2.c, gstlv2utils.c) — lilv replaced
+by a Turtle-subset RDF parser + a ctypes binding of the LV2 core ABI.
+
+The reference walks lilv: lilv_world_load_all over LV2_PATH bundles,
+port classification against the lv2core node URIs
+(gstlv2.c:262-307), group-deduped audio port counting
+(lv2_count_ports, gstlv2.c:122-160), element naming from the plugin
+URI with the protocol cut off and g_strcanon to [A-Za-z0-9-+]
+(gstlv2.c:187-193), and control-port -> property marshalling with the
+param-name canonicalization and -N dedupe (gstlv2utils.c:560-595).
+All of that is re-expressed here over our own world model:
+
+  * Turtle parser: the subset LV2 bundles use — @prefix, a, ;/,
+    continuations, blank nodes [ ... ], collections ( ... ), typed
+    and plain literals, IRIs and prefixed names.
+  * World: every directory on LV2_PATH containing manifest.ttl is a
+    bundle; manifest subjects typed lv2:Plugin pull their
+    rdfs:seeAlso files into the bundle graph (lilv_world_load_all).
+  * Host: dlopen lv2:binary, walk lv2_descriptor(i) for the matching
+    URI, instantiate(rate, bundle_path, features=[NULL]) and run over
+    connected float32 buffers — the LADSPA host's ctypes pattern
+    (io/ladspa.py) applied to the LV2 ABI.
+
+Plugins with any lv2:requiredFeature are skipped like the reference
+(gst_lv2_check_required_features, gstlv2utils.c:105-140 — we support
+no host features either).  Since this environment ships no system LV2
+bundles, build_test_plugins() compiles native/lv2_plugins.c and
+installs its .ttl manifests as an in-repo fixture bundle — the
+native/ladspa_plugins.c approach.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+LV2_CORE = "http://lv2plug.in/ns/lv2core#"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+DOAP = "http://usefulinc.com/ns/doap#"
+PGROUPS = "http://lv2plug.in/ns/ext/port-groups#"
+
+INT32_MIN, INT32_MAX = -(2 ** 31), 2 ** 31 - 1
+
+
+class Lv2Error(ValueError):
+    pass
+
+
+class URI(str):
+    """An IRI node (distinct from plain string literals)."""
+    __slots__ = ()
+
+
+class Blank(str):
+    """A blank-node id (unique per parse)."""
+    __slots__ = ()
+
+
+# ---------------------------------------------------------------------------
+# Turtle subset parser
+
+_TOKEN = re.compile(r"""
+    (?P<ws>\s+|\#[^\n]*)
+  | (?P<iri><[^>]*>)
+  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<prefix>@prefix\b|@base\b)
+  | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<punct>\^\^|[;,.\[\]()])
+  | (?P<pname>[A-Za-z_][\w.-]*)?:(?P<local>[\w.\-%]*)
+  | (?P<bare>[A-Za-z_][\w-]*)
+""", re.VERBOSE)
+
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\"}
+
+
+def _unescape(s: str) -> str:
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            n = s[i + 1]
+            if n == "u" and i + 5 < len(s):
+                out.append(chr(int(s[i + 2:i + 6], 16)))
+                i += 6
+                continue
+            out.append(_ESCAPES.get(n, n))
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+class TurtleParser:
+    """Parses a Turtle document into triples(subject, pred, object).
+
+    Graph shape: {subject: {pred: [objects...]}} with URI/Blank node
+    keys and python str/int/float/bool literal objects."""
+
+    def __init__(self):
+        self.graph: Dict[str, Dict[str, List[object]]] = {}
+        self.prefixes: Dict[str, str] = {}
+        self._blank_n = 0
+
+    # -- tokenizer
+    def _tokens(self, text: str):
+        pos = 0
+        while pos < len(text):
+            m = _TOKEN.match(text, pos)
+            if not m or m.end() == pos:
+                raise Lv2Error(f"turtle: bad syntax at {text[pos:pos+30]!r}")
+            pos = m.end()
+            if m.lastgroup in ("ws",):
+                continue
+            yield m
+        yield None
+
+    def parse(self, text: str, base: str = "") -> "TurtleParser":
+        self._iter = self._tokens(text)
+        self._tok = next(self._iter)
+        self._base = base
+        while self._tok is not None:
+            self._statement()
+        return self
+
+    def _advance(self):
+        t = self._tok
+        if t is None:
+            raise Lv2Error("turtle: unexpected eof")
+        self._tok = next(self._iter)
+        return t
+
+    def _expect_punct(self, p: str):
+        t = self._advance()
+        if t is None or t.group("punct") != p:
+            got = t.group(0) if t is not None else "<eof>"
+            raise Lv2Error(f"turtle: expected {p!r}, got {got!r}")
+
+    def _statement(self):
+        t = self._tok
+        if t.group("prefix") == "@prefix":
+            self._advance()
+            name = self._advance()
+            if name.group("local") or name.group("pname") is None \
+                    and name.group("local") == "":
+                pass
+            pfx = name.group("pname") or ""
+            iri = self._advance().group("iri")
+            self.prefixes[pfx] = iri[1:-1]
+            self._expect_punct(".")
+            return
+        if t.group("prefix") == "@base":
+            self._advance()
+            self._base = self._advance().group("iri")[1:-1]
+            self._expect_punct(".")
+            return
+        subj = self._node()
+        self._predicate_list(subj)
+        self._expect_punct(".")
+
+    def _predicate_list(self, subj):
+        while True:
+            pred = self._node()
+            if pred == URI(RDF + "type_kw"):
+                pred = URI(RDF + "type")
+            while True:
+                obj = self._node()
+                self.graph.setdefault(subj, {}).setdefault(
+                    str(pred), []).append(obj)
+                if self._tok is not None and \
+                        self._tok.group("punct") == ",":
+                    self._advance()
+                    continue
+                break
+            if self._tok is not None and self._tok.group("punct") == ";":
+                self._advance()
+                # tolerate trailing ';' before '.' or ']'
+                if self._tok is not None and (
+                        self._tok.group("punct") in (".", "]")):
+                    return
+                continue
+            return
+
+    def _node(self):
+        t = self._advance()
+        if t is None:
+            raise Lv2Error("turtle: unexpected eof")
+        if t.group("iri") is not None:
+            iri = _unescape(t.group("iri")[1:-1])
+            if self._base and "://" not in iri and not iri.startswith(
+                    ("urn:", "file:")):
+                iri = self._base + iri
+            return URI(iri)
+        if t.group("string") is not None:
+            val = _unescape(t.group("string")[1:-1])
+            # optional ^^datatype or @lang — swallow, keep lexical form
+            if self._tok is not None and self._tok.group("punct") == "^^":
+                self._advance()
+                self._node()
+            return val
+        if t.group("num") is not None:
+            s = t.group("num")
+            return float(s) if any(c in s for c in ".eE") else int(s)
+        if t.group("bare") is not None:
+            w = t.group("bare")
+            if w == "a":
+                return URI(RDF + "type_kw")
+            if w == "true":
+                return True
+            if w == "false":
+                return False
+            raise Lv2Error(f"turtle: bare word {w!r}")
+        if t.group("local") is not None and t.group("iri") is None \
+                and t.group("string") is None:
+            pfx = t.group("pname") or ""
+            if pfx not in self.prefixes:
+                raise Lv2Error(f"turtle: unknown prefix {pfx!r}")
+            return URI(self.prefixes[pfx] + t.group("local"))
+        p = t.group("punct")
+        if p == "[":
+            self._blank_n += 1
+            b = Blank(f"_:b{self._blank_n}")
+            if self._tok is not None and self._tok.group("punct") == "]":
+                self._advance()
+                return b
+            self._predicate_list(b)
+            self._expect_punct("]")
+            return b
+        if p == "(":
+            items = []
+            while not (self._tok is not None
+                       and self._tok.group("punct") == ")"):
+                items.append(self._node())
+            self._advance()
+            self._blank_n += 1
+            b = Blank(f"_:b{self._blank_n}")
+            self.graph.setdefault(b, {})[RDF + "list"] = items
+            return b
+        raise Lv2Error(f"turtle: unexpected token {t.group(0)!r}")
+
+
+# ---------------------------------------------------------------------------
+# world model
+
+@dataclass
+class Lv2Port:
+    index: int
+    symbol: str
+    name: str
+    classes: Tuple[str, ...]
+    default: Optional[float] = None
+    minimum: Optional[float] = None
+    maximum: Optional[float] = None
+    integer: bool = False
+    toggled: bool = False
+    enumeration: bool = False
+    group: Optional[str] = None
+    scale_points: Tuple[Tuple[str, float], ...] = ()
+
+    def is_a(self, cls: str) -> bool:
+        return LV2_CORE + cls in self.classes
+
+    @property
+    def is_audio(self) -> bool:
+        return self.is_a("AudioPort")
+
+    @property
+    def is_control(self) -> bool:
+        return self.is_a("ControlPort") or self.is_a("CVPort")
+
+    @property
+    def is_input(self) -> bool:
+        return self.is_a("InputPort")
+
+
+@dataclass
+class PropertySpec:
+    name: str
+    nick: str
+    type: type
+    default: object
+    minimum: object
+    maximum: object
+    port: Lv2Port
+
+
+def _canon(s: str, extra: str = "-") -> str:
+    return "".join(c if c.isalnum() or c in extra else "-" for c in s)
+
+
+def element_name_of(uri: str) -> str:
+    """gstlv2.c:187-193: cut the protocol, canon to [A-Za-z0-9-+]."""
+    p = uri.find("://")
+    name = uri[p + 3:] if p >= 0 else uri
+    return _canon(name, "-+")
+
+
+def _prop_name(symbol: str, taken: set) -> str:
+    """gstlv2utils.c:560-595 param-name build with -N dedupe."""
+    name = _canon(symbol)
+    if not name or not name[0].isalpha():
+        name = "param-" + name
+    if name in taken:
+        n = 1
+        while f"{name}-{n}" in taken:
+            n += 1
+        name = f"{name}-{n}"
+    taken.add(name)
+    return name
+
+
+@dataclass
+class Lv2Plugin:
+    uri: str
+    bundle: str
+    binary: str
+    name: str
+    ports: List[Lv2Port]
+    required_features: Tuple[str, ...] = ()
+
+    audio_in: List[Lv2Port] = field(default_factory=list)
+    audio_out: List[Lv2Port] = field(default_factory=list)
+    control_in: List[Lv2Port] = field(default_factory=list)
+    control_out: List[Lv2Port] = field(default_factory=list)
+    in_props: List[PropertySpec] = field(default_factory=list)
+    out_props: List[PropertySpec] = field(default_factory=list)
+
+    def __post_init__(self):
+        taken: set = set()
+        for p in sorted(self.ports, key=lambda p: p.index):
+            if p.is_audio:
+                (self.audio_in if p.is_input else self.audio_out).append(p)
+            elif p.is_control:
+                lst = self.control_in if p.is_input else self.control_out
+                props = self.in_props if p.is_input else self.out_props
+                lst.append(p)
+                props.append(self._prop_spec(p, taken))
+
+    def _prop_spec(self, p: Lv2Port, taken: set) -> PropertySpec:
+        name = _prop_name(p.symbol, taken)
+        lo = p.minimum if p.minimum is not None else 0.0
+        hi = p.maximum if p.maximum is not None else 1.0
+        d = p.default if p.default is not None else lo
+        if p.toggled:
+            return PropertySpec(name, p.name, bool, bool(d), None, None, p)
+        if p.integer:
+            return PropertySpec(name, p.name, int, int(d),
+                                int(lo), int(hi), p)
+        return PropertySpec(name, p.name, float, float(d),
+                            float(lo), float(hi), p)
+
+    @property
+    def element_name(self) -> str:
+        return element_name_of(self.uri)
+
+    def audio_group_counts(self) -> Tuple[int, int]:
+        """lv2_count_ports (gstlv2.c:122-160): ports sharing a
+        pg:group count once."""
+        seen: set = set()
+        n_in = n_out = 0
+        for p in self.ports:
+            if not p.is_audio:
+                continue
+            if p.group is not None:
+                if p.group in seen:
+                    continue
+                seen.add(p.group)
+            if p.is_input:
+                n_in += 1
+            else:
+                n_out += 1
+        return n_in, n_out
+
+    def instantiate(self, rate: int) -> "Lv2Instance":
+        return Lv2Instance(self, rate)
+
+
+def _first(vals: Optional[List[object]]):
+    return vals[0] if vals else None
+
+
+def _load_bundle(bundle: str) -> List[Lv2Plugin]:
+    manifest = os.path.join(bundle, "manifest.ttl")
+    if not os.path.exists(manifest):
+        return []
+    tp = TurtleParser()
+    with open(manifest, "r", encoding="utf-8") as f:
+        tp.parse(f.read())
+    # every subject typed lv2:Plugin: merge its seeAlso files
+    plugin_uris = [s for s, preds in tp.graph.items()
+                   if URI(LV2_CORE + "Plugin")
+                   in preds.get(RDF + "type", [])]
+    see_also: List[str] = []
+    for s in plugin_uris:
+        for obj in tp.graph[s].get(RDFS + "seeAlso", []):
+            # several plugins citing one data file parse it ONCE
+            # (lilv_world_load_graph's uri-keyed model cache)
+            if isinstance(obj, URI) and str(obj) not in see_also:
+                see_also.append(str(obj))
+    for rel in see_also:
+        path = os.path.join(bundle, os.path.basename(rel))
+        if os.path.exists(path):
+            with open(path, "r", encoding="utf-8") as f:
+                tp.parse(f.read())
+
+    out = []
+    for s in plugin_uris:
+        preds = tp.graph.get(s, {})
+        binary = _first(preds.get(LV2_CORE + "binary"))
+        if binary is None:
+            continue
+        name = _first(preds.get(DOAP + "name")) or str(s)
+        req = tuple(str(o) for o in
+                    preds.get(LV2_CORE + "requiredFeature", []))
+        ports = []
+        for node in preds.get(LV2_CORE + "port", []):
+            pp = tp.graph.get(node, {})
+            classes = tuple(str(c) for c in pp.get(RDF + "type", []))
+            props = [str(x) for x in
+                     pp.get(LV2_CORE + "portProperty", [])]
+            sps = []
+            for spn in pp.get(LV2_CORE + "scalePoint", []):
+                sp = tp.graph.get(spn, {})
+                lab = _first(sp.get(RDFS + "label"))
+                val = _first(sp.get(RDF + "value"))
+                if lab is not None and val is not None:
+                    sps.append((str(lab), float(val)))
+            grp = _first(pp.get(PGROUPS + "group"))
+
+            def fnum(key):
+                v = _first(pp.get(LV2_CORE + key))
+                return None if v is None else float(v)
+
+            ports.append(Lv2Port(
+                index=int(_first(pp.get(LV2_CORE + "index")) or 0),
+                symbol=str(_first(pp.get(LV2_CORE + "symbol")) or ""),
+                name=str(_first(pp.get(LV2_CORE + "name")) or ""),
+                classes=classes,
+                default=fnum("default"),
+                minimum=fnum("minimum"),
+                maximum=fnum("maximum"),
+                integer=LV2_CORE + "integer" in props,
+                toggled=LV2_CORE + "toggled" in props,
+                enumeration=LV2_CORE + "enumeration" in props,
+                group=str(grp) if grp is not None else None,
+                scale_points=tuple(sps),
+            ))
+        binpath = os.path.join(bundle, os.path.basename(str(binary)))
+        out.append(Lv2Plugin(uri=str(s), bundle=bundle, binary=binpath,
+                             name=str(name), ports=ports,
+                             required_features=req))
+    return out
+
+
+def scan(path: Optional[str] = None) -> List[Lv2Plugin]:
+    """lilv_world_load_all over LV2_PATH: every subdirectory holding a
+    manifest.ttl is a bundle.  Plugins with required host features are
+    dropped (gstlv2utils.c:105-140; we support none)."""
+    path = path if path is not None else os.environ.get("LV2_PATH", "")
+    plugins: List[Lv2Plugin] = []
+    for directory in filter(None, path.split(os.pathsep)):
+        if not os.path.isdir(directory):
+            continue
+        cands = [directory] + [
+            os.path.join(directory, d)
+            for d in sorted(os.listdir(directory))]
+        for bundle in cands:
+            if not os.path.isdir(bundle):
+                continue
+            try:
+                for p in _load_bundle(bundle):
+                    if p.required_features:
+                        continue
+                    plugins.append(p)
+            except Lv2Error:
+                continue
+    return plugins
+
+
+# ---------------------------------------------------------------------------
+# ctypes host (LV2 core ABI, lv2core/lv2.h)
+
+class _Descriptor(ctypes.Structure):
+    _fields_ = [
+        ("URI", ctypes.c_char_p),
+        ("instantiate", ctypes.CFUNCTYPE(
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_double,
+            ctypes.c_char_p, ctypes.c_void_p)),
+        ("connect_port", ctypes.CFUNCTYPE(
+            None, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_void_p)),
+        ("activate", ctypes.CFUNCTYPE(None, ctypes.c_void_p)),
+        ("run", ctypes.CFUNCTYPE(
+            None, ctypes.c_void_p, ctypes.c_uint32)),
+        ("deactivate", ctypes.CFUNCTYPE(None, ctypes.c_void_p)),
+        ("cleanup", ctypes.CFUNCTYPE(None, ctypes.c_void_p)),
+        ("extension_data", ctypes.CFUNCTYPE(
+            ctypes.c_void_p, ctypes.c_char_p)),
+    ]
+
+
+class Lv2Instance:
+    """One live plugin instance: control ports in ctypes float slots,
+    audio ports connected per run() — io/ladspa.py's LadspaInstance
+    over the LV2 descriptor walk (lv2_descriptor(i) until URI match)."""
+
+    def __init__(self, plugin: Lv2Plugin, rate: int):
+        self.plugin = plugin
+        lib = ctypes.CDLL(plugin.binary)
+        getter = lib.lv2_descriptor
+        getter.restype = ctypes.POINTER(_Descriptor)
+        getter.argtypes = [ctypes.c_uint32]
+        desc = None
+        i = 0
+        while True:
+            d = getter(i)
+            if not d:
+                break
+            if d.contents.URI.decode() == plugin.uri:
+                desc = d.contents
+                break
+            i += 1
+        if desc is None:
+            raise Lv2Error(f"{plugin.binary}: no descriptor for "
+                           f"{plugin.uri}")
+        self.desc = desc
+        self._lib = lib
+        features = (ctypes.c_void_p * 1)(None)
+        bundle = (plugin.bundle.rstrip(os.sep) + os.sep).encode()
+        self.handle = desc.instantiate(
+            ctypes.byref(desc), float(rate), bundle,
+            ctypes.cast(features, ctypes.c_void_p))
+        if not self.handle:
+            raise Lv2Error(f"could not instantiate {plugin.uri}")
+        self.rate = rate
+        self.activated = False
+        n_in = len(plugin.control_in)
+        n_out = len(plugin.control_out)
+        self._ctl_in = (ctypes.c_float * max(n_in, 1))()
+        self._ctl_out = (ctypes.c_float * max(n_out, 1))()
+        for i, port in enumerate(plugin.control_in):
+            self._ctl_in[i] = plugin.in_props[i].default
+            desc.connect_port(
+                self.handle, port.index,
+                ctypes.cast(ctypes.byref(self._ctl_in, i * 4),
+                            ctypes.c_void_p))
+        for i, port in enumerate(plugin.control_out):
+            desc.connect_port(
+                self.handle, port.index,
+                ctypes.cast(ctypes.byref(self._ctl_out, i * 4),
+                            ctypes.c_void_p))
+
+    def set_control(self, name: str, value) -> None:
+        for i, spec in enumerate(self.plugin.in_props):
+            if spec.name == name:
+                self._ctl_in[i] = (1.0 if value else 0.0) \
+                    if spec.type is bool else float(value)
+                return
+        raise Lv2Error(f"no writable control '{name}'")
+
+    def get_control(self, name: str):
+        for i, spec in enumerate(self.plugin.in_props):
+            if spec.name == name:
+                v = self._ctl_in[i]
+                break
+        else:
+            for i, spec in enumerate(self.plugin.out_props):
+                if spec.name == name:
+                    v = self._ctl_out[i]
+                    break
+            else:
+                raise Lv2Error(f"no control '{name}'")
+        if spec.type is bool:
+            return v > 0.5
+        if spec.type is int:
+            return int(min(max(v, INT32_MIN), INT32_MAX))
+        return v
+
+    def activate(self) -> None:
+        if not self.activated and self.desc.activate:
+            self.desc.activate(self.handle)
+        self.activated = True
+
+    def deactivate(self) -> None:
+        if self.activated and self.desc.deactivate:
+            self.desc.deactivate(self.handle)
+        self.activated = False
+
+    def run(self, samples: int,
+            audio_in: Optional[np.ndarray] = None) -> np.ndarray:
+        plugin = self.plugin
+        if not self.activated:
+            self.activate()
+        n_in = len(plugin.audio_in)
+        n_out = len(plugin.audio_out)
+        if n_in:
+            audio_in = np.ascontiguousarray(audio_in, np.float32)
+            if audio_in.ndim == 1:
+                audio_in = audio_in[:, None]
+            if audio_in.shape != (samples, n_in):
+                raise Lv2Error(f"expected [{samples}, {n_in}] input")
+            deinter = np.ascontiguousarray(audio_in.T)
+        else:
+            deinter = np.zeros((0, samples), np.float32)
+        out = np.zeros((n_out, samples), np.float32)
+        for i, port in enumerate(plugin.audio_in):
+            self.desc.connect_port(
+                self.handle, port.index,
+                deinter[i].ctypes.data_as(ctypes.c_void_p))
+        for i, port in enumerate(plugin.audio_out):
+            self.desc.connect_port(
+                self.handle, port.index,
+                out[i].ctypes.data_as(ctypes.c_void_p))
+        self.desc.run(self.handle, samples)
+        return np.ascontiguousarray(out.T)
+
+    def close(self) -> None:
+        if self.handle:
+            self.deactivate()
+            if self.desc.cleanup:
+                self.desc.cleanup(self.handle)
+            self.handle = None
+
+
+# ------------------------------------------------- native test bundle
+
+def build_test_plugins() -> str:
+    """Compile native/lv2_plugins.c into a content-hash bundle
+    directory with its .ttl manifests installed, fit for LV2_PATH
+    (the io/ladspa.py build_test_plugins pattern)."""
+    import hashlib
+    import shutil
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    src = os.path.join(repo, "native", "lv2_plugins.c")
+    ttls = [os.path.join(repo, "native", "lv2_manifest.ttl"),
+            os.path.join(repo, "native", "lv2_plugins.ttl")]
+    h = hashlib.sha256()
+    for f in [src] + ttls:
+        with open(f, "rb") as fh:
+            h.update(fh.read())
+    digest = h.hexdigest()[:16]
+    directory = os.path.join(repo, "native", "build", f"lv2-{digest}")
+    bundle = os.path.join(directory, "gstbad.lv2")
+    so = os.path.join(bundle, "gstbad_lv2.so")
+    if not os.path.exists(so):
+        os.makedirs(bundle, exist_ok=True)
+        shutil.copy(ttls[0], os.path.join(bundle, "manifest.ttl"))
+        shutil.copy(ttls[1], os.path.join(bundle, "plugins.ttl"))
+        subprocess.check_call(["gcc", "-O2", "-shared", "-fPIC",
+                               "-o", so, src, "-lm"])
+    return directory
