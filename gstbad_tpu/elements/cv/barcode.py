@@ -149,7 +149,9 @@ class ZBar(_BarcodeBase):
                            ("CODE-93", b1.scan_code93),
                            ("I2/5", b1.scan_itf),
                            ("Codabar", b1.scan_codabar),
-                           ("UPC-E", b1.scan_upce)):
+                           ("UPC-E", b1.scan_upce),
+                           ("EAN-2", b1.scan_ean2),
+                           ("EAN-5", b1.scan_ean5)):
             got = scan(gray)
             if got is not None:
                 out.append((name, got[0], got[1]))

@@ -608,3 +608,105 @@ def _decode_upce(runs: List[float]) -> Optional[str]:
 
 def scan_upce(gray: np.ndarray):
     return _sweep(gray, _decode_upce, 33)
+
+
+# ---------------------------------------------------------------------------
+# EAN-2 / EAN-5 add-ons (GS1: supplement symbols; zbar ZBAR_EAN2/EAN5).
+# Structure: guard 1011, digits of 7 modules L/G separated by 01;
+# EAN-2 parity = value mod 4, EAN-5 parity = (3*odd + 9*even) mod 10.
+
+_EAN5_PARITY = ("GGLLL", "GLGLL", "GLLGL", "GLLLG", "LGGLL",
+                "LLGGL", "LLLGG", "LGLGL", "LGLLG", "LLGLG")
+_EAN2_PARITY = ("LL", "LG", "GL", "GG")
+
+
+def _addon_bits(digits: str, parity: str) -> str:
+    bits = "1011"
+    for i, d in enumerate(digits):
+        if i:
+            bits += "01"
+        bits += (_EAN_L if parity[i] == "L" else _EAN_G)[int(d)]
+    return bits
+
+
+def render_ean2(digits: str, module_px: int = 3,
+                height: int = 60) -> np.ndarray:
+    assert len(digits) == 2 and digits.isdigit()
+    parity = _EAN2_PARITY[int(digits) % 4]
+    return _bits_to_image(_addon_bits(digits, parity), module_px,
+                          height, quiet=9)
+
+
+def render_ean5(digits: str, module_px: int = 3,
+                height: int = 60) -> np.ndarray:
+    assert len(digits) == 5 and digits.isdigit()
+    c = (3 * (int(digits[0]) + int(digits[2]) + int(digits[4]))
+         + 9 * (int(digits[1]) + int(digits[3]))) % 10
+    return _bits_to_image(_addon_bits(digits, _EAN5_PARITY[c]),
+                          module_px, height, quiet=9)
+
+
+def _decode_addon(runs: List[float], ndig: int) -> Optional[str]:
+    nruns = 3 + 4 * ndig + 2 * (ndig - 1)
+    nmod = 4 + 7 * ndig + 2 * (ndig - 1)
+    if len(runs) < nruns:
+        return None
+    tail = runs[nruns:]
+    runs = runs[:nruns]
+    unit = sum(runs) / nmod
+    # add-ons have no end guard: the RIGHT quiet zone is the delimiter
+    # (and the only thing separating a 2-digit parse from the middle of
+    # some other symbol — EAN-2's mod-4 parity alone is 1-in-4)
+    if tail and tail[0] < 5.0 * unit:
+        return None
+    # guard 1011 -> runs 1,1,2
+    if abs(runs[0] - unit) > 0.6 * unit or \
+            abs(runs[1] - unit) > 0.6 * unit or \
+            abs(runs[2] - 2 * unit) > 0.7 * unit:
+        return None
+    digits = ""
+    parity = ""
+    pos = 3
+    for i in range(ndig):
+        if i:
+            # 01 separator
+            if abs(runs[pos] - unit) > 0.6 * unit or \
+                    abs(runs[pos + 1] - unit) > 0.6 * unit:
+                return None
+            pos += 2
+        grp = runs[pos:pos + 4]
+        dl = dg = None
+        el = eg = None
+        for di in range(10):
+            e = _pat_err(_EAN_L[di], grp, unit)
+            if el is None or e < el:
+                dl, el = di, e
+            e = _pat_err(_EAN_G[di], grp, unit)
+            if eg is None or e < eg:
+                dg, eg = di, e
+        if min(el, eg) > 3.5 * unit:
+            return None
+        if el <= eg:
+            digits += str(dl)
+            parity += "L"
+        else:
+            digits += str(dg)
+            parity += "G"
+        pos += 4
+    if ndig == 2:
+        if _EAN2_PARITY[int(digits) % 4] != parity:
+            return None
+    else:
+        c = (3 * (int(digits[0]) + int(digits[2]) + int(digits[4]))
+             + 9 * (int(digits[1]) + int(digits[3]))) % 10
+        if _EAN5_PARITY[c] != parity:
+            return None
+    return digits
+
+
+def scan_ean2(gray: np.ndarray):
+    return _sweep(gray, lambda r: _decode_addon(r, 2), 11)
+
+
+def scan_ean5(gray: np.ndarray):
+    return _sweep(gray, lambda r: _decode_addon(r, 5), 29)

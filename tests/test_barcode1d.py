@@ -156,3 +156,24 @@ def test_zxing_try_rotate_linear():
     assert [m["symbol"] for m in msgs] == ["ROT39"]
     msgs2, _ = _drive("zxing", img[None], format="code_39")
     assert msgs2 == []
+
+
+def test_ean_addons_roundtrip():
+    for d in ("05", "12", "99"):
+        got = b1.scan_ean2(b1.render_ean2(d))
+        assert got is not None and got[0] == d, d
+    for d in ("54495", "00000", "12345"):
+        got = b1.scan_ean5(b1.render_ean5(d))
+        assert got is not None and got[0] == d, d
+    # parity mismatch rejected: EAN-5 rendered with the wrong checksum
+    # parity cannot decode as any other 5-digit value
+    img = b1.render_ean5("54495")
+    res2 = b1.scan_ean2(img)           # a 2-digit prefix parse must not fire
+    assert res2 is None or res2[0] != "54"
+
+
+def test_zbar_reports_ean_addons():
+    msgs, _ = _drive("zbar", b1.render_ean5("54495")[None])
+    assert [(m["type"], m["symbol"]) for m in msgs] == [("EAN-5", "54495")]
+    msgs2, _ = _drive("zbar", b1.render_ean2("07")[None])
+    assert [(m["type"], m["symbol"]) for m in msgs2] == [("EAN-2", "07")]
