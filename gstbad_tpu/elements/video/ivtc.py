@@ -26,6 +26,7 @@ from gstbad_tpu.ops import ivtc as ivtc_ops
 
 CAP = 8  # field queue capacity (reference GST_IVTC_MAX_FIELDS = 10)
 THRESHOLD = 100
+_SCORE_CHUNK = 32  # pairs per streamed comb pass
 
 
 @register
@@ -86,14 +87,18 @@ class Ivtc(VideoFilter):
         # dispatches per window and used 2 of 8 vreg sublanes; this is
         # one dispatch at full sublane occupancy (ops/comb.py).
         L = CAP + 3 * b
-        ring = (state["head"] + jnp.arange(CAP)) % CAP
-        pos_old = jnp.where(jnp.arange(CAP) < state["count"],
-                            jnp.arange(CAP), L)
-        seq = {}
-        for k in state["q"]:
-            buf = jnp.zeros((L + 1,) + state["q"][k].shape[1:],
-                            state["q"][k].dtype)
-            seq[k] = buf.at[pos_old].set(state["q"][k][ring])
+        ring = (state["head"] + jnp.arange(CAP, dtype=jnp.int32)) % CAP
+        pos_old = jnp.where(
+            jnp.arange(CAP, dtype=jnp.int32) < state["count"],
+            jnp.arange(CAP, dtype=jnp.int32), L)
+        # frame POOL (carried ring slots, then this window's frames) +
+        # an index-valued dense sequence: a field at dense position j is
+        # pool[k][src[j]].  Storing indices instead of pixels keeps the
+        # window cost O(b) frames — a pixel-valued sequence was ~3x the
+        # window in copies and blew HBM at the bench's 256-frame windows
+        pool = {k: jnp.concatenate([state["q"][k], data[k]], axis=0)
+                for k in state["q"]}
+        src = jnp.zeros(L + 1, jnp.int32).at[pos_old].set(ring)
         parity_seq = jnp.zeros(L + 1, jnp.int32).at[pos_old].set(
             state["parity"][ring])
         ts_seq = jnp.zeros(L + 1, jnp.int64).at[pos_old].set(
@@ -113,26 +118,41 @@ class Ivtc(VideoFilter):
         cpos = (state["count"] + jnp.cumsum(cand_valid.astype(jnp.int32))
                 - cand_valid.astype(jnp.int32))
         cpos = jnp.where(cand_valid, cpos, L)
-        for k in seq:
-            seq[k] = seq[k].at[cpos].set(jnp.repeat(data[k], 3, axis=0))
+        src = src.at[cpos].set(
+            CAP + jnp.repeat(jnp.arange(b, dtype=jnp.int32), 3))
         parity_seq = parity_seq.at[cpos].set(cand_par)
         ts_seq = ts_seq.at[cpos].set(cand_ts)
         arrivals = cand_valid.reshape(b, 3).sum(axis=1).astype(jnp.int32)
 
-        luma = seq["y"]
-        top_first = (parity_seq[:L - 1] == 0)[:, None, None]
-        pair_scores = comb_ops.comb_score(
-            jnp.where(top_first, luma[:L - 1], luma[1:L]),
-            jnp.where(top_first, luma[1:L], luma[:L - 1]))   # [L-1]
+        # all adjacent-pair scores, streamed in chunks of _SCORE_CHUNK
+        # pairs (gather 2 chunk-sized frame sets, one batched chain
+        # pass each) so peak memory stays chunk-sized
+        ysrc = pool["y"]
+        npairs = L - 1
+        kchunks = -(-npairs // _SCORE_CHUNK)
+        pids = jnp.minimum(
+            jnp.arange(kchunks * _SCORE_CHUNK, dtype=jnp.int32),
+            npairs - 1)
+
+        def score_chunk(ids):
+            f1 = ysrc[src[ids]]
+            f2 = ysrc[src[ids + 1]]
+            tf = (parity_seq[ids] == 0)[:, None, None]
+            return comb_ops.comb_score(jnp.where(tf, f1, f2),
+                                       jnp.where(tf, f2, f1))
+
+        pair_scores = lax.map(
+            score_chunk,
+            pids.reshape(kchunks, _SCORE_CHUNK)).reshape(-1)[:npairs]
 
         def weave_frame(st, i1, i2):
             j1 = st["head_abs"] + i1
             j2 = st["head_abs"] + i2
             p1 = parity_seq[j1]
             out = {}
-            for k in seq:
-                f1 = seq[k][j1]
-                f2 = seq[k][j2]
+            for k in pool:
+                f1 = pool[k][src[j1]]
+                f2 = pool[k][src[j2]]
                 top = jnp.where(p1 == 0, f1, f2)
                 bottom = jnp.where(p1 == 0, f2, f1)
                 out[k] = ivtc_ops.weave(top, bottom)
@@ -142,11 +162,11 @@ class Ivtc(VideoFilter):
             j1 = st["head_abs"] + i1
             p = parity_seq[j1]
             out = {"y": ivtc_ops.reconstruct_single_luma(
-                seq["y"][j1], p)}
-            for k in seq:
+                pool["y"][src[j1]], p)}
+            for k in pool:
                 if k != "y":
                     out[k] = ivtc_ops.reconstruct_single_chroma(
-                        seq[k][j1], p)
+                        pool[k][src[j1]], p)
             return out
 
         def construct(st):
@@ -169,7 +189,7 @@ class Ivtc(VideoFilter):
                     jnp.where(use_next_a, weave_next[k], weave_prev[k]),
                     jnp.where(branch_next, weave_next[k], single[k]))
 
-            out = {k: sel(k) for k in seq}
+            out = {k: sel(k) for k in pool}
             n_retire = jnp.where(
                 branch_prev, jnp.where(use_next_a, 3, 2),
                 jnp.where(branch_next, jnp.where(forward_ok, 3, 2), 2)
@@ -207,7 +227,7 @@ class Ivtc(VideoFilter):
                     return construct(st)
 
                 def dont(st=st):
-                    dummy = {k: seq[k][0] for k in seq}
+                    dummy = {k: pool[k][0] for k in pool}
                     return st, dummy, jnp.int64(0)
 
                 st, out, opts = lax.cond(can, do, dont)
@@ -225,9 +245,10 @@ class Ivtc(VideoFilter):
         # write the surviving tail of the dense sequence back into the
         # ring state (head renormalized to 0; slots past count are
         # whatever the clipped gather grabs and are never read)
-        tail = jnp.clip(sst["head_abs"] + jnp.arange(CAP), 0, L)
+        tail = jnp.clip(
+            sst["head_abs"] + jnp.arange(CAP, dtype=jnp.int32), 0, L)
         state = {
-            "q": {k: seq[k][tail] for k in seq},
+            "q": {k: pool[k][src[tail]] for k in pool},
             "parity": parity_seq[tail],
             "ts": ts_seq[tail],
             "head": jnp.int32(0),

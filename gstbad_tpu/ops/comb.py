@@ -30,6 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BLOCK = 32
+_NCHUNK = 32   # max chains per pallas_call (sublane-batched layout)
 
 
 def _outlier(s1, s2, s3):
@@ -196,7 +197,28 @@ def comb_mask(luma: jnp.ndarray, j_start: int = 2, j_stop_off: int = 2,
     m = _outlier(s1, s2, s3)
     on_tpu = jax.default_backend() == "tpu"
     if engine == "pallas" or (engine == "auto" and on_tpu):
-        over = _scan_rows_pallas(m, interpret=not on_tpu)
+        interp = not on_tpu
+        lead = m.shape[:-2]
+        n = 1
+        for s in lead:
+            n *= s
+        if n > _NCHUNK:
+            # large batches stream through the kernel _NCHUNK chains at
+            # a time (lax.map): the padded i32 staging arrays are
+            # [R, n, W] — an uncapped 512-frame combdetect window would
+            # stage 2x ~2 GB and the kernel block would blow the 16 MB
+            # VMEM scope (measured on v5e)
+            r, w = m.shape[-2], m.shape[-1]
+            k = -(-n // _NCHUNK)
+            mp = jnp.zeros((k * _NCHUNK, r, w), bool)
+            mp = mp.at[:n].set(m.reshape((n, r, w)))
+            over = lax.map(
+                lambda mm: _scan_rows_pallas(mm, interpret=interp),
+                mp.reshape((k, _NCHUNK, r, w)))
+            over = over.reshape((k * _NCHUNK, r, w))[:n].reshape(
+                lead + (r, w))
+        else:
+            over = _scan_rows_pallas(m, interpret=interp)
     else:
         over = _scan_rows(m)
     mask = jnp.zeros(luma.shape, bool)
