@@ -71,6 +71,27 @@ class _Lv2Base(Element):
     def close(self) -> None:
         self._instance.close()
 
+    # GstPreset analog (gst_lv2_load_preset, gstlv2utils.c:256-272):
+    # restore control-port values by symbol onto the mapped properties
+    def get_preset_names(self):
+        return sorted(self.PLUGIN.presets)
+
+    def load_preset(self, name: str) -> bool:
+        vals = self.PLUGIN.presets.get(name)
+        if vals is None:
+            return False
+        sym_to_prop = {s.port.symbol: s for s in self.PLUGIN.in_props}
+        for sym, value in vals.items():
+            spec = sym_to_prop.get(sym)
+            if spec is None:
+                continue        # "Preset port '%s' is missing" warning
+            if spec.type is bool:
+                value = value > 0.5
+            elif spec.type is int:
+                value = int(value)
+            self.set_property(spec.name, value)
+        return True
+
 
 class _Lv2Filter(_Lv2Base):
     def chain(self, block) -> np.ndarray:

@@ -44,6 +44,7 @@ RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 RDFS = "http://www.w3.org/2000/01/rdf-schema#"
 DOAP = "http://usefulinc.com/ns/doap#"
 PGROUPS = "http://lv2plug.in/ns/ext/port-groups#"
+PRESETS = "http://lv2plug.in/ns/ext/presets#"
 
 INT32_MIN, INT32_MAX = -(2 ** 31), 2 ** 31 - 1
 
@@ -324,6 +325,10 @@ class Lv2Plugin:
     name: str
     ports: List[Lv2Port]
     required_features: Tuple[str, ...] = ()
+    # control-port presets: label -> {port symbol: value}
+    # (gst_lv2_load_preset restores port values by symbol and
+    # g_object_sets the mapped property, gstlv2utils.c:226-272)
+    presets: Dict[str, Dict[str, float]] = field(default_factory=dict)
 
     audio_in: List[Lv2Port] = field(default_factory=list)
     audio_out: List[Lv2Port] = field(default_factory=list)
@@ -452,10 +457,31 @@ def _load_bundle(bundle: str) -> List[Lv2Plugin]:
                 group=str(grp) if grp is not None else None,
                 scale_points=tuple(sps),
             ))
+        # pset:Preset subjects applying to this plugin (the reference
+        # walks lilv_plugin_get_related + rdfs:label, gstlv2.c:175-210)
+        presets: Dict[str, Dict[str, float]] = {}
+        for ps, pp in tp.graph.items():
+            if URI(PRESETS + "Preset") not in pp.get(RDF + "type", []):
+                continue
+            applies = pp.get(LV2_CORE + "appliesTo", [])
+            if URI(str(s)) not in applies:
+                continue
+            label = _first(pp.get(RDFS + "label"))
+            if label is None:
+                continue
+            vals: Dict[str, float] = {}
+            for pn in pp.get(LV2_CORE + "port", []):
+                pd = tp.graph.get(pn, {})
+                sym = _first(pd.get(LV2_CORE + "symbol"))
+                val = _first(pd.get(PRESETS + "value"))
+                if sym is not None and val is not None:
+                    vals[str(sym)] = float(val)
+            presets[str(label)] = vals
+
         binpath = os.path.join(bundle, os.path.basename(str(binary)))
         out.append(Lv2Plugin(uri=str(s), bundle=bundle, binary=binpath,
                              name=str(name), ports=ports,
-                             required_features=req))
+                             required_features=req, presets=presets))
     return out
 
 

@@ -203,3 +203,25 @@ def test_source_element_create(registered):
     np.testing.assert_allclose(
         blk[:, 0], np.sin(2 * np.pi * 220.0 * t), atol=1e-4)
     el.close()
+
+
+def test_presets_discovered(plugins):
+    amp = plugins["urn:gstbad:lv2:amp"]
+    assert set(amp.presets) == {"hot", "unity"}
+    assert amp.presets["hot"] == {"gain": 3.5, "invert": 1.0,
+                                  "offset": 7.0}
+    # width declares none
+    assert plugins["urn:gstbad:lv2:width"].presets == {}
+
+
+def test_element_load_preset(registered):
+    el = gt.make("urn-gstbad-lv2-amp")
+    assert el.get_preset_names() == ["hot", "unity"]
+    assert el.load_preset("hot")
+    x = np.ones(8, np.float32)
+    y = el.chain(x)
+    np.testing.assert_allclose(y[:, 0], -3.5 + 0.007, rtol=1e-5)
+    assert el.load_preset("unity")
+    np.testing.assert_allclose(el.chain(x)[:, 0], 1.0, rtol=1e-6)
+    assert not el.load_preset("nope")
+    el.close()
