@@ -41,9 +41,16 @@ def _rle(row: np.ndarray) -> Tuple[List[int], List[bool]]:
     return runs, vals
 
 
-def _sweep(gray: np.ndarray, decode, min_runs: int):
+def _sweep(gray: np.ndarray, decode, min_runs: int,
+           min_votes: int = 1):
     """Generic scanline sweep: try `decode(tail_runs)` at every dark run
-    of every sampled scanline; majority-vote agreeing decodes."""
+    of every sampled scanline; majority-vote agreeing decodes.
+
+    min_votes: scanline-agreement floor — the checksum-weak
+    symbologies (EAN-2's mod-4 parity, ITF/Codabar with none) demand
+    >= 2 agreeing lines, which uncorrelated noise rows essentially
+    never produce while a real symbol yields dozens (libzbar's
+    inter-scanline consistency requirement plays the same role)."""
     h, w = gray.shape
     thresh = (int(gray.min()) + int(gray.max())) / 2.0
     votes: Dict[str, int] = {}
@@ -55,6 +62,7 @@ def _sweep(gray: np.ndarray, decode, min_runs: int):
             text = decode([float(r) for r in runs[i:]])
             if text:
                 votes[text] = votes.get(text, 0) + 1
+    votes = {t: v for t, v in votes.items() if v >= min_votes}
     if not votes:
         return None
     return max(votes.items(), key=lambda kv: kv[1])
@@ -414,7 +422,7 @@ def _decode_itf(runs: List[float]) -> Optional[str]:
 
 
 def scan_itf(gray: np.ndarray):
-    return _sweep(gray, _decode_itf, 4 + 20 + 3)
+    return _sweep(gray, _decode_itf, 4 + 20 + 3, min_votes=2)
 
 
 # ---------------------------------------------------------------------------
@@ -478,7 +486,8 @@ def _decode_codabar(runs: List[float]) -> Optional[str]:
 
 
 def scan_codabar(gray: np.ndarray):
-    return _sweep(gray, _decode_codabar, 7 + 1 + 7 + 1 + 7)
+    return _sweep(gray, _decode_codabar, 7 + 1 + 7 + 1 + 7,
+                  min_votes=2)
 
 
 # ---------------------------------------------------------------------------
@@ -607,7 +616,7 @@ def _decode_upce(runs: List[float]) -> Optional[str]:
 
 
 def scan_upce(gray: np.ndarray):
-    return _sweep(gray, _decode_upce, 33)
+    return _sweep(gray, _decode_upce, 33, min_votes=2)
 
 
 # ---------------------------------------------------------------------------
@@ -705,8 +714,10 @@ def _decode_addon(runs: List[float], ndig: int) -> Optional[str]:
 
 
 def scan_ean2(gray: np.ndarray):
-    return _sweep(gray, lambda r: _decode_addon(r, 2), 11)
+    return _sweep(gray, lambda r: _decode_addon(r, 2), 11,
+                  min_votes=2)
 
 
 def scan_ean5(gray: np.ndarray):
-    return _sweep(gray, lambda r: _decode_addon(r, 5), 29)
+    return _sweep(gray, lambda r: _decode_addon(r, 5), 29,
+                  min_votes=2)

@@ -177,3 +177,14 @@ def test_zbar_reports_ean_addons():
     assert [(m["type"], m["symbol"]) for m in msgs] == [("EAN-5", "54495")]
     msgs2, _ = _drive("zbar", b1.render_ean2("07")[None])
     assert [(m["type"], m["symbol"]) for m in msgs2] == [("EAN-2", "07")]
+
+
+def test_no_false_positives_on_noise():
+    rng = np.random.default_rng(11)
+    scans = (b1.scan_code128, b1.scan_code39, b1.scan_code93,
+             b1.scan_itf, b1.scan_codabar, b1.scan_upce,
+             b1.scan_ean2, b1.scan_ean5)
+    for _ in range(3):
+        img = rng.integers(0, 256, (96, 360), dtype=np.uint8)
+        for scan in scans:
+            assert scan(img) is None, scan.__name__
