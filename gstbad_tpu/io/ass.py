@@ -43,10 +43,11 @@ ASS format spec:
     \\alpha \\1a \\2a \\3a \\4a           the matching alphas
     \\bord \\shad             outline width / shadow offset
     \\be \\blur               edge blur (box-blur rounds)
-    \\k \\K \\kf \\ko         karaoke (secondary colour until the
-                              syllable's start; \\ko hides the outline;
-                              \\K/\\kf highlight without the sweep
-                              gradient — documented)
+    \\k \\K \\kf \\ko         karaoke: \\k flips secondary->primary at
+                              the syllable start, \\kf/\\K sweep the
+                              fill boundary left-to-right over the
+                              syllable's duration (two split images),
+                              \\ko hides the outline until the start
     \\r \\rStyle              reset to the event's / a named style
     \\clip \\iclip            rectangular clips
   \\q wrapping and drawing mode \\p are parsed-and-ignored (documented
@@ -159,6 +160,8 @@ class SpanState:
     blur: float = 0.0
     k_start_cs: int = -1      # highlight start (cs from event start); -1 = none
     k_outline: bool = False   # \ko: outline hidden until k_start
+    k_dur_cs: int = 0         # syllable duration (cs)
+    k_sweep: bool = False     # \kf/\K: left-to-right fill sweep
 
     @classmethod
     def from_style(cls, st: AssStyle) -> "SpanState":
@@ -350,7 +353,10 @@ def _apply_tag(tok: str, st: SpanState, base: AssStyle,
         off = 2 if tok.startswith(("ko", "kf")) else 1
         dur = int(num(tok[off:], 0) or 0)
         st = replace(st, k_start_cs=k_acc[0],
-                     k_outline=tok.startswith("ko"))
+                     k_outline=tok.startswith("ko"),
+                     k_dur_cs=dur,
+                     # \K is libass' alias for \kf: both sweep
+                     k_sweep=tok.startswith(("kf", "K")))
         k_acc[0] += dur
     elif tok.startswith("move"):
         args = _floats(paren(tok[4:]))
@@ -370,7 +376,8 @@ def _apply_tag(tok: str, st: SpanState, base: AssStyle,
     elif tok.startswith("r"):
         name = tok[1:].strip()
         target = styles.get(name, base) if name else base
-        keep = dict(k_start_cs=st.k_start_cs, k_outline=st.k_outline)
+        keep = dict(k_start_cs=st.k_start_cs, k_outline=st.k_outline,
+                    k_dur_cs=st.k_dur_cs, k_sweep=st.k_sweep)
         st = replace(SpanState.from_style(target), **keep)
     elif tok.startswith("shad"):
         st = replace(st, shadow=max(0.0, num(tok[4:], base.shadow)))
@@ -1081,9 +1088,31 @@ def render_events(track: AssTrack, time_ns: int, width: int,
                         "color": _color_field(st.outline_color, fade)})
                 fb = _box_blur(bm, blur_n) \
                     if (blur_n and not show_outline) else bm
-                ev_images.append({
-                    "bitmap": fb, "dst_x": int(lx), "dst_y": int(ly),
-                    "color": _color_field(fill, fade)})
+                sweeping = (st.k_sweep and st.k_start_cs >= 0
+                            and not st.k_outline and st.k_dur_cs > 0
+                            and st.k_start_cs <= rel_cs
+                            < st.k_start_cs + st.k_dur_cs)
+                if sweeping:
+                    # \kf/\K: the fill boundary moves left to right
+                    # across the syllable over its duration (libass'
+                    # sweep); primary left of the cut, secondary right
+                    frac = (rel_cs - st.k_start_cs) / st.k_dur_cs
+                    cut = int(round(fb.shape[1] * frac))
+                    if cut > 0:
+                        ev_images.append({
+                            "bitmap": fb[:, :cut],
+                            "dst_x": int(lx), "dst_y": int(ly),
+                            "color": _color_field(st.primary, fade)})
+                    if cut < fb.shape[1]:
+                        ev_images.append({
+                            "bitmap": fb[:, cut:],
+                            "dst_x": int(lx) + cut, "dst_y": int(ly),
+                            "color": _color_field(st.secondary, fade)})
+                else:
+                    ev_images.append({
+                        "bitmap": fb, "dst_x": int(lx),
+                        "dst_y": int(ly),
+                        "color": _color_field(fill, fade)})
                 lx += w_span
             ly += lh
 

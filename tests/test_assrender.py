@@ -527,3 +527,49 @@ def test_element_pango_face_default(tmp_path):
     assert el2._face == "fixed"
     assert (out2 != frames).any()
     assert (out != out2).any()
+
+
+def test_render_kf_sweep_splits_fill():
+    script = SCRIPT.split("[Events]")[0] + """[Events]
+Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text
+Dialogue: 0,0:00:00.00,0:00:10.00,Default,,0,0,0,,{\\kf400}sweep
+"""
+    t = _track(script)
+
+    def fill_images(tm):
+        return [im for im in ass.render_events(t, tm, 640, 480)
+                if (im["color"] >> 8) & 0xFFFFFF in
+                (0xFFFFFF, 0xFF0000)]
+
+    # mid-syllable (t=2s of a 4s sweep): the span splits into a
+    # primary (white) left part and secondary (red) right part at
+    # adjacent x positions
+    ims = fill_images(int(2e9))
+    cols = {(im["color"] >> 8) & 0xFFFFFF for im in ims}
+    assert cols == {0xFFFFFF, 0xFF0000}
+    white = next(im for im in ims
+                 if (im["color"] >> 8) & 0xFFFFFF == 0xFFFFFF)
+    red = next(im for im in ims
+               if (im["color"] >> 8) & 0xFFFFFF == 0xFF0000)
+    assert red["dst_x"] == white["dst_x"] + white["bitmap"].shape[1]
+    total_w = white["bitmap"].shape[1] + red["bitmap"].shape[1]
+    # the cut tracks progress (~50% +- rounding)
+    assert abs(white["bitmap"].shape[1] / total_w - 0.5) < 0.1
+    # at the syllable start the cut is at 0: all secondary; after the
+    # syllable: all primary
+    assert {(im["color"] >> 8) & 0xFFFFFF
+            for im in fill_images(0)} == {0xFF0000}
+    assert {(im["color"] >> 8) & 0xFFFFFF
+            for im in fill_images(int(5e9))} == {0xFFFFFF}
+
+
+def test_render_big_k_is_sweep_alias():
+    script = SCRIPT.split("[Events]")[0] + """[Events]
+Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text
+Dialogue: 0,0:00:00.00,0:00:10.00,Default,,0,0,0,,{\\K400}x
+"""
+    t = _track(script)
+    ims = [im for im in ass.render_events(t, int(2e9), 640, 480)
+           if (im["color"] >> 8) & 0xFFFFFF in (0xFFFFFF, 0xFF0000)]
+    assert {(im["color"] >> 8) & 0xFFFFFF for im in ims} \
+        == {0xFFFFFF, 0xFF0000}
