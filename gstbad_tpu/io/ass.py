@@ -50,8 +50,12 @@ ASS format spec:
                               \\ko hides the outline until the start
     \\r \\rStyle              reset to the event's / a named style
     \\clip \\iclip            rectangular clips
-  \\q wrapping and drawing mode \\p are parsed-and-ignored (documented
-  divergences, as is glyph rasterization under face=fixed — the
+    \\q                       wrap style override (with [Script Info]
+                              WrapStyle): 0/3 smart balanced wrapping
+                              (upper resp. lower lines wider), 1
+                              greedy end-of-line, 2 no wrapping
+  drawing mode \\p is parsed-and-ignored (documented
+  divergence, as is glyph rasterization under face=fixed — the
   default face=pango shapes with real fonts, same family as
   ttml/ceaccoverlay; inside \\t only libass' animatable set moves —
   booleans/fonts/karaoke are ignored there);
@@ -196,6 +200,7 @@ class EventLayout:
     fade: Optional[Tuple[float, ...]] = None   # a1,a2,a3,t1,t2,t3,t4
     clip: Optional[Tuple[float, float, float, float]] = None
     iclip: Optional[Tuple[float, float, float, float]] = None
+    wrap: Optional[int] = None                 # \q 0-3 (None = script)
 
 
 @dataclass
@@ -370,9 +375,12 @@ def _apply_tag(tok: str, st: SpanState, base: AssStyle,
         args = _floats(paren(tok[3:]))
         if len(args) >= 2 and lay.pos is None and lay.move is None:
             lay.pos = (args[0], args[1])
-    elif tok.startswith("pbo") or tok.startswith("p") \
-            or tok.startswith("q"):
-        pass                       # drawing mode / wrap style
+    elif tok.startswith("q"):
+        q = int(num(tok[1:], 0) or 0)
+        if lay.wrap is None and 0 <= q <= 3:
+            lay.wrap = q
+    elif tok.startswith("pbo") or tok.startswith("p"):
+        pass                       # drawing mode
     elif tok.startswith("r"):
         name = tok[1:].strip()
         target = styles.get(name, base) if name else base
@@ -511,6 +519,7 @@ class AssTrack:
     def __init__(self):
         self.play_res_x = 384
         self.play_res_y = 288
+        self.wrap_style = 0           # [Script Info] WrapStyle default
         self.styles: Dict[str, AssStyle] = {"Default": AssStyle()}
         self.events: List[AssEvent] = []
         self._style_format: Optional[List[str]] = None
@@ -538,6 +547,12 @@ class AssTrack:
                     self.play_res_x = int(float(value))
                 elif key == "PlayResY":
                     self.play_res_y = int(float(value))
+                elif key == "WrapStyle":
+                    try:
+                        self.wrap_style = max(0, min(3,
+                                                     int(float(value))))
+                    except ValueError:
+                        pass
             elif section in ("v4+ styles", "v4 styles"):
                 if key == "Format":
                     self._style_format = [f.strip() for f in
@@ -939,6 +954,111 @@ def _color_field(rgb_a: RGBA, fade: float) -> int:
             | (255 - max(0, min(255, a))))
 
 
+def _wrap_lines(lines: List[List[Span]], avail: float, mode: int,
+                measure) -> List[List[Span]]:
+    """Soft line wrapping (libass wrap_lines_smart): \\q2 never wraps;
+    \\q1 breaks greedily at spaces; \\q0/\\q3 keep the greedy line
+    count but re-break to even the lines out, biased so upper (\\q0)
+    resp. lower (\\q3) lines end up wider.  Explicit \\N breaks (the
+    incoming `lines` structure) are preserved."""
+    if mode == 2 or avail <= 0:
+        return lines
+    out: List[List[Span]] = []
+    for line in lines:
+        # tokenize into (state, word) + inter-word space widths
+        toks: List[Tuple[SpanState, str]] = []
+        for sp in line:
+            for t in re.findall(r"\S+|\s+", sp.text):
+                toks.append((sp.state, t))
+        words: List[Tuple[SpanState, str]] = []
+        sep_txt: List[str] = []           # whitespace before word i
+        pend = ""
+        for stt, t in toks:
+            if t.isspace():
+                pend += t
+            else:
+                words.append((stt, t))
+                sep_txt.append(pend if words[1:] else "")
+                pend = ""
+        if not words:
+            out.append(line)
+            continue
+        seps = [measure(words[i][0], sep_txt[i]) if sep_txt[i] else 0.0
+                for i in range(len(words))]
+        wlens = [measure(stt, t) for stt, t in words]
+        if sum(wlens) + sum(seps) <= avail:
+            out.append(line)
+            continue
+
+        # greedy pass -> number of lines
+        breaks = []                       # index of first word per line
+        cur = 0.0
+        for i, wl in enumerate(wlens):
+            add = wl + (seps[i] if cur > 0 else 0.0)
+            if cur > 0 and cur + add > avail:
+                breaks.append(i)
+                cur = wl
+            else:
+                cur += add
+        k = len(breaks) + 1
+        if mode in (0, 3) and k > 1:
+            # DP re-break into exactly k lines minimizing squared
+            # slack; a small width bias prefers wider upper (q0) or
+            # lower (q3) lines — libass' equalization pass
+            n = len(words)
+            INF = float("inf")
+
+            def seg_w(a, b):              # words[a:b]
+                return (sum(wlens[a:b])
+                        + sum(seps[a + 1:b]))
+
+            cost = [[INF] * (k + 1) for _ in range(n + 1)]
+            back = [[0] * (k + 1) for _ in range(n + 1)]
+            cost[0][0] = 0.0
+            for j in range(1, k + 1):
+                for b in range(j, n + 1):
+                    for a in range(j - 1, b):
+                        if cost[a][j - 1] is INF:
+                            continue
+                        w = seg_w(a, b)
+                        over = 0.0 if w <= avail else (w - avail) * 1e6
+                        bias = (j if mode == 3 else (k + 1 - j)) \
+                            * w * 1e-3
+                        c = cost[a][j - 1] + (avail - w) ** 2 \
+                            + over - bias
+                        if c < cost[b][j]:
+                            cost[b][j] = c
+                            back[b][j] = a
+            # recover break indices
+            bseq = []
+            b = n
+            for j in range(k, 0, -1):
+                a = back[b][j]
+                if a > 0:
+                    bseq.append(a)
+                b = a
+            breaks = sorted(bseq)
+
+        # rebuild span lines, merging same-state runs; the original
+        # whitespace text survives inside lines, break points trim it
+        start = 0
+        for b in breaks + [len(words)]:
+            spans: List[Span] = []
+            for wi in range(start, b):
+                stt, t = words[wi]
+                gap = sep_txt[wi] if wi > start else ""
+                if spans and spans[-1].state is stt:
+                    spans[-1] = Span(spans[-1].text + gap + t, stt)
+                else:
+                    if spans and gap:
+                        spans[-1] = Span(spans[-1].text + gap,
+                                         spans[-1].state)
+                    spans.append(Span(t, stt))
+            out.append(spans)
+            start = b
+    return out
+
+
 def render_events(track: AssTrack, time_ns: int, width: int,
                   height: int, face: str = "fixed") -> List[dict]:
     """ASS_Image-list analog: [{'bitmap': [h, w] u8, 'dst_x', 'dst_y',
@@ -968,6 +1088,20 @@ def render_events(track: AssTrack, time_ns: int, width: int,
         ml = (ev.margin_l or style.margin_l) * sx
         mr = (ev.margin_r or style.margin_r) * sx
         mv = (ev.margin_v or style.margin_v) * sy
+
+        def _measure(stt, txt):
+            if not txt:
+                return 0.0
+            if use_pango:
+                return float(_pango_span(stt, txt, sy, sx)[1])
+            fh, cw, adv = _span_metrics(stt, sy, sx)
+            shear = fh // 4 if stt.italic else 0
+            return float(len(txt) * adv - (adv - cw) + shear)
+
+        wrap_mode = lay.wrap if lay.wrap is not None \
+            else track.wrap_style
+        lines = _wrap_lines(lines, width - ml - mr, wrap_mode,
+                            _measure)
 
         # metrics: per-line height = max span height; width = sum widths
         line_dims: List[Tuple[int, List[Tuple[Span, int]]]] = []

@@ -573,3 +573,66 @@ Dialogue: 0,0:00:00.00,0:00:10.00,Default,,0,0,0,,{\\K400}x
            if (im["color"] >> 8) & 0xFFFFFF in (0xFFFFFF, 0xFF0000)]
     assert {(im["color"] >> 8) & 0xFFFFFF for im in ims} \
         == {0xFFFFFF, 0xFF0000}
+
+
+def test_wrap_lines_modes_unit():
+    st = ass.SpanState()
+    meas = lambda _st, t: float(len(t))
+    mk = lambda txt: [[ass.Span(txt, st)]]
+
+    def widths(lines):
+        return [sum(meas(s.state, s.text) for s in ln) for ln in lines]
+
+    text = "aaaa bbbb cccc dddd"          # 19 cols
+    # q2: never wraps
+    assert widths(ass._wrap_lines(mk(text), 10, 2, meas)) == [19.0]
+    # q1: greedy fill
+    w1 = widths(ass._wrap_lines(mk(text), 10, 1, meas))
+    assert w1 == [9.0, 9.0]
+    # fits: untouched
+    assert widths(ass._wrap_lines(mk(text), 30, 0, meas)) == [19.0]
+    # symmetric tie: "aaa bb aaa" at avail 6 splits (6,3) or (3,6) with
+    # equal slack — the mode bias decides: q0 upper wider, q3 lower
+    w0 = widths(ass._wrap_lines(mk("aaa bb aaa"), 6, 0, meas))
+    assert w0 == [6.0, 3.0]
+    w3 = widths(ass._wrap_lines(mk("aaa bb aaa"), 6, 3, meas))
+    assert w3 == [3.0, 6.0]
+    # explicit \N structure preserved: two input lines stay two
+    two = [[ass.Span("aa", st)], [ass.Span("bb", st)]]
+    assert widths(ass._wrap_lines(two, 10, 0, meas)) == [2.0, 2.0]
+
+
+def test_render_soft_wrap_and_q2():
+    head = SCRIPT.split("[Events]")[0]
+    long_text = "word " * 30
+    t_wrap = _track(head + f"""[Events]
+Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text
+Dialogue: 0,0:00:00.00,0:00:10.00,Default,,0,0,0,,{long_text}
+""")
+    t_nowrap = _track(head + f"""[Events]
+Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text
+Dialogue: 0,0:00:00.00,0:00:10.00,Default,,0,0,0,,{{\\q2}}{long_text}
+""")
+    ims_w = ass.render_events(t_wrap, int(1e9), 640, 480)
+    ims_n = ass.render_events(t_nowrap, int(1e9), 640, 480)
+    # wrapped: every image stays inside the frame; unwrapped overflows
+    assert max(im["dst_x"] + im["bitmap"].shape[1] for im in ims_w) \
+        <= 660
+    assert max(im["dst_x"] + im["bitmap"].shape[1] for im in ims_n) \
+        > 660
+    # wrapped output spans more vertical space (multiple lines)
+    ys_w = {im["dst_y"] for im in ims_w}
+    ys_n = {im["dst_y"] for im in ims_n}
+    assert len(ys_w) > len(ys_n)
+
+
+def test_wrapstyle_script_info():
+    head = SCRIPT.split("[Events]")[0].replace(
+        "[Script Info]", "[Script Info]\nWrapStyle: 2")
+    t = _track(head + """[Events]
+Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text
+Dialogue: 0,0:00:00.00,0:00:10.00,Default,,0,0,0,,""" +
+               "word " * 30 + "\n")
+    assert t.wrap_style == 2
+    ims = ass.render_events(t, int(1e9), 640, 480)
+    assert max(im["dst_x"] + im["bitmap"].shape[1] for im in ims) > 660
