@@ -54,8 +54,16 @@ ASS format spec:
                               WrapStyle): 0/3 smart balanced wrapping
                               (upper resp. lower lines wider), 1
                               greedy end-of-line, 2 no wrapping
-  drawing mode \\p is parsed-and-ignored (documented
-  divergence, as is glyph rasterization under face=fixed — the
+    \\p \\pbo                 vector drawings: m/n/l/b + s/p/c uniform
+                              b-splines flattened to beziers,
+                              nonzero-winding supersampled fill, bbox
+                              bottom-anchored with the \\pbo lift (the
+                              libass asc/desc baseline split is the
+                              one documented simplification); \\clip
+                              and \\iclip accept ([scale,] drawing)
+                              vector masks alongside rectangles
+  (glyph rasterization under face=fixed is a documented
+  divergence — the
   default face=pango shapes with real fonts, same family as
   ttml/ceaccoverlay; inside \\t only libass' animatable set moves —
   booleans/fonts/karaoke are ignored there);
@@ -166,6 +174,8 @@ class SpanState:
     k_outline: bool = False   # \ko: outline hidden until k_start
     k_dur_cs: int = 0         # syllable duration (cs)
     k_sweep: bool = False     # \kf/\K: left-to-right fill sweep
+    p_scale: int = 0          # \p drawing mode (0 = text)
+    pbo: float = 0.0          # \pbo baseline offset (drawing px)
 
     @classmethod
     def from_style(cls, st: AssStyle) -> "SpanState":
@@ -200,6 +210,8 @@ class EventLayout:
     fade: Optional[Tuple[float, ...]] = None   # a1,a2,a3,t1,t2,t3,t4
     clip: Optional[Tuple[float, float, float, float]] = None
     iclip: Optional[Tuple[float, float, float, float]] = None
+    clip_path: Optional[Tuple[int, str]] = None    # \clip([scale,]draw)
+    iclip_path: Optional[Tuple[int, str]] = None
     wrap: Optional[int] = None                 # \q 0-3 (None = script)
 
 
@@ -348,9 +360,14 @@ def _apply_tag(tok: str, st: SpanState, base: AssStyle,
     elif tok.startswith("fe"):
         pass                       # font encoding: single-face build
     elif tok.startswith("iclip"):
-        args = _floats(paren(tok[5:]))
-        if len(args) >= 4 and lay.iclip is None:
-            lay.iclip = tuple(args[:4])
+        inner = paren(tok[5:])
+        if any(ch.isalpha() for ch in inner):
+            if lay.iclip_path is None:
+                lay.iclip_path = _split_clip_drawing(inner)
+        else:
+            args = _floats(inner)
+            if len(args) >= 4 and lay.iclip is None:
+                lay.iclip = tuple(args[:4])
     elif tok.startswith("i") and re.match(r"i[01\d]", tok):
         st = replace(st, italic=bool(num(tok[1:], 0)))
     elif tok.startswith("ko") or tok.startswith("K") \
@@ -379,8 +396,10 @@ def _apply_tag(tok: str, st: SpanState, base: AssStyle,
         q = int(num(tok[1:], 0) or 0)
         if lay.wrap is None and 0 <= q <= 3:
             lay.wrap = q
-    elif tok.startswith("pbo") or tok.startswith("p"):
-        pass                       # drawing mode
+    elif tok.startswith("pbo"):
+        st = replace(st, pbo=float(num(tok[3:], 0.0) or 0.0))
+    elif tok.startswith("p"):
+        st = replace(st, p_scale=max(0, int(num(tok[1:], 0) or 0)))
     elif tok.startswith("r"):
         name = tok[1:].strip()
         target = styles.get(name, base) if name else base
@@ -394,9 +413,14 @@ def _apply_tag(tok: str, st: SpanState, base: AssStyle,
     elif tok.startswith("u") and re.match(r"u[01\d]", tok):
         st = replace(st, underline=bool(num(tok[1:], 0)))
     elif tok.startswith("clip"):
-        args = _floats(paren(tok[4:]))
-        if len(args) >= 4 and lay.clip is None:
-            lay.clip = tuple(args[:4])
+        inner = paren(tok[4:])
+        if any(ch.isalpha() for ch in inner):
+            if lay.clip_path is None:
+                lay.clip_path = _split_clip_drawing(inner)
+        else:
+            args = _floats(inner)
+            if len(args) >= 4 and lay.clip is None:
+                lay.clip = tuple(args[:4])
     elif tok.startswith("t") and "(" in tok:
         # \t([t1,t2,][accel,]tags): animate the listed tags.  Rendering
         # is per-time-snapshot here, so the interpolation happens right
@@ -895,6 +919,212 @@ def _transform_image(im: dict, lay: EventLayout, ox: float, oy: float,
     return {**im, "bitmap": out, "dst_x": nx0, "dst_y": ny0}
 
 
+def _bezier(p0, p1, p2, p3, n: int = 24):
+    """Flatten one cubic to n line segments (returns points after p0)."""
+    ts = [(i + 1) / n for i in range(n)]
+    out = []
+    for t in ts:
+        u = 1.0 - t
+        out.append((u * u * u * p0[0] + 3 * u * u * t * p1[0]
+                    + 3 * u * t * t * p2[0] + t * t * t * p3[0],
+                    u * u * u * p0[1] + 3 * u * u * t * p1[1]
+                    + 3 * u * t * t * p2[1] + t * t * t * p3[1]))
+    return out
+
+
+def _parse_drawing(text: str, scale: int) -> List[List[Tuple[float,
+                                                             float]]]:
+    """ASS drawing commands -> closed contours in script pixels.
+    Coordinates divide by 2^(scale-1) (the \\p level).  Commands: m/n
+    (move, m closes the open contour), l (lines), b (cubic beziers),
+    s (uniform cubic b-spline, converted per segment to beziers), p
+    (extend spline), c (close spline)."""
+    div = float(1 << max(0, scale - 1))
+    toks = text.replace(",", " ").split()
+    vals: List[float] = []
+    cmds: List[Tuple[str, List[float]]] = []
+    cmd = ""
+    for t in toks:
+        if t.isalpha():
+            if cmd:
+                cmds.append((cmd, vals))
+            cmd, vals = t.lower(), []
+        else:
+            try:
+                vals.append(float(t) / div)
+            except ValueError:
+                pass
+    if cmd:
+        cmds.append((cmd, vals))
+
+    paths: List[List[Tuple[float, float]]] = []
+    cur: List[Tuple[float, float]] = []
+    pos = (0.0, 0.0)
+    spline: List[Tuple[float, float]] = []
+
+    def close():
+        nonlocal cur
+        if len(cur) >= 3:
+            paths.append(cur)
+        cur = []
+
+    def flush_spline():
+        nonlocal pos, spline
+        if len(spline) >= 4:
+            for j in range(len(spline) - 3):
+                q = spline[j:j + 4]
+                # b-spline segment -> bezier control points
+                b0 = ((q[0][0] + 4 * q[1][0] + q[2][0]) / 6,
+                      (q[0][1] + 4 * q[1][1] + q[2][1]) / 6)
+                b1 = ((2 * q[1][0] + q[2][0]) / 3,
+                      (2 * q[1][1] + q[2][1]) / 3)
+                b2 = ((q[1][0] + 2 * q[2][0]) / 3,
+                      (q[1][1] + 2 * q[2][1]) / 3)
+                b3 = ((q[1][0] + 4 * q[2][0] + q[3][0]) / 6,
+                      (q[1][1] + 4 * q[2][1] + q[3][1]) / 6)
+                if not cur:
+                    cur.append(b0)
+                cur.extend(_bezier(b0, b1, b2, b3))
+            pos = cur[-1]
+        spline = []
+
+    for c, v in cmds:
+        pairs = [(v[i], v[i + 1]) for i in range(0, len(v) - 1, 2)]
+        if c in ("m", "n"):
+            flush_spline()
+            if c == "m":
+                close()
+            if pairs:
+                pos = pairs[-1]
+                cur = [pos]
+        elif c == "l":
+            flush_spline()
+            if not cur:
+                cur = [pos]
+            cur.extend(pairs)
+            if pairs:
+                pos = pairs[-1]
+        elif c == "b":
+            flush_spline()
+            if not cur:
+                cur = [pos]
+            for i in range(0, len(pairs) - 2, 3):
+                cur.extend(_bezier(pos, pairs[i], pairs[i + 1],
+                                   pairs[i + 2]))
+                pos = pairs[i + 2]
+        elif c == "s":
+            spline = [pos] + pairs
+        elif c == "p":
+            spline.extend(pairs)
+        elif c == "c":
+            if len(spline) >= 3:
+                spline.extend(spline[1:4])
+            flush_spline()
+    flush_spline()
+    close()
+    return paths
+
+
+def _fill_polygons(paths, scale_x: float, scale_y: float,
+                   ss: int = 4) -> Tuple[np.ndarray, int, int]:
+    """Nonzero-winding scanline fill with ss x ss supersampling.
+    Returns (coverage u8 [h, w], x_offset, y_offset) — offsets are the
+    floor of the scaled bbox min (negative coordinates draw up/left of
+    the origin)."""
+    pts = [(x * scale_x, y * scale_y) for p in paths for (x, y) in p]
+    if not pts:
+        return np.zeros((1, 1), np.uint8), 0, 0
+    minx = int(np.floor(min(x for x, _ in pts)))
+    miny = int(np.floor(min(y for _, y in pts)))
+    maxx = int(np.ceil(max(x for x, _ in pts)))
+    maxy = int(np.ceil(max(y for _, y in pts)))
+    w = max(1, maxx - minx)
+    h = max(1, maxy - miny)
+    if w * h > 16_000_000:                       # runaway guard
+        return np.zeros((1, 1), np.uint8), 0, 0
+    # edge list in bitmap coords
+    e = []
+    for p in paths:
+        sp = [((x * scale_x) - minx, (y * scale_y) - miny)
+              for (x, y) in p]
+        for a, b in zip(sp, sp[1:] + sp[:1]):
+            if a[1] != b[1]:
+                e.append((a[0], a[1], b[0], b[1]))
+    if not e:
+        return np.zeros((h, w), np.uint8), minx, miny
+    ee = np.asarray(e, np.float64)
+    x0, y0, x1, y1 = ee[:, 0], ee[:, 1], ee[:, 2], ee[:, 3]
+    ylo = np.minimum(y0, y1)
+    yhi = np.maximum(y0, y1)
+    direc = np.where(y1 > y0, 1, -1)
+    cov = np.zeros((h, w), np.float64)
+    for row in range(h):
+        acc = np.zeros(w * ss, np.float64)
+        for sub in range(ss):
+            yc = row + (sub + 0.5) / ss
+            sel = (ylo <= yc) & (yc < yhi)
+            if not sel.any():
+                continue
+            xs = x0[sel] + (yc - y0[sel]) * (x1[sel] - x0[sel]) \
+                / (y1[sel] - y0[sel])
+            order = np.argsort(xs, kind="stable")
+            xs = xs[order]
+            ds = direc[sel][order]
+            wind = np.cumsum(ds)
+            inside = wind != 0
+            for i in range(len(xs) - 1):
+                if inside[i]:
+                    a = max(0, int(round(xs[i] * ss)))
+                    b = min(w * ss, int(round(xs[i + 1] * ss)))
+                    if b > a:
+                        acc[a:b] += 1.0
+        cov[row] = acc.reshape(w, ss).sum(axis=1) / (ss * ss)
+    return np.clip(cov * 255.0, 0, 255).astype(np.uint8), minx, miny
+
+
+def _drawing_bitmap(st: SpanState, text: str, sx: float, sy: float
+                    ) -> np.ndarray:
+    """Coverage bitmap for a \\p drawing span (bbox-anchored; the
+    baseline subtleties of libass' asc/desc split are a documented
+    simplification — \\pos/\\an anchored drawings render at size)."""
+    paths = _parse_drawing(text, st.p_scale)
+    cov, _ox, _oy = _fill_polygons(
+        paths, sx * st.scale_x / 100.0, sy * st.scale_y / 100.0)
+    return cov
+
+
+def _split_clip_drawing(inner: str) -> Tuple[int, str]:
+    """\\clip([scale,] drawing): the optional first argument is the
+    coordinate scale (like \\p's), default 1."""
+    head, _, rest = inner.partition(",")
+    head = head.strip()
+    if rest and head.lstrip("+-").isdigit():
+        return max(1, int(head)), rest
+    return 1, inner
+
+
+def _mask_image(im: dict, mask: np.ndarray, inverse: bool
+                ) -> Optional[dict]:
+    """Multiply an image's coverage by a full-frame vector-clip mask
+    (inverse keeps what the drawing does NOT cover)."""
+    h, w = mask.shape
+    bm = im["bitmap"]
+    bh, bw = bm.shape
+    x0, y0 = im["dst_x"], im["dst_y"]
+    sub = np.zeros((bh, bw), np.uint8)
+    ax0, ay0 = max(0, x0), max(0, y0)
+    ax1, ay1 = min(w, x0 + bw), min(h, y0 + bh)
+    if ax1 > ax0 and ay1 > ay0:
+        sub[ay0 - y0:ay1 - y0, ax0 - x0:ax1 - x0] = \
+            mask[ay0:ay1, ax0:ax1]
+    if inverse:
+        sub = 255 - sub
+    out = (bm.astype(np.uint16) * sub // 255).astype(np.uint8)
+    if not out.any():
+        return None
+    return {**im, "bitmap": out}
+
+
 def _clip_image(im: dict, rect, inverse: bool) -> Optional[dict]:
     x1, y1, x2, y2 = (int(round(v)) for v in rect)
     bm = im["bitmap"].copy()
@@ -965,6 +1195,9 @@ def _wrap_lines(lines: List[List[Span]], avail: float, mode: int,
         return lines
     out: List[List[Span]] = []
     for line in lines:
+        if any(sp.state.p_scale for sp in line):
+            out.append(line)          # drawings never wrap
+            continue
         # tokenize into (state, word) + inter-word space widths
         toks: List[Tuple[SpanState, str]] = []
         for sp in line:
@@ -1104,22 +1337,40 @@ def render_events(track: AssTrack, time_ns: int, width: int,
                             _measure)
 
         # metrics: per-line height = max span height; width = sum widths
+        dcache: Dict[int, np.ndarray] = {}
+        for line in lines:
+            for s in line:
+                if s.state.p_scale and s.text.strip():
+                    dcache[id(s)] = _drawing_bitmap(s.state, s.text,
+                                                    sx, sy)
         line_dims: List[Tuple[int, List[Tuple[Span, int]]]] = []
         for line in lines:
+            line = [s for s in line
+                    if not (s.state.p_scale and id(s) not in dcache)]
             if not line:
                 fh = max(4, int(style.fontsize * sy))
                 line_dims.append((fh, []))
                 continue
             if use_pango:
-                rendered = [(s, _pango_span(s.state, s.text, sy, sx))
-                            for s in line]
+                rendered = []
+                for s in line:
+                    if id(s) in dcache:
+                        cov = dcache[id(s)]
+                        rendered.append((s, (cov, cov.shape[1])))
+                    else:
+                        rendered.append(
+                            (s, _pango_span(s.state, s.text, sy, sx)))
                 lh = max(cov.shape[0] for _, (cov, _w) in rendered)
                 widths = [(s, w) for s, (_cov, w) in rendered]
             else:
-                lh = max(_span_metrics(s.state, sy, sx)[0]
+                lh = max((dcache[id(s)].shape[0] if id(s) in dcache
+                          else _span_metrics(s.state, sy, sx)[0])
                          for s in line)
                 widths = []
                 for s in line:
+                    if id(s) in dcache:
+                        widths.append((s, dcache[id(s)].shape[1]))
+                        continue
                     fh, cw, adv = _span_metrics(s.state, sy, sx)
                     n = len(s.text)
                     shear = fh // 4 if s.state.italic else 0
@@ -1183,7 +1434,17 @@ def render_events(track: AssTrack, time_ns: int, width: int,
                 if not span.text or w_span <= 0:
                     lx += w_span
                     continue
-                if use_pango:
+                if id(span) in dcache:
+                    # \p drawing: bbox coverage, bottom-anchored in
+                    # the line, lifted by \pbo
+                    cov = dcache[id(span)]
+                    bm = np.zeros((lh, cov.shape[1]), np.uint8)
+                    pb = int(round(st.pbo * sy))
+                    top = max(0, lh - cov.shape[0] - pb)
+                    hcut = min(cov.shape[0], lh - top)
+                    if hcut > 0:
+                        bm[top:top + hcut] = cov[:hcut]
+                elif use_pango:
                     cov, _w = _pango_span(st, span.text, sy, sx)
                     bm = np.zeros((lh, cov.shape[1]), np.uint8)
                     bm[lh - cov.shape[0]:] = cov
@@ -1265,6 +1526,24 @@ def render_events(track: AssTrack, time_ns: int, width: int,
         if lay.iclip is not None:
             iclip_rect = tuple(v * (sx if i % 2 == 0 else sy)
                                for i, v in enumerate(lay.iclip))
+
+        def _clip_mask(spec):
+            cscale, dtext = spec
+            cov, ox, oy = _fill_polygons(_parse_drawing(dtext, cscale),
+                                         sx, sy)
+            mask = np.zeros((height, width), np.uint8)
+            mx0, my0 = max(0, ox), max(0, oy)
+            mx1 = min(width, ox + cov.shape[1])
+            my1 = min(height, oy + cov.shape[0])
+            if mx1 > mx0 and my1 > my0:
+                mask[my0:my1, mx0:mx1] = cov[my0 - oy:my1 - oy,
+                                             mx0 - ox:mx1 - ox]
+            return mask
+
+        clip_mask = (_clip_mask(lay.clip_path)
+                     if lay.clip_path is not None else None)
+        iclip_mask = (_clip_mask(lay.iclip_path)
+                      if lay.iclip_path is not None else None)
         for im in ev_images:
             if clip_rect is not None:
                 im = _clip_image(im, clip_rect, False)
@@ -1272,6 +1551,14 @@ def render_events(track: AssTrack, time_ns: int, width: int,
                     continue
             if iclip_rect is not None:
                 im = _clip_image(im, iclip_rect, True)
+                if im is None:
+                    continue
+            if clip_mask is not None:
+                im = _mask_image(im, clip_mask, False)
+                if im is None:
+                    continue
+            if iclip_mask is not None:
+                im = _mask_image(im, iclip_mask, True)
                 if im is None:
                     continue
             if (im["color"] & 0xFF) == 0xFF:

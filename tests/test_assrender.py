@@ -636,3 +636,89 @@ Dialogue: 0,0:00:00.00,0:00:10.00,Default,,0,0,0,,""" +
     assert t.wrap_style == 2
     ims = ass.render_events(t, int(1e9), 640, 480)
     assert max(im["dst_x"] + im["bitmap"].shape[1] for im in ims) > 660
+
+
+# -- \p drawings and vector clips -------------------------------------------
+
+def test_drawing_square_renders_at_size():
+    head = SCRIPT.split("[Events]")[0]
+    t = _track(head + """[Events]
+Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text
+Dialogue: 0,0:00:00.00,0:00:10.00,Default,,0,0,0,,{\\an7\\pos(50,40)\\bord0\\p1}m 0 0 l 100 0 100 100 0 100{\\p0}
+""")
+    ov = ass.blit_bgra_premultiplied(
+        ass.render_events(t, int(1e9), 640, 480), 640, 480)
+    ys, xs = np.where(ov[..., 3] > 128)
+    assert (xs.min(), xs.max() + 1) == (50, 150)
+    assert ys.max() - ys.min() + 1 == 100
+    # \p2 halves the coordinates
+    t2 = _track(head + """[Events]
+Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text
+Dialogue: 0,0:00:00.00,0:00:10.00,Default,,0,0,0,,{\\an7\\pos(50,40)\\bord0\\p2}m 0 0 l 100 0 100 100 0 100{\\p0}
+""")
+    ov2 = ass.blit_bgra_premultiplied(
+        ass.render_events(t2, int(1e9), 640, 480), 640, 480)
+    xs2 = np.where(ov2[..., 3] > 128)[1]
+    assert xs2.max() - xs2.min() + 1 == 50
+
+
+def test_drawing_nonzero_winding_hole_and_bezier():
+    paths = ass._parse_drawing(
+        "m 0 0 l 100 0 100 100 0 100 m 30 30 l 30 70 70 70 70 30", 1)
+    cov, _, _ = ass._fill_polygons(paths, 1.0, 1.0)
+    assert cov[50, 50] == 0 and cov[10, 10] == 255     # donut
+    circ = ass._parse_drawing(
+        "m 50 0 b 78 0 100 22 100 50 b 100 78 78 100 50 100 "
+        "b 22 100 0 78 0 50 b 0 22 22 0 50 0", 1)
+    cov2, _, _ = ass._fill_polygons(circ, 1.0, 1.0)
+    area = (cov2.astype(float) / 255).sum()
+    assert abs(area - np.pi * 50 * 50) / (np.pi * 2500) < 0.02
+    spl = ass._parse_drawing("m 0 0 s 100 0 100 100 0 100 c", 1)
+    cov3, _, _ = ass._fill_polygons(spl, 1.0, 1.0)
+    assert (cov3 > 0).sum() > 100
+
+
+def test_drawing_commands_not_rendered_as_text():
+    head = SCRIPT.split("[Events]")[0]
+    t = _track(head + """[Events]
+Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text
+Dialogue: 0,0:00:00.00,0:00:10.00,Default,,0,0,0,,{\\an7\\pos(0,0)\\bord0\\p1}m 0 0 l 40 0 40 40 0 40{\\p0}
+""")
+    ov = ass.blit_bgra_premultiplied(
+        ass.render_events(t, int(1e9), 640, 480), 640, 480)
+    ys, xs = np.where(ov[..., 3] > 128)
+    # a filled 40x40 square, not a long run of glyphs
+    assert xs.max() < 60
+    filled = (ov[..., 3] > 128).sum()
+    assert filled > 0.9 * 40 * 40
+
+
+def test_vector_clip_and_iclip():
+    head = SCRIPT.split("[Events]")[0]
+    body = """[Events]
+Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text
+Dialogue: 0,0:00:00.00,0:00:10.00,Default,,0,0,0,,{\\an7\\pos(0,0)%s}wide wide text
+"""
+    clip = "\\clip(m 0 0 l 40 0 40 480 0 480)"
+    t_c = _track(head + body % clip)
+    t_i = _track(head + body % clip.replace("clip", "iclip"))
+    t_n = _track(head + body % "")
+    ov_c = ass.blit_bgra_premultiplied(
+        ass.render_events(t_c, int(1e9), 640, 480), 640, 480)
+    ov_i = ass.blit_bgra_premultiplied(
+        ass.render_events(t_i, int(1e9), 640, 480), 640, 480)
+    ov_n = ass.blit_bgra_premultiplied(
+        ass.render_events(t_n, int(1e9), 640, 480), 640, 480)
+    assert (ov_n[..., 3] > 0).any(axis=0)[60:].any()
+    assert not (ov_c[..., 3] > 0).any(axis=0)[60:].any()   # clipped
+    assert (ov_c[..., 3] > 0).any()
+    # iclip keeps only what's OUTSIDE the drawing
+    assert not (ov_i[..., 3] > 0).any(axis=0)[:38].any()
+    assert (ov_i[..., 3] > 0).any(axis=0)[60:].any()
+    # scaled form: \clip(2, drawing) halves coordinates
+    clip2 = "\\clip(2, m 0 0 l 160 0 160 960 0 960)"
+    t_s = _track(head + body % clip2)
+    ov_s = ass.blit_bgra_premultiplied(
+        ass.render_events(t_s, int(1e9), 640, 480), 640, 480)
+    cols = (ov_s[..., 3] > 0).any(axis=0)
+    assert cols[:78].any() and not cols[90:].any()
