@@ -516,6 +516,7 @@ def _freeverb_process_scan(state, x: jnp.ndarray, params, rate: int,
 
 VAD_POWER_ALPHA = 0x0800
 VAD_RING = 256
+_VAD_UNROLL = 32
 
 
 def vad_init_state():
@@ -532,18 +533,49 @@ def vad_block(state, data: jnp.ndarray, threshold: jnp.ndarray,
     samples.  Returns (state, frame_type int32)."""
     n = data.shape[0]
 
-    def power_step(carry, v):
-        power, head, ring = carry
-        v32 = v.astype(jnp.int64)
-        sq = ((v32 * v32) >> 14) & 0xFFFF
-        power = (VAD_POWER_ALPHA * sq
-                 + (0xFFFF - VAD_POWER_ALPHA) * (power >> 16)
-                 + ((0xFFFF - VAD_POWER_ALPHA) * (power & 0xFFFF) >> 16))
-        ring = ring.at[head & (VAD_RING - 1)].set(v)
-        return (power, head + 1, ring), None
+    # power: p' = A*sq + B*(p>>16) + ((B*(p&0xFFFF))>>16) — a scalar
+    # affine recurrence.  The squares vectorize; the chain unrolls
+    # _VAD_UNROLL steps per scan iteration so the loop is ~32x shorter
+    # than the old per-sample scan (which also carried the whole ring
+    # with one dynamic scatter PER SAMPLE — that alone was the bench's
+    # config-3 cliff: 40 -> hundreds of blocks/s on v5e).
+    sq_all = ((data.astype(jnp.int64) * data.astype(jnp.int64))
+              >> 14) & 0xFFFF
+    B = 0xFFFF - VAD_POWER_ALPHA
 
-    (power, count, ring), _ = lax.scan(
-        power_step, (state["power"], state["count"], state["ring"]), data)
+    def apply(p, s):
+        return (VAD_POWER_ALPHA * s + B * (p >> 16)
+                + (B * (p & 0xFFFF) >> 16))
+
+    power = state["power"]
+    main = (n // _VAD_UNROLL) * _VAD_UNROLL
+    if main:
+        def step(p, chunk):
+            for j in range(_VAD_UNROLL):
+                p = apply(p, chunk[j])
+            return p, None
+
+        power, _ = lax.scan(
+            step, power, sq_all[:main].reshape(-1, _VAD_UNROLL))
+    for j in range(main, n):                  # static tail
+        power = apply(power, sq_all[j])
+
+    # ring: after the block it holds the LAST min(n, RING) samples at
+    # their ((count + i) & mask) slots — one vectorized scatter
+    # replaces n sequential ones
+    mask = VAD_RING - 1
+    if n >= VAD_RING:
+        base = n - VAD_RING
+        idx = ((state["count"] + base
+                + jnp.arange(VAD_RING, dtype=jnp.int64)) & mask
+               ).astype(jnp.int32)
+        ring = state["ring"].at[idx].set(data[base:])
+    else:
+        idx = ((state["count"]
+                + jnp.arange(n, dtype=jnp.int64)) & mask
+               ).astype(jnp.int32)
+        ring = state["ring"].at[idx].set(data)
+    count = state["count"] + n
 
     # ZCR over the ring contents in queue order
     entries = jnp.minimum(count, VAD_RING - 1).astype(jnp.int32)
