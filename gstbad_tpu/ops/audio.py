@@ -516,7 +516,7 @@ def _freeverb_process_scan(state, x: jnp.ndarray, params, rate: int,
 
 VAD_POWER_ALPHA = 0x0800
 VAD_RING = 256
-_VAD_UNROLL = 32
+_VAD_UNROLL = 128
 
 
 def vad_init_state():
