@@ -175,21 +175,21 @@ class Ivtc(VideoFilter):
             prev_score = pair_scores[st["head_abs"]]
             next_score = pair_scores[st["head_abs"] + 1]
 
-            weave_next = weave_frame(st, 1, 2)
-            weave_prev = weave_frame(st, 1, 0)
-            single = single_frame(st, 1)
-
             use_next_a = forward_ok & (next_score < prev_score)
             branch_prev = prev_score < THRESHOLD
             branch_next = ~branch_prev & (next_score < THRESHOLD)
 
-            def sel(k):
-                return jnp.where(
-                    branch_prev,
-                    jnp.where(use_next_a, weave_next[k], weave_prev[k]),
-                    jnp.where(branch_next, weave_next[k], single[k]))
-
-            out = {k: sel(k) for k in pool}
+            # only the taken reconstruction is built (lax.switch) —
+            # computing all three candidates and where-selecting cost
+            # ~3x the frame traffic per output
+            case = jnp.where(
+                branch_prev, jnp.where(use_next_a, 0, 1),
+                jnp.where(branch_next, 0, 2)).astype(jnp.int32)
+            out = lax.switch(
+                case,
+                [lambda st=st: weave_frame(st, 1, 2),
+                 lambda st=st: weave_frame(st, 1, 0),
+                 lambda st=st: single_frame(st, 1)])
             n_retire = jnp.where(
                 branch_prev, jnp.where(use_next_a, 3, 2),
                 jnp.where(branch_next, jnp.where(forward_ok, 3, 2), 2)
