@@ -64,10 +64,24 @@ class RemoveSilence(AudioFilter):
         s = x.shape[1]
         dur = jnp.int64(round(1e9 * s / self.in_spec.rate))
 
+        # fast path: the whole window's VAD in one pass (the serial
+        # power recurrence runs inside a single Pallas kernel); blocks
+        # shorter than the ZCR ring keep the per-block fold
+        whole_window = s >= ops.VAD_RING
+        if whole_window:
+            vad_state_out, frame_types = ops.vad_window(
+                state["vad"], x, params["threshold"],
+                params["hysteresis"],
+                interpret=jax.default_backend() != "tpu")
+
         def step(carry, inp):
             st, xb, pts = carry, inp[0], inp[1]
-            vad_state, frame_type = ops.vad_block(
-                st["vad"], xb, params["threshold"], params["hysteresis"])
+            if whole_window:
+                vad_state, frame_type = st["vad"], inp[2]
+            else:
+                vad_state, frame_type = ops.vad_block(
+                    st["vad"], xb, params["threshold"],
+                    params["hysteresis"])
             is_sil = frame_type == 0
             consec_b = jnp.where(is_sil, st["consec_buffers"] + 1,
                                  jnp.int64(0))
@@ -100,8 +114,12 @@ class RemoveSilence(AudioFilter):
             return new, (drop, out_pts, emit_detected, emit_finished,
                          pts - st["ts_offset"])
 
+        xs = (x, batch.pts, frame_types) if whole_window \
+            else (x, batch.pts)
         state, (drops, out_pts, det, fin, msg_pts) = lax.scan(
-            step, state, (x, batch.pts))
+            step, state, xs)
+        if whole_window:
+            state = {**state, "vad": vad_state_out}
         out = batch.replace(valid=batch.valid & ~drops, pts=out_pts)
         msgs = {"removesilence": {
             "_emit": det | fin,

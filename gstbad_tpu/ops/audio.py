@@ -11,10 +11,14 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 # ---------------------------------------------------------------------------
 # audiomixmatrix
@@ -517,6 +521,153 @@ def _freeverb_process_scan(state, x: jnp.ndarray, params, rate: int,
 VAD_POWER_ALPHA = 0x0800
 VAD_RING = 256
 _VAD_UNROLL = 128
+_VAD_B = 0xFFFF - VAD_POWER_ALPHA
+
+
+def _vad_power_step32(hi, lo, s):
+    """One truncating power update on 16-bit limbs (hi, lo) of the
+    power accumulator — all intermediates fit i32 (Mosaic has no i64).
+
+    Derivation: with p = hi<<16 | lo, the reference update
+    p' = A*s + B*(p>>16) + ((B*(p&0xFFFF))>>16)  [vad_private.c:117]
+    equals t1 + B*hi with t1 = A*s + ((B*lo)>>16);
+    (B*lo)>>16 == (B*(lo>>8) + ((B*(lo&0xFF))>>8)) >> 8 exactly
+    (floor-of-floor identities), and B*hi splits as
+    (n1<<16) + (n0<<8) + m0 with m1 = B*(hi>>8), n1 = m1>>8,
+    n0 = m1&0xFF, m0 = B*(hi&0xFF).  The steady state keeps
+    p < 0xFFFF0000, so hi' fits 16 bits."""
+    A = jnp.int32(VAD_POWER_ALPHA)
+    B = jnp.int32(_VAD_B)
+    e8 = jnp.int32(8)
+    blo16 = (B * (lo >> e8)
+             + ((B * (lo & jnp.int32(0xFF))) >> e8)) >> e8
+    t1 = A * s + blo16
+    m1 = B * (hi >> e8)
+    m0 = B * (hi & jnp.int32(0xFF))
+    n1 = m1 >> e8
+    n0 = m1 & jnp.int32(0xFF)
+    s1 = t1 + m0 + (n0 << e8)
+    return (s1 >> jnp.int32(16)) + n1, s1 & jnp.int32(0xFFFF)
+
+
+def _vad_power_kernel(p0_ref, sq_ref, out_ref, carry_ref, *, n):
+    """Grid step = 8 audio blocks (the TPU block-shape minimum): run
+    the serial power recurrence over each row's n squared samples as
+    an in-kernel SMEM scalar loop (the XLA formulation pays
+    while-loop overhead per unrolled chunk — the whole chain here
+    costs nanoseconds per step).  Carry (hi, lo) lives in SMEM
+    scratch across the sequential grid; row r's block-end limbs land
+    in out lanes 0/1."""
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        carry_ref[0] = p0_ref[0]
+        carry_ref[1] = p0_ref[1]
+
+    ntiles, rem = divmod(n, 128)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    rows = []
+    hi = carry_ref[0]
+    lo = carry_ref[1]
+    for r in range(8):
+        def tile(t, hl, r=r):
+            h, l = hl
+            base = t * jnp.int32(128)
+            for j in range(128):
+                h, l = _vad_power_step32(h, l, sq_ref[r, base + j])
+            return h, l
+
+        hi, lo = lax.fori_loop(jnp.int32(0), jnp.int32(ntiles), tile,
+                               (hi, lo))
+        base = jnp.int32(ntiles * 128)
+        for j in range(rem):
+            hi, lo = _vad_power_step32(hi, lo, sq_ref[r, base + j])
+        rows.append(jnp.where(lane == jnp.int32(0), hi,
+                              jnp.where(lane == jnp.int32(1), lo,
+                                        jnp.int32(0))))
+    carry_ref[0] = hi
+    carry_ref[1] = lo
+    out_ref[...] = jnp.concatenate(rows, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _vad_powers_pallas(p0_hi_lo, sq, interpret: bool = False):
+    """Block-end (hi, lo) power limbs for every block: sq [nb, n] i32
+    -> [nb, 2] i32.  Rows pad to a multiple of 8 (padded rows run on
+    zero samples AFTER the real ones; their outputs and the final
+    carry are never read)."""
+    nb, n = sq.shape
+    npad = -(-n // 128) * 128
+    nbp = -(-nb // 8) * 8
+    sqp = jnp.zeros((nbp, npad), jnp.int32).at[:nb, :n].set(sq)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nbp // 8,),
+        in_specs=[pl.BlockSpec((8, npad),
+                               lambda k, p0: (k, jnp.int32(0)),
+                               memory_space=pltpu.MemorySpace.SMEM)],
+        out_specs=pl.BlockSpec((8, 128),
+                               lambda k, p0: (k, jnp.int32(0))),
+        scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_vad_power_kernel, n=n),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nbp, 128), jnp.int32),
+        interpret=interpret,
+    )(p0_hi_lo, sqp)
+    return out[:nb, :2]
+
+
+def vad_window(state, data: jnp.ndarray, threshold: jnp.ndarray,
+               hysteresis: jnp.ndarray, interpret: bool = False):
+    """Whole-window VAD: all blocks of data [nb, n] at once, exactly
+    equal to folding vad_block over the rows.  The serial truncating
+    power recurrence runs inside ONE Pallas kernel; the ZCR windows
+    (wholly inside each block once n >= VAD_RING) and the hysteresis
+    machine vectorize outside.  Returns (state', frame_types [nb])."""
+    nb, n = data.shape
+    if n < VAD_RING:
+        raise ValueError("vad_window needs n >= VAD_RING")
+    d64 = data.astype(jnp.int64)
+    sq = (((d64 * d64) >> 14) & 0xFFFF).astype(jnp.int32)
+    p0 = jnp.stack([(state["power"] >> 16).astype(jnp.int32),
+                    (state["power"] & 0xFFFF).astype(jnp.int32)])
+    hl = _vad_powers_pallas(p0, sq, interpret=interpret)
+    powers = ((hl[:, 0].astype(jnp.int64) << 16)
+              | hl[:, 1].astype(jnp.int64))
+    # ZCR: entries = RING-1 once count > RING, so each block's window
+    # is its own trailing 255 samples (254 adjacent pairs)
+    seg = data[:, n - (VAD_RING - 1):]
+    neg = seg < 0
+    zcr = jnp.sum(jnp.where(neg[:, :-1] != neg[:, 1:], 1, -1), axis=1)
+    raw = jnp.where((powers > threshold) & (zcr < 0), 1, 0
+                    ).astype(jnp.int32)
+
+    def hyst(carry, ft):
+        vstate, samples = carry
+        changed = vstate != ft
+        v2s = changed & (vstate == 1)
+        samples_v2s = samples + n
+        leave = samples_v2s >= hysteresis
+        new_state = jnp.where(
+            changed,
+            jnp.where(v2s, jnp.where(leave, ft, vstate), ft), vstate)
+        new_samples = jnp.where(changed & v2s & ~leave, samples_v2s,
+                                jnp.int64(0))
+        return (new_state, new_samples), new_state
+
+    (vstate, samples), frame_types = lax.scan(
+        hyst, (state["state"], state["samples"]), raw)
+    flat_tail = data.reshape(-1)[nb * n - VAD_RING:]
+    idx = ((state["count"] + nb * n - VAD_RING
+            + jnp.arange(VAD_RING, dtype=jnp.int64)) & (VAD_RING - 1)
+           ).astype(jnp.int32)
+    new = {"ring": state["ring"].at[idx].set(flat_tail),
+           "count": state["count"] + nb * n,
+           "power": powers[-1],
+           "state": vstate,
+           "samples": samples}
+    return new, frame_types
 
 
 def vad_init_state():

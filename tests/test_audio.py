@@ -1034,3 +1034,25 @@ def test_audioconvert_mix_matrix_override(rng):
     want = np.einsum("bsc,oc->bso", x.astype(np.float64),
                      NP_MATRIX_4_2).astype(np.float32)
     np.testing.assert_allclose(got, want, atol=1e-7)
+
+
+def test_vad_window_matches_folded_vad_block(rng):
+    import jax.numpy as jnp
+    from gstbad_tpu.ops import audio as ops
+    nb, n = 5, 480
+    thr = jnp.int64(int((10.0 ** -6) * 4294967295))
+    hys = jnp.int64(480)
+    st = ops.vad_init_state()
+    st2 = ops.vad_init_state()
+    for loud, scale in ((True, 32767), (False, 900)):
+        data = jnp.asarray(rng.integers(-scale, scale, (nb, n),
+                                        dtype=np.int16))
+        fts = []
+        for k in range(nb):
+            st, ft = ops.vad_block(st, data[k], thr, hys)
+            fts.append(int(ft))
+        st2, ft2 = ops.vad_window(st2, data, thr, hys, interpret=True)
+        assert fts == [int(x) for x in ft2]
+        for key in st:
+            np.testing.assert_array_equal(np.asarray(st[key]),
+                                          np.asarray(st2[key]), key)
