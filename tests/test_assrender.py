@@ -722,3 +722,24 @@ Dialogue: 0,0:00:00.00,0:00:10.00,Default,,0,0,0,,{\\an7\\pos(0,0)%s}wide wide t
         ass.render_events(t_s, int(1e9), 640, 480), 640, 480)
     cols = (ov_s[..., 3] > 0).any(axis=0)
     assert cols[:78].any() and not cols[90:].any()
+
+
+def test_assrender_element_draws_vector_shape():
+    W, H = 320, 240
+    el = gt.make("assrender")
+    el.push_script(SCRIPT.split("[Events]")[0] + """[Events]
+Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text
+Dialogue: 0,0:00:00.00,0:00:10.00,Default,,0,0,0,,{\\an7\\pos(20,20)\\bord0\\p1}m 0 0 l 80 0 80 80 0 80{\\p0}
+""")
+    p = Pipeline([el])
+    p.negotiate(MediaSpec(kind="video", format="BGRx", width=W, height=H,
+                          framerate=fractions.Fraction(2)))
+    img = np.zeros((1, H, W, 4), np.uint8)
+    out = np.asarray(p.run(inputs=FrameBatch.make(
+        jnp.asarray(img), pts=jnp.asarray([int(1e9)], jnp.int64)))[0].data)
+    diff = (out[0] != img[0]).any(axis=-1)
+    ys, xs = np.where(diff)
+    # PlayRes 640x480 -> frame 320x240 halves pos(20,20) to (10,10)
+    # and the 80-unit square to 40 px
+    assert 8 <= xs.min() <= 12 and 36 <= xs.max() - xs.min() <= 44
+    assert 36 <= ys.max() - ys.min() <= 44
