@@ -105,6 +105,14 @@ def config5_ivtc(width=1280, height=720) -> Pipeline:
         "! ivtc ! fakesink")
 
 
+def combdetect_720p(width=1280, height=720) -> Pipeline:
+    """interlace -> combdetect zebra paint (BASELINE combdetect row)."""
+    return parse_launch(
+        f"videotestsrc pattern=ball width={width} height={height} "
+        "format=GRAY8 framerate=24/1 ! interlace pattern=2:3 "
+        "! combdetect ! fakesink")
+
+
 def ten_element_graph(width=1920, height=1080) -> Pipeline:
     """The north-star 10-element 1080p filter graph (BASELINE.md target:
     >= 50x single-core C on v5e-8)."""
@@ -124,6 +132,7 @@ BENCHMARKS: Dict[str, Callable[[], Pipeline]] = {
     "warp_1080p": warp_1080p,
     "warp_4k": warp_4k,
     "config5_ivtc": config5_ivtc,
+    "combdetect_720p": combdetect_720p,
     "ten_element": ten_element_graph,
 }
 
