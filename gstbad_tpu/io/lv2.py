@@ -68,8 +68,8 @@ class Blank(str):
 
 _TOKEN = re.compile(r"""
     (?P<ws>\s+|\#[^\n]*)
+  | (?P<string>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\"|"(?:[^"\\]|\\.)*")
   | (?P<iri><[^>]*>)
-  | (?P<string>"(?:[^"\\]|\\.)*")
   | (?P<prefix>@prefix\b|@base\b)
   | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<punct>\^\^|[;,.\[\]()])
@@ -200,7 +200,9 @@ class TurtleParser:
                 iri = self._base + iri
             return URI(iri)
         if t.group("string") is not None:
-            val = _unescape(t.group("string")[1:-1])
+            raw = t.group("string")
+            q = 3 if raw.startswith('"""') else 1
+            val = _unescape(raw[q:-q])
             # optional ^^datatype or @lang — swallow, keep lexical form
             if self._tok is not None and self._tok.group("punct") == "^^":
                 self._advance()

@@ -225,3 +225,16 @@ def test_element_load_preset(registered):
     np.testing.assert_allclose(el.chain(x)[:, 0], 1.0, rtol=1e-6)
     assert not el.load_preset("nope")
     el.close()
+
+
+def test_turtle_triple_quoted_strings():
+    tp = L.TurtleParser().parse('''
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+<urn:s> rdfs:comment """A long
+multi-line comment with "quotes" inside.""" ;
+        rdfs:label "short" .
+''')
+    g = tp.graph["urn:s"]
+    assert g[L.RDFS + "comment"] == [
+        'A long\nmulti-line comment with "quotes" inside.']
+    assert g[L.RDFS + "label"] == ["short"]
