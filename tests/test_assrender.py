@@ -743,3 +743,17 @@ Dialogue: 0,0:00:00.00,0:00:10.00,Default,,0,0,0,,{\\an7\\pos(20,20)\\bord0\\p1}
     # and the 80-unit square to 40 px
     assert 8 <= xs.min() <= 12 and 36 <= xs.max() - xs.min() <= 44
     assert 36 <= ys.max() - ys.min() <= 44
+
+
+def test_render_soft_wrap_pango_face():
+    if not ass.pango_available():
+        pytest.skip("no pango")
+    head = SCRIPT.split("[Events]")[0]
+    long_text = "word " * 30
+    t = _track(head + f"""[Events]
+Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV, Effect, Text
+Dialogue: 0,0:00:00.00,0:00:10.00,Default,,0,0,0,,{long_text}
+""")
+    ims = ass.render_events(t, int(1e9), 640, 480, face="pango")
+    assert max(im["dst_x"] + im["bitmap"].shape[1] for im in ims) <= 660
+    assert len({im["dst_y"] for im in ims}) > 1      # wrapped lines
