@@ -153,6 +153,13 @@ def register_lv2_elements(path: Optional[str] = None) -> List[str]:
     return names
 
 
-# default scan, like the reference plugin's cached-data path walk
+# default scan, like the reference plugin's cached-data path walk.  A bad
+# bundle anywhere on LV2_PATH must degrade to a skipped plugin, never to an
+# ImportError of the whole package (ADVICE r4).
 if os.environ.get("LV2_PATH"):
-    register_lv2_elements()
+    try:
+        register_lv2_elements()
+    except Exception as _e:  # noqa: BLE001 - import-time plugin scan
+        import warnings
+        warnings.warn(f"LV2 plugin scan failed; continuing without "
+                      f"dynamic LV2 elements: {_e}")

@@ -990,13 +990,23 @@ def _parse_drawing(text: str, scale: int) -> List[List[Tuple[float,
 
     for c, v in cmds:
         pairs = [(v[i], v[i + 1]) for i in range(0, len(v) - 1, 2)]
-        if c in ("m", "n"):
+        if c == "m":
             flush_spline()
-            if c == "m":
-                close()
+            close()
             if pairs:
                 pos = pairs[-1]
                 cur = [pos]
+        elif c == "n":
+            # move WITHOUT closing (libass ass_drawing.c TOKEN_MOVE_NC):
+            # the open contour keeps its points and continues from the new
+            # position — filling connects across the jump (ADVICE r4)
+            flush_spline()
+            if pairs:
+                pos = pairs[-1]
+                if cur:
+                    cur.append(pos)
+                else:
+                    cur = [pos]
         elif c == "l":
             flush_spline()
             if not cur:
@@ -1216,7 +1226,12 @@ def _wrap_lines(lines: List[List[Span]], avail: float, mode: int,
         if not words:
             out.append(line)
             continue
-        seps = [measure(words[i][0], sep_txt[i]) if sep_txt[i] else 0.0
+        # the rebuild below attaches each inter-word gap to the PRECEDING
+        # span, so measure it with that span's state — measuring with the
+        # following word's state skews wrap widths when font size changes
+        # at a span boundary (ADVICE r4)
+        seps = [measure(words[i - 1][0] if i else words[i][0], sep_txt[i])
+                if sep_txt[i] else 0.0
                 for i in range(len(words))]
         wlens = [measure(stt, t) for stt, t in words]
         if sum(wlens) + sum(seps) <= avail:

@@ -142,6 +142,12 @@ def _decode_code39(runs: List[float]) -> Optional[str]:
         out.append(ch)
         pos += 9
         if len(out) > 1 and ch == "*":
+            # checksum-less symbology: demand the trailing quiet zone
+            # after the closing '*' so a slice of another symbol can't
+            # decode as Code 39 (mirrors the Codabar decoder; ADVICE r4)
+            narrow = min(runs[pos - 9:pos])
+            if pos < len(runs) and runs[pos] < 4.0 * narrow:
+                return None
             break
         # inter-character gap: one light run no wider than a wide element
         if pos >= len(runs):
@@ -155,7 +161,8 @@ def _decode_code39(runs: List[float]) -> Optional[str]:
 
 
 def scan_code39(gray: np.ndarray):
-    return _sweep(gray, _decode_code39, 9 + 1 + 9)
+    # no checksum -> gate at 2 agreeing scanlines like ITF/Codabar
+    return _sweep(gray, _decode_code39, 9 + 1 + 9, min_votes=2)
 
 
 # ---------------------------------------------------------------------------

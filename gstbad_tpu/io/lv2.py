@@ -507,7 +507,10 @@ def scan(path: Optional[str] = None) -> List[Lv2Plugin]:
                     if p.required_features:
                         continue
                     plugins.append(p)
-            except Lv2Error:
+            except (Lv2Error, OSError, UnicodeDecodeError):
+                # a malformed, unreadable or non-UTF-8 bundle degrades to a
+                # skipped plugin (lilv's lilv_world_load_all tolerates bad
+                # bundles the same way) rather than failing the whole scan
                 continue
     return plugins
 
