@@ -192,6 +192,90 @@ class InterAudioSrc(_ChannelSrc):
     PROPERTIES = _ChannelSrc.PROPERTIES
 
 
+class SubSurface:
+    """The inter sub channel surface (gst/inter/gstintersurface.c): a
+    ONE-DEEP latest-value latch, not a queue — intersubsink's render
+    replaces surface->sub_buffer (gstintersubsink.c render), and
+    intersubsrc's create takes-and-clears it
+    (gstintersubsrc.c:225-245)."""
+
+    _registry: Dict[str, "SubSurface"] = {}
+    _lock = threading.Lock()
+
+    def __init__(self, name: str):
+        self.name = name
+        self.sub_buffer: Optional[bytes] = None
+        self.mutex = threading.Lock()
+
+    @classmethod
+    def get(cls, name: str) -> "SubSurface":
+        with cls._lock:
+            if name not in cls._registry:
+                cls._registry[name] = SubSurface(name)
+            return cls._registry[name]
+
+
+@register
+class InterSubSink(Element):
+    """intersubsink (gst/inter/gstintersubsink.c): latches the latest
+    text/plain buffer onto the named sub surface; an intersubsrc on the
+    same channel picks it up.  Byte/host-domain element: feed with
+    render()."""
+
+    NAME = "intersubsink"
+    KIND = "sink"
+    HOST = True
+    PROPERTIES = (Property("channel", str, "default", static=True),)
+
+    def render(self, text) -> None:
+        data = text.encode() if isinstance(text, str) else bytes(text)
+        surface = SubSurface.get(self.props["channel"])
+        with surface.mutex:
+            surface.sub_buffer = data      # replace, never queue
+
+    def process(self, params, state, batch: FrameBatch):
+        return state, batch
+
+    def host_process(self, np_batch: FrameBatch, bus) -> None:
+        # in-graph use: latch the bytes of the last valid frame
+        data = np.asarray(np_batch.data)
+        mask = np.asarray(np_batch.valid)
+        if mask.any():
+            self.render(data[mask][-1].tobytes())
+
+
+@register
+class InterSubSrc(Element):
+    """intersubsrc (gst/inter/gstintersubsrc.c): pulls the latched
+    buffer off the named sub surface, clearing the latch; when nothing
+    is latched it emits a 1-byte zero buffer exactly like the
+    reference's create (gstintersubsrc.c:247-256)."""
+
+    NAME = "intersubsrc"
+    KIND = "host-source"
+    PROPERTIES = (Property("channel", str, "default", static=True),)
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        self.n_frames = 0
+
+    def negotiate(self, in_spec: MediaSpec) -> MediaSpec:
+        return MediaSpec(kind="text", format="utf8")
+
+    def create(self) -> bytes:
+        surface = SubSurface.get(self.props["channel"])
+        with surface.mutex:
+            buffer = surface.sub_buffer
+            surface.sub_buffer = None
+        if buffer is None:
+            buffer = b"\x00"               # gstintersubsrc.c:247-253
+        self.n_frames += 1                 # buffer offset counter
+        return buffer
+
+    def process(self, params, state, batch):
+        return state, batch
+
+
 @register
 class ProxySink(_ChannelSink):
     NAME = "proxysink"

@@ -1633,3 +1633,199 @@ class Vc1Parse(Element):
                 mid += b"\x00\x00\x01\x0d"
         self._frame_layer_first_sent = True
         return header + mid + frame
+
+
+# ---------------------------------------------------------------- png
+
+
+@register
+class PngParse(Element):
+    """pngparse (gst/videoparsers/gstpngparse.c): frames whole PNG files
+    out of a byte stream and produces image/png caps from the IHDR.
+
+    Framing walk (gstpngparse.c:127-246 handle_frame): scan to the
+    8-byte signature 0x89504E470D0A1A0A (resync scans for the 0x89504E47
+    prefix and skips until a full signature lines up), then walk
+    length/fourcc chunks — IHDR carries width/height (big-endian at
+    payload offsets 0/4); IEND ends the frame.  Caps update only when
+    width/height change; an upstream framerate is carried through
+    (gstpngparse.c:216-230)."""
+
+    NAME = "pngparse"
+    KIND = "host-source"
+    PROPERTIES = ()
+
+    SIGNATURE = b"\x89PNG\r\n\x1a\n"     # gstpngparse.c:31
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        self.width = 0                   # gstpngparse.c:103-104
+        self.height = 0
+        self.framerate = None            # (num, den) from sink caps
+        self.src_caps: Optional[Dict] = None
+        self._buf = b""
+
+    def set_caps(self, framerate=None) -> None:
+        self.framerate = framerate
+
+    def _parse_one(self) -> Optional[bytes]:
+        """One handle_frame pass over the buffered bytes; returns a
+        whole signature..IEND frame or None (more data needed)."""
+        buf = self._buf
+        if len(buf) < 8:
+            return None
+        if buf[:8] != self.SIGNATURE:
+            # resync on the 4-byte prefix, then demand the full
+            # signature (gstpngparse.c:145-168)
+            off = buf.find(self.SIGNATURE[:4])
+            while off >= 0:
+                if len(buf) - off < 8:
+                    break
+                if buf[off:off + 8] == self.SIGNATURE:
+                    break
+                off = buf.find(self.SIGNATURE[:4], off + 4)
+            if off <= 0:
+                # keep a 7-byte tail so a split signature can complete
+                self._buf = buf[max(0, len(buf) - 7):]
+                return None
+            self._buf = buf = buf[off:]
+            if buf[:8] != self.SIGNATURE:
+                return None
+        pos = 8
+        width = height = 0
+        while True:
+            if pos + 8 > len(buf):
+                return None
+            length = int.from_bytes(buf[pos:pos + 4], "big")
+            code = buf[pos + 4:pos + 8]
+            pos += 8
+            if code == b"IHDR":
+                if pos + 8 > len(buf):
+                    return None
+                width = int.from_bytes(buf[pos:pos + 4], "big")
+                height = int.from_bytes(buf[pos + 4:pos + 8], "big")
+            # chunk payload + CRC (gstpngparse.c:196-197)
+            if pos + length + 4 > len(buf):
+                return None
+            pos += length + 4
+            if code == b"IEND":
+                break
+        if (self.width, self.height) != (width, height):
+            self.width, self.height = width, height
+            caps = {"media": "image/png", "parsed": True,
+                    "width": width, "height": height}
+            if self.framerate is not None:
+                caps["framerate"] = tuple(self.framerate)
+            self.src_caps = caps
+        frame, self._buf = buf[:pos], buf[pos:]
+        return frame
+
+    def push(self, data: bytes, pts_ns: int = -1) -> List[Dict]:
+        self._buf += data
+        out: List[Dict] = []
+        while True:
+            frame = self._parse_one()
+            if frame is None:
+                break
+            out.append(dict(data=frame, pts=pts_ns, caps=self.src_caps))
+        return out
+
+    def finish(self, pts_ns: int = -1) -> List[Dict]:
+        return self.push(b"", pts_ns)
+
+
+# ---------------------------------------------------------------- dirac
+
+from gstbad_tpu.io import dirac as _dirac  # noqa: E402
+
+
+@register
+class DiracParse(Element):
+    """diracparse (gst/videoparsers/gstdiracparse.c): frames Dirac/VC-2
+    parse units into picture-terminated frames and produces
+    video/x-dirac caps from the sequence header.
+
+    Framing (gstdiracparse.c:255-383 handle_frame): resync to 'BBCD',
+    then chain parse units by next_parse_offset (0 -> 13) until one
+    with SCHRO_PARSE_CODE_IS_PICTURE ends the frame.  A frame whose
+    first unit is a sequence header re-parses caps: width/height/
+    framerate/PAR/interlace-mode/profile/level
+    (gstdiracparse.c:341-372)."""
+
+    NAME = "diracparse"
+    KIND = "host-source"
+    PROPERTIES = ()
+
+    def __init__(self, **props):
+        super().__init__(**props)
+        self.sequence_header: Optional[_dirac.SequenceHeader] = None
+        self.src_caps: Optional[Dict] = None
+        self._buf = b""
+
+    def _caps_from_seq_header(self, h: _dirac.SequenceHeader) -> Dict:
+        return {
+            "media": "video/x-dirac",
+            "parsed": True,
+            "width": h.width,
+            "height": h.height,
+            "framerate": (h.frame_rate_numerator,
+                          h.frame_rate_denominator),
+            "pixel-aspect-ratio": (h.aspect_ratio_numerator,
+                                   h.aspect_ratio_denominator),
+            "interlace-mode": ("interleaved" if h.interlaced
+                               else "progressive"),
+            "profile": _dirac.profile_name(h.profile),
+            "level": _dirac.level_name(h.level),
+        }
+
+    def _parse_one(self) -> Optional[bytes]:
+        buf = self._buf
+        if len(buf) < 13:
+            return None
+        if buf[:4] != _dirac.PARSE_INFO_PREFIX:
+            off = buf.find(_dirac.PARSE_INFO_PREFIX)
+            if off < 0:
+                self._buf = buf[max(0, len(buf) - 3):]
+                return None
+            self._buf = buf = buf[off:]
+            if len(buf) < 13:
+                return None
+        offset = 0
+        while True:
+            if offset + 13 >= len(buf) + 1:
+                return None
+            if buf[offset:offset + 4] != _dirac.PARSE_INFO_PREFIX:
+                # bad chained header: skip 3 and resync
+                # (gstdiracparse.c:310-314)
+                self._buf = buf[3:]
+                return None
+            parse_code = buf[offset + 4]
+            next_header = int.from_bytes(buf[offset + 5:offset + 9],
+                                         "big")
+            if next_header == 0:
+                next_header = 13       # gstdiracparse.c:319-320
+            have_picture = _dirac.is_picture(parse_code)
+            offset += next_header
+            if offset > len(buf):
+                return None
+            if have_picture:
+                break
+        if buf[4] == _dirac.PARSE_CODE_SEQUENCE_HEADER:
+            h = _dirac.parse_sequence_header(buf[13:offset])
+            self.sequence_header = h
+            self.src_caps = self._caps_from_seq_header(h)
+        frame, self._buf = buf[:offset], buf[offset:]
+        return frame
+
+    def push(self, data: bytes, pts_ns: int = -1) -> List[Dict]:
+        self._buf += data
+        out: List[Dict] = []
+        while True:
+            frame = self._parse_one()
+            if frame is None:
+                break
+            out.append(dict(data=frame, pts=pts_ns, caps=self.src_caps))
+        return out
+
+    def finish(self, pts_ns: int = -1) -> List[Dict]:
+        return self.push(b"", pts_ns)
