@@ -58,3 +58,46 @@ class SrtEnc:
 class WebvttEnc(SrtEnc):
     SEP = "."
     HEADER = "WEBVTT\n\n"
+
+
+def _parse_ts(text: str) -> int:
+    """'HH:MM:SS,mmm' or 'HH:MM:SS.mmm' -> ns."""
+    hms, _, ms = text.replace(".", ",").partition(",")
+    h, m, s = hms.split(":")
+    return ((int(h) * 3600 + int(m) * 60 + int(s)) * NSEC
+            + int(ms or 0) * MSEC)
+
+
+def parse_srt(text) -> list:
+    """Decode SRT (or WebVTT) stanzas — the playbin `suburi` subparse
+    path consumed by gst_play_set_subtitle_uri (gstplay.c set_suburi;
+    the subtitle decode itself lives in -base's subparse, so this is a
+    from-spec inverse of SrtEnc above).  Returns
+    [{'start': ns, 'end': ns, 'text': str}], tolerant of missing
+    counters, WEBVTT headers and CRLF."""
+    if isinstance(text, bytes):
+        text = text.decode("utf-8-sig", errors="replace")
+    cues = []
+    for stanza in text.replace("\r\n", "\n").split("\n\n"):
+        lines = [ln for ln in stanza.split("\n") if ln.strip()]
+        if not lines:
+            continue
+        if lines[0].strip().upper().startswith("WEBVTT"):
+            lines = lines[1:]
+            if not lines:
+                continue
+        if "-->" not in lines[0] and len(lines) > 1 and "-->" in lines[1]:
+            lines = lines[1:]             # drop the stanza counter
+        if "-->" not in lines[0]:
+            continue
+        start_s, _, end_s = lines[0].partition("-->")
+        try:
+            start = _parse_ts(start_s.strip().split(" ")[0])
+            end = _parse_ts(end_s.strip().split(" ")[0])
+        except (ValueError, IndexError):
+            continue
+        cues.append({"start": start, "end": end,
+                     "text": "\n".join(lines[1:])})
+    if not cues:
+        raise ValueError("no SRT/WebVTT cues found")
+    return cues
