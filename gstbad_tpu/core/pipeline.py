@@ -100,6 +100,7 @@ class Pipeline:
         self._step = None
         self._states = None
         self._window = None
+        self._in_spec: Optional[MediaSpec] = None
         self._order: Optional[List[Node]] = None
 
     # -- convenience views --------------------------------------------------
