@@ -53,8 +53,16 @@ def emit(rec, persist: bool = True):
             json.dump({"runs": runs}, f, indent=1)
 
 
-def time_pipeline(pipeline, window: int, n_windows: int, warmup: int = 2):
-    """Time the fused step function steady-state (data stays on device)."""
+def time_pipeline(pipeline, window: int, n_windows: int, warmup: int = 2,
+                  reps: int = 1):
+    """Time the fused step function steady-state (data stays on device).
+
+    reps > 1 measures the run `reps` times and returns
+    (median_fps, [fps...]) — the relay's per-execute latency is noisy
+    run-to-run, and a median-of-N is the honest anchor for
+    round-over-round comparisons (VERDICT r4 weak #8)."""
+    import statistics
+
     import jax
 
     pipeline.negotiate()
@@ -65,12 +73,61 @@ def time_pipeline(pipeline, window: int, n_windows: int, warmup: int = 2):
     for _ in range(warmup):
         states, batch, _ = step(params, states, None)
     jax.block_until_ready(batch)
-    t0 = time.perf_counter()
-    for _ in range(n_windows):
-        states, batch, _ = step(params, states, None)
-    jax.block_until_ready(batch)
-    dt = time.perf_counter() - t0
-    return (n_windows * window) / dt
+    runs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(n_windows):
+            states, batch, _ = step(params, states, None)
+        jax.block_until_ready(batch)
+        dt = time.perf_counter() - t0
+        runs.append((n_windows * window) / dt)
+    if reps == 1:
+        return runs[0]
+    return statistics.median(runs), runs
+
+
+def config5_fidelity(width=1280, height=720, n_frames=30, window=10):
+    """BASELINE config 5's quality gate as a measured artifact: the
+    telecine round trip (interlace 2:3 -> fieldanalysis -> ivtc) scored
+    by the iqa/compare SSIM oracle against the progressive source
+    (ext/iqa/iqa.c:195-290, gst/debugutils/gstcompare.c:355-428).
+
+    ivtc's first emitted frame predates its field queue warm-up and is
+    skipped; each remaining output frame is scored against its
+    best-aligned source frame (the inverse-telecine cadence duplicates
+    frames, so alignment is by content, monotone in the source)."""
+    import numpy as np
+
+    from gstbad_tpu.core.pipeline import parse_launch
+    from gstbad_tpu.models import benchmarks
+    from gstbad_tpu.ops.ssim import ssim_plane
+
+    src = parse_launch(
+        f"videotestsrc pattern=ball width={width} height={height} "
+        "format=GRAY8 framerate=24/1 ! fakesink")
+    orig = np.concatenate([np.asarray(b.data)
+                           for b in src.run(n_frames=n_frames,
+                                            window=window)])
+    chain = benchmarks.config5_ivtc(width, height)
+    out = np.concatenate([np.asarray(b.data)
+                          for b in chain.run(n_frames=n_frames,
+                                             window=window)])
+    scores = []
+    j0 = 0
+    for i in range(1, out.shape[0]):      # skip the warm-up frame
+        # monotone best-match within the cadence lookahead
+        cand = range(j0, min(j0 + 4, orig.shape[0]))
+        if not len(cand):
+            break
+        errs = [np.abs(out[i].astype(np.int64)
+                       - orig[j].astype(np.int64)).mean() for j in cand]
+        j = j0 + int(np.argmin(errs))
+        j0 = j
+        scores.append(float(ssim_plane(out[i], orig[j])))
+    ssim = float(np.mean(scores)) if scores else 0.0
+    return {"ssim": round(ssim, 6),
+            "dssim": round((1.0 - ssim) / 2.0, 6),   # compare.c dssim
+            "frames_scored": len(scores)}
 
 
 def numpy_baseline_fps(width=1920, height=1080, reps=2):
@@ -146,6 +203,9 @@ def main():
                          "compiles one prefix program per element)")
     ap.add_argument("--init-timeout", type=int, default=1200,
                     help="seconds to wait for device init before aborting")
+    ap.add_argument("--reps", type=int, default=3,
+                    help="timing repetitions; the reported value is the "
+                         "median (relay noise; VERDICT r4 weak #8)")
     args = ap.parse_args()
 
     # 1. Baseline denominator first — pure CPU, cannot be killed by the relay.
@@ -161,7 +221,9 @@ def main():
     # watchdog SIGKILLs this process with no cleanup, and this line is then
     # the only (and last) stdout record — value 0 + status says why.
     emit({
-        "metric": "1080p_frames_per_sec_per_chip_10elem_graph",
+        "metric": ("1080p_frames_per_sec_per_chip_10elem_graph"
+                   if args.config == "ten_element"
+                   else f"fps_{args.config}"),
         "value": 0.0,
         "unit": "frames/s",
         "vs_baseline": 0.0,
@@ -200,7 +262,9 @@ def main():
         # headline config first: its compile+run proves the relay is
         # alive, then the watchdog is disarmed for any longer sweep
         pipeline = build(args.config)
-        fps = time_pipeline(pipeline, args.window, args.windows)
+        res = time_pipeline(pipeline, args.window, args.windows,
+                            reps=max(1, args.reps))
+        fps, fps_runs = res if isinstance(res, tuple) else (res, [res])
     finally:
         disarm()
 
@@ -211,17 +275,39 @@ def main():
     # the achieved GB/s against it; see BASELINE.md for the full model.
     frame_bytes = 1920 * 1080 * 4
     achieved_gbps = fps * frame_bytes * 2 / 1e9
-    headline = {
-        "metric": "1080p_frames_per_sec_per_chip_10elem_graph",
-        "value": round(fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / baseline, 2),
-        "baseline": baseline_kind,
-        "baseline_fps": round(baseline, 2),
-        "min_bytes_per_frame": frame_bytes * 2,
-        "achieved_min_gbps": round(achieved_gbps, 2),
-        "pct_hbm_roofline_v5e": round(100 * achieved_gbps / 819, 2),
-    }
+    if args.config == "ten_element":
+        # the headline graph: full roofline accounting + the C denominator
+        headline = {
+            "metric": "1080p_frames_per_sec_per_chip_10elem_graph",
+            "value": round(fps, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / baseline, 2),
+            "baseline": baseline_kind,
+            "baseline_fps": round(baseline, 2),
+            "min_bytes_per_frame": frame_bytes * 2,
+            "achieved_min_gbps": round(achieved_gbps, 2),
+            "pct_hbm_roofline_v5e": round(100 * achieved_gbps / 819, 2),
+        }
+    else:
+        # single-config runs carry THEIR metric name, not the headline's
+        # (VERDICT r4 weak #5: an ivtc 720p number must not wear the
+        # 10-element-1080p label)
+        headline = {
+            "metric": f"fps_{args.config}",
+            "value": round(fps, 2),
+            "unit": "frames/s",
+            "vs_baseline": None,
+            "window": args.window,
+        }
+    if len(fps_runs) > 1:
+        headline["runs"] = [round(f, 2) for f in fps_runs]
+        headline["n_runs"] = len(fps_runs)
+    if args.config == "config5_ivtc":
+        # BASELINE config 5 is DEFINED with its iqa SSIM/DSSIM score
+        # (VERDICT r4 weak #6): record the telecine round-trip quality
+        fid = config5_fidelity()
+        headline.update(fid)
+        emit({"metric": "config5_telecine_ssim", **fid})
     if args.profile:
         # per-element marginal attribution (VERDICT r3 evidence): emitted
         # BEFORE the headline so the driver's last-line contract holds
@@ -250,9 +336,12 @@ def main():
                 p = build(name)
                 w = min(args.window, caps.get(name, args.window))
                 f = time_pipeline(p, w, args.windows)
-                emit({"metric": f"fps_{name}", "value": round(f, 2),
-                      "unit": "frames/s", "vs_baseline": None,
-                      "window": w})
+                rec = {"metric": f"fps_{name}", "value": round(f, 2),
+                       "unit": "frames/s", "vs_baseline": None,
+                       "window": w}
+                if name == "config5_ivtc":
+                    rec.update(config5_fidelity())
+                emit(rec)
             except Exception as e:  # noqa: BLE001
                 print(f"{name}: FAILED {e}", file=sys.stderr)
         # the driver reads the LAST stdout line: re-print the headline

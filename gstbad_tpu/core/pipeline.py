@@ -253,8 +253,11 @@ class Pipeline:
 
             def flush(nid: int) -> None:
                 chain = chains.pop(nid)
-                if len(chain.members) == 1:
-                    # a lone fused node keeps its own (cheaper) process
+                if len(chain.members) == 1 and not chain._time_invariant():
+                    # a lone fused node keeps its own (cheaper) process —
+                    # EXCEPT when the chain is time-invariant: the
+                    # one-frame-then-broadcast materialization beats any
+                    # per-frame process (static source + static tables)
                     si, el = chain.members[0]
                     new_states[si], val = el.process(params[si], states[si],
                                                      chain.src_batch)

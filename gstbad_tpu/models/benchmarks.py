@@ -98,11 +98,13 @@ def warp_4k(width=3840, height=2160) -> Pipeline:
 
 
 def config5_ivtc(width=1280, height=720) -> Pipeline:
-    """interlace (2:3 telecine) -> ivtc round trip (BASELINE config 5)."""
+    """interlace (2:3 telecine) -> fieldanalysis -> ivtc round trip
+    (BASELINE config 5: the ivtc/fieldanalysis + interlace graph; the
+    iqa SSIM/DSSIM score is recorded by bench.py config5_fidelity)."""
     return parse_launch(
         f"videotestsrc pattern=ball width={width} height={height} "
         "format=GRAY8 framerate=24/1 ! interlace pattern=2:3 "
-        "! ivtc ! fakesink")
+        "! fieldanalysis ! ivtc ! fakesink")
 
 
 def combdetect_720p(width=1280, height=720) -> Pipeline:
