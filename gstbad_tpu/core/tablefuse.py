@@ -145,13 +145,32 @@ class TableChain:
         return out
 
     def absorb_word_map(self, fn) -> bool:
-        """Evaluate a pure per-pixel word function on the 256 table entries."""
-        if not self.single_indexed():
-            return False
-        new_t = fn(self.word_table())
-        self.bytes_ = [(IDX, (new_t >> (8 * c)) & 255 if c else new_t & 255)
-                       for c in range(4)]
-        return True
+        """Evaluate a pure per-pixel word function on the 256 table entries
+        — or, on a time-invariant chain (static broadcast source, static
+        tables), on the ONE [1, H, W] base frame: the chain restarts from
+        the mapped base, so cross-channel ops (exclusion) that cannot ride
+        a single index plane still cost 1/B of the window."""
+        if self.single_indexed():
+            new_t = fn(self.word_table())
+            self.bytes_ = [(IDX, (new_t >> (8 * c)) & 255
+                            if c else new_t & 255) for c in range(4)]
+            return True
+        if self._time_invariant():
+            from gstbad_tpu.ops.pointops import unpack32
+            idx_b = (None if self.idx is None
+                     else self.index_fn(self.src_word_base)
+                     .astype(jnp.int32))
+            base = fn(self._materialize_core(self.src_word_base, idx_b))
+            word = jnp.broadcast_to(base, self.src_word.shape)
+            self.src_word_base = base
+            self.src_word = word
+            self.src_batch = self.src_batch.with_data(
+                unpack32(word)).replace(word=word, word_base=base)
+            self.idx = None
+            self.index_fn = None
+            self.bytes_ = [(SRC, None)] * 4
+            return True
+        return False
 
     def rank_plane(self, key_table: jnp.ndarray) -> jnp.ndarray:
         """Order-preserving u8 rank of a [*, 256] int32 key table, looked up

@@ -693,6 +693,39 @@ def _glyph(ch: int, h: int, w: int) -> np.ndarray:
     return g(ch, h, w)
 
 
+_AA_CACHE: Dict[tuple, np.ndarray] = {}
+
+
+def _glyph_aa(ch: int, h: int, w: int) -> np.ndarray:
+    """Antialiased fixed-face glyph: the atlas glyph supersampled 4x and
+    box-reduced to fractional u8 coverage — the fixed face then feeds
+    the same coverage-domain outline/blur/sweep pipeline as the pango
+    face instead of hard 0/255 steps (r5 ledger close: 'face=fixed
+    glyph shapes')."""
+    key = (ch, h, w)
+    hit = _AA_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from gstbad_tpu.io import ttml as _ttml
+    if _ttml._ATLAS is None:
+        _ttml._glyph(ord("A"), 8, 8)          # prime the atlas
+    atlas, first = _ttml._ATLAS
+    idx = ch - first
+    if idx < 0 or idx >= atlas.shape[0]:
+        idx = 0
+    g = atlas[idx]
+    k = 4
+    ys = (np.arange(h * k) * g.shape[0]) // (h * k)
+    xs = (np.arange(w * k) * g.shape[1]) // (w * k)
+    big = g[np.ix_(ys, xs)].astype(np.float32)
+    cov = big.reshape(h, k, w, k).mean(axis=(1, 3))
+    out = np.clip(np.round(cov * 255.0), 0, 255).astype(np.uint8)
+    if len(_AA_CACHE) > 8192:
+        _AA_CACHE.clear()
+    _AA_CACHE[key] = out
+    return out
+
+
 def _span_metrics(st: SpanState, sy: float, sx: float
                   ) -> Tuple[int, int, int]:
     """(font_h, char_w, advance) in output pixels."""
@@ -705,8 +738,9 @@ def _span_metrics(st: SpanState, sy: float, sx: float
 
 def _span_bitmap(span: Span, line_h: int, sy: float,
                  sx: float) -> np.ndarray:
-    """Rasterize one span onto a line-height bitmap (0/255 coverage),
-    applying bold / italic / underline / strikeout."""
+    """Rasterize one span onto a line-height bitmap (u8 coverage —
+    antialiased glyphs since r5), applying bold / italic / underline /
+    strikeout."""
     st = span.state
     font_h, char_w, adv = _span_metrics(st, sy, sx)
     n = len(span.text)
@@ -717,11 +751,10 @@ def _span_bitmap(span: Span, line_h: int, sy: float,
     for ci, ch in enumerate(span.text):
         if ch == " ":
             continue
-        g = _glyph(ord(ch) if ord(ch) < 128 else ord("?"),
-                   font_h, char_w)
+        g = _glyph_aa(ord(ch) if ord(ch) < 128 else ord("?"),
+                      font_h, char_w)
         x = ci * adv
-        np.maximum(bm[y0:y0 + font_h, x:x + char_w],
-                   np.where(g, 255, 0).astype(np.uint8),
+        np.maximum(bm[y0:y0 + font_h, x:x + char_w], g,
                    out=bm[y0:y0 + font_h, x:x + char_w])
     if st.bold:
         bm[:, 1:] = np.maximum(bm[:, 1:], bm[:, :-1])
@@ -1093,14 +1126,17 @@ def _fill_polygons(paths, scale_x: float, scale_y: float,
 
 
 def _drawing_bitmap(st: SpanState, text: str, sx: float, sy: float
-                    ) -> np.ndarray:
-    """Coverage bitmap for a \\p drawing span (bbox-anchored; the
-    baseline subtleties of libass' asc/desc split are a documented
-    simplification — \\pos/\\an anchored drawings render at size)."""
+                    ) -> Tuple[np.ndarray, int]:
+    """Coverage bitmap for a \\p drawing span plus the row index of the
+    drawing's y=0 line inside it.  libass splits a drawing into
+    ascent = -yMin - pbo above the text baseline and
+    descent = yMax + pbo below it (ass_drawing.c drawing asc/desc);
+    the layout anchors the y=0 row at the line baseline (r5 ledger
+    close — the old model bottom-anchored the bbox)."""
     paths = _parse_drawing(text, st.p_scale)
-    cov, _ox, _oy = _fill_polygons(
+    cov, _ox, oy = _fill_polygons(
         paths, sx * st.scale_x / 100.0, sy * st.scale_y / 100.0)
-    return cov
+    return cov, -oy
 
 
 def _split_clip_drawing(inner: str) -> Tuple[int, str]:
@@ -1351,49 +1387,47 @@ def render_events(track: AssTrack, time_ns: int, width: int,
         lines = _wrap_lines(lines, width - ml - mr, wrap_mode,
                             _measure)
 
-        # metrics: per-line height = max span height; width = sum widths
-        dcache: Dict[int, np.ndarray] = {}
+        # metrics: per-line ascent/descent (libass' line model): text
+        # spans contribute (asc=span height, desc=0); drawings split at
+        # their y=0 row shifted by \pbo (asc = -yMin - pbo,
+        # desc = yMax + pbo — ass_drawing.c).  Line height = max asc +
+        # max desc; the baseline sits asc below the line top.
+        dcache: Dict[int, Tuple[np.ndarray, int]] = {}
         for line in lines:
             for s in line:
                 if s.state.p_scale and s.text.strip():
                     dcache[id(s)] = _drawing_bitmap(s.state, s.text,
                                                     sx, sy)
-        line_dims: List[Tuple[int, List[Tuple[Span, int]]]] = []
+
+        def _span_asc_desc(s) -> Tuple[int, int, int]:
+            """(asc, desc, width) of one span."""
+            if id(s) in dcache:
+                cov, y0row = dcache[id(s)]
+                pb = int(round(s.state.pbo * sy))
+                return y0row - pb, cov.shape[0] - y0row + pb, cov.shape[1]
+            if use_pango:
+                cov, w = _pango_span(s.state, s.text, sy, sx)
+                return cov.shape[0], 0, w
+            fh, cw, adv = _span_metrics(s.state, sy, sx)
+            n = len(s.text)
+            shear = fh // 4 if s.state.italic else 0
+            return fh, 0, (n * adv - (adv - cw) if n else 0) + shear
+
+        line_dims: List[Tuple[int, int, List[Tuple[Span, int]]]] = []
         for line in lines:
             line = [s for s in line
                     if not (s.state.p_scale and id(s) not in dcache)]
             if not line:
                 fh = max(4, int(style.fontsize * sy))
-                line_dims.append((fh, []))
+                line_dims.append((fh, fh, []))
                 continue
-            if use_pango:
-                rendered = []
-                for s in line:
-                    if id(s) in dcache:
-                        cov = dcache[id(s)]
-                        rendered.append((s, (cov, cov.shape[1])))
-                    else:
-                        rendered.append(
-                            (s, _pango_span(s.state, s.text, sy, sx)))
-                lh = max(cov.shape[0] for _, (cov, _w) in rendered)
-                widths = [(s, w) for s, (_cov, w) in rendered]
-            else:
-                lh = max((dcache[id(s)].shape[0] if id(s) in dcache
-                          else _span_metrics(s.state, sy, sx)[0])
-                         for s in line)
-                widths = []
-                for s in line:
-                    if id(s) in dcache:
-                        widths.append((s, dcache[id(s)].shape[1]))
-                        continue
-                    fh, cw, adv = _span_metrics(s.state, sy, sx)
-                    n = len(s.text)
-                    shear = fh // 4 if s.state.italic else 0
-                    widths.append((s, (n * adv - (adv - cw) if n
-                                       else 0) + shear))
-            line_dims.append((lh, widths))
-        text_h = sum(lh for lh, _ in line_dims)
-        line_ws = [sum(w for _, w in ws) for _, ws in line_dims]
+            metrics = [(s,) + _span_asc_desc(s) for s in line]
+            asc_line = max(1, max(a for _, a, _d, _w in metrics))
+            desc_line = max(0, max(d for _, _a, d, _w in metrics))
+            widths = [(s, w) for s, _a, _d, w in metrics]
+            line_dims.append((asc_line + desc_line, asc_line, widths))
+        text_h = sum(lh for lh, _asc, _ in line_dims)
+        line_ws = [sum(w for _, w in ws) for _, _asc, ws in line_dims]
         max_w = max(line_ws) if line_ws else 1
 
         pos = lay.pos
@@ -1437,7 +1471,7 @@ def render_events(track: AssTrack, time_ns: int, width: int,
 
         ev_images: List[dict] = []
         ly = y0
-        for (lh, widths), lw in zip(line_dims, line_ws):
+        for (lh, asc_line, widths), lw in zip(line_dims, line_ws):
             if col == 1:
                 lx = x0 + (max_w - lw) / 2
             elif col == 2:
@@ -1450,21 +1484,29 @@ def render_events(track: AssTrack, time_ns: int, width: int,
                     lx += w_span
                     continue
                 if id(span) in dcache:
-                    # \p drawing: bbox coverage, bottom-anchored in
-                    # the line, lifted by \pbo
-                    cov = dcache[id(span)]
+                    # \p drawing: y=0 row anchored at the line baseline,
+                    # \pbo shifting it down (libass asc/desc split)
+                    cov, y0row = dcache[id(span)]
                     bm = np.zeros((lh, cov.shape[1]), np.uint8)
                     pb = int(round(st.pbo * sy))
-                    top = max(0, lh - cov.shape[0] - pb)
-                    hcut = min(cov.shape[0], lh - top)
+                    top = asc_line - (y0row - pb)
+                    c0 = max(0, -top)
+                    top = max(0, top)
+                    hcut = min(cov.shape[0] - c0, lh - top)
                     if hcut > 0:
-                        bm[top:top + hcut] = cov[:hcut]
+                        bm[top:top + hcut] = cov[c0:c0 + hcut]
                 elif use_pango:
                     cov, _w = _pango_span(st, span.text, sy, sx)
                     bm = np.zeros((lh, cov.shape[1]), np.uint8)
-                    bm[lh - cov.shape[0]:] = cov
+                    top = max(0, asc_line - cov.shape[0])
+                    hcut = min(cov.shape[0], lh - top)
+                    bm[top:top + hcut] = cov[:hcut]
                 else:
-                    bm = _span_bitmap(span, lh, sy, sx)
+                    bm = np.zeros((lh, 1), np.uint8)
+                    sb = _span_bitmap(span, asc_line, sy, sx)
+                    if sb.shape[1] > 1 or sb.any():
+                        bm = np.zeros((lh, sb.shape[1]), np.uint8)
+                        bm[:asc_line] = sb
                 k_on = (st.k_start_cs < 0 or rel_cs >= st.k_start_cs)
                 fill = st.primary if (st.k_start_cs < 0 or k_on
                                       or st.k_outline) else st.secondary

@@ -408,14 +408,22 @@ def _freeverb_process_fused(state, x, params, rate, mono):
         sh = jnp.stack([hist[i, 2 * B - int(D[i]): 3 * B - int(D[i])]
                         for i in range(16)])
         v_blk = v_bb + fb_bb * sh
+        # HIGH (3-pass bf16) instead of HIGHEST (6-pass): measured on
+        # v5e, the fused output moves 3e-8 -> 1.6e-7 vs the CPU f32
+        # reference — far inside the <=2e-6 gate — for ~12 us/block of
+        # the chain (r5)
         st_blk = (jnp.dot(damp2 * v_blk, lt_T,
-                          precision=jax.lax.Precision.HIGHEST)
+                          precision=jax.lax.Precision.HIGH)
                   + hist[:, -1][:, None] * p_next[None, :])
         hist = jnp.concatenate([hist[:, B:], st_blk], axis=1)
         return hist, (v_blk, st_blk)
 
     hist0 = jnp.zeros((16, 2 * B), jnp.float32).at[:, -1].set(store0)
-    _, (v_blocks, st_blocks) = lax.scan(comb_block, hist0, (v_xs, fb_xs))
+    # unroll: the serial block walk's cost is per-step overhead, not
+    # the 16xB matmul; 4 fused bodies per loop trip recover most of the
+    # unroll-8 win at half its (relay-side Mosaic) compile cost (r5)
+    _, (v_blocks, st_blocks) = lax.scan(comb_block, hist0, (v_xs, fb_xs),
+                                        unroll=4)
     v = jnp.transpose(v_blocks, (1, 0, 2)).reshape(16, np_len)
     store_full = jnp.transpose(st_blocks, (1, 0, 2)).reshape(16, np_len)
     outl = jnp.sum(v[:8], axis=0)[:n]
@@ -618,23 +626,61 @@ def _vad_powers_pallas(p0_hi_lo, sq, interpret: bool = False):
     return out[:nb, :2]
 
 
+def _vad_powers_bracket(sq64: jnp.ndarray):
+    """Per-block power endpoints WITHOUT the cross-block serial chain.
+
+    The reference update (vad_private.c:117) is exactly
+    p' = A*s + floor(B*p / 2^16)  [B*p = (B*(p>>16))<<16 + B*(p&0xFFFF),
+    so the two-halves formula IS the single floor], which is MONOTONE
+    in p and a contraction (slope B/2^16 = 1 - 2^-5).  Running each
+    block's recurrence from the two extreme initial powers 0 and
+    2^32-1 brackets EVERY possible incoming power; equal endpoints
+    prove the block's output is independent of its true (chained)
+    initial value.  All blocks then run in PARALLEL on the VPU (rows
+    elementwise, samples scanned) instead of as one serial scalar
+    chain over nb*n samples.  Returns (lo_end, hi_end) [nb] i64."""
+    A = jnp.int64(VAD_POWER_ALPHA)
+    B = jnp.int64(_VAD_B)
+    nb = sq64.shape[0]
+    p0 = jnp.stack([jnp.zeros(nb, jnp.int64),
+                    jnp.full(nb, 0xFFFFFFFF, jnp.int64)])
+
+    def step(p, s):
+        return A * s[None, :] + ((B * p) >> 16), None
+
+    pend, _ = lax.scan(step, p0, sq64.T, unroll=32)
+    return pend[0], pend[1]
+
+
 def vad_window(state, data: jnp.ndarray, threshold: jnp.ndarray,
                hysteresis: jnp.ndarray, interpret: bool = False):
     """Whole-window VAD: all blocks of data [nb, n] at once, exactly
     equal to folding vad_block over the rows.  The serial truncating
-    power recurrence runs inside ONE Pallas kernel; the ZCR windows
-    (wholly inside each block once n >= VAD_RING) and the hysteresis
-    machine vectorize outside.  Returns (state', frame_types [nb])."""
+    power recurrence is bracketed per block (_vad_powers_bracket) so
+    blocks run in parallel; when any block's bracket fails to coalesce
+    (possible only for pathological near-constant power trajectories —
+    the contraction closes a width-2^32 bracket in ~1k samples), the
+    window falls back to the exact serial Pallas kernel.  Bit-exact
+    either way.  The ZCR windows (wholly inside each block once
+    n >= VAD_RING) and the hysteresis machine vectorize outside.
+    Returns (state', frame_types [nb])."""
     nb, n = data.shape
     if n < VAD_RING:
         raise ValueError("vad_window needs n >= VAD_RING")
     d64 = data.astype(jnp.int64)
-    sq = (((d64 * d64) >> 14) & 0xFFFF).astype(jnp.int32)
+    sq64 = ((d64 * d64) >> 14) & 0xFFFF
+    sq = sq64.astype(jnp.int32)
     p0 = jnp.stack([(state["power"] >> 16).astype(jnp.int32),
                     (state["power"] & 0xFFFF).astype(jnp.int32)])
-    hl = _vad_powers_pallas(p0, sq, interpret=interpret)
-    powers = ((hl[:, 0].astype(jnp.int64) << 16)
-              | hl[:, 1].astype(jnp.int64))
+    lo_end, hi_end = _vad_powers_bracket(sq64)
+
+    def _serial(_):
+        hl = _vad_powers_pallas(p0, sq, interpret=interpret)
+        return ((hl[:, 0].astype(jnp.int64) << 16)
+                | hl[:, 1].astype(jnp.int64))
+
+    powers = lax.cond(jnp.all(lo_end == hi_end),
+                      lambda _: lo_end, _serial, None)
     # ZCR: entries = RING-1 once count > RING, so each block's window
     # is its own trailing 255 samples (254 adjacent pairs)
     seg = data[:, n - (VAD_RING - 1):]

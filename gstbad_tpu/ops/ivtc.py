@@ -68,31 +68,43 @@ def interp_rows(l1: jnp.ndarray, l2: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(v, 0, 255).astype(jnp.uint8)
 
 
+def _bpar(frame: jnp.ndarray, parity: jnp.ndarray) -> jnp.ndarray:
+    """Broadcast parity against frame's leading (batch) dims."""
+    p = jnp.asarray(parity)
+    return p.reshape(p.shape + (1,) * (frame.ndim - p.ndim))
+
+
 def reconstruct_single_luma(frame: jnp.ndarray, parity: jnp.ndarray
                             ) -> jnp.ndarray:
     """reconstruct_single luma plane (gstivtc.c:389-465).
-    frame [H, W] uint8, parity scalar int32 (0 top / 1 bottom)."""
-    h, w = frame.shape
-    up = jnp.concatenate([frame[:1], frame[:-1]], axis=0)
-    down = jnp.concatenate([frame[1:], frame[-1:]], axis=0)
+    frame [..., H, W] uint8, parity int32 broadcast over the leading
+    dims (0 top / 1 bottom) — batched so the r5 index-plan emission can
+    build a whole chunk of output frames in one pass."""
+    h = frame.shape[-2]
+    up = jnp.concatenate([frame[..., :1, :], frame[..., :-1, :]], axis=-2)
+    down = jnp.concatenate([frame[..., 1:, :], frame[..., -1:, :]],
+                           axis=-2)
     interp = interp_rows(up, down)
     rows = jnp.arange(h)[:, None]
-    keep = (rows % 2) == parity
-    mirrored = frame[np.array([j ^ 1 for j in range(h)])]
+    keep = (rows % 2) == _bpar(frame, parity)
+    mirrored = frame[..., np.array([j ^ 1 for j in range(h)]), :]
     edge = (rows == 0) | (rows == h - 1)
     return jnp.where(keep, frame, jnp.where(edge, mirrored, interp))
 
 
 def reconstruct_single_chroma(plane: jnp.ndarray, parity: jnp.ndarray
                               ) -> jnp.ndarray:
-    """reconstruct_single chroma: plain rounded average (gstivtc.c:467-490)."""
-    h = plane.shape[0]
-    up = jnp.concatenate([plane[:1], plane[:-1]], axis=0).astype(jnp.int32)
-    down = jnp.concatenate([plane[1:], plane[-1:]], axis=0).astype(jnp.int32)
+    """reconstruct_single chroma: plain rounded average
+    (gstivtc.c:467-490); batched like reconstruct_single_luma."""
+    h = plane.shape[-2]
+    up = jnp.concatenate([plane[..., :1, :], plane[..., :-1, :]],
+                         axis=-2).astype(jnp.int32)
+    down = jnp.concatenate([plane[..., 1:, :], plane[..., -1:, :]],
+                           axis=-2).astype(jnp.int32)
     avg = ((up + down + 1) >> 1).astype(jnp.uint8)
     rows = jnp.arange(h)[:, None]
-    keep = (rows % 2) == parity
-    mirrored = plane[np.array([j ^ 1 for j in range(h)])]
+    keep = (rows % 2) == _bpar(plane, parity)
+    mirrored = plane[..., np.array([j ^ 1 for j in range(h)]), :]
     edge = (rows == 0) | (rows == h - 1)
     return jnp.where(keep, plane, jnp.where(edge, mirrored, avg))
 

@@ -1056,3 +1056,39 @@ def test_vad_window_matches_folded_vad_block(rng):
         for key in st:
             np.testing.assert_array_equal(np.asarray(st[key]),
                                           np.asarray(st2[key]), key)
+
+
+def test_vad_bracket_and_serial_fallback_exact():
+    """The r5 bracketed-parallel power path (ops/audio.py
+    _vad_powers_bracket): per-block recurrences bracketed by the extreme
+    initial powers run in parallel; a non-coalescing bracket (constant
+    DC power — the contraction's floor boundary can persist) falls back
+    to the serial Pallas kernel.  Both paths must equal the per-sample
+    reference recurrence (vad_private.c:117) bit-for-bit."""
+    import jax.numpy as jnp
+    from gstbad_tpu.ops import audio as A
+
+    def oracle(p0, sq):
+        a, b = A.VAD_POWER_ALPHA, A._VAD_B
+        p = int(p0)
+        for row in sq:
+            for s in row:
+                p = a * int(s) + ((b * p) >> 16)
+        return p
+
+    rng2 = np.random.default_rng(7)
+    cases = {
+        "noise": rng2.integers(-32768, 32768, (16, 512)).astype(np.int16),
+        "dc-fallback": np.full((16, 512), 30000, np.int16),
+        "silence": np.zeros((16, 512), np.int16),
+    }
+    for name, data in cases.items():
+        st = A.vad_init_state()
+        st["power"] = jnp.int64(123456789)
+        sq = ((data.astype(np.int64) ** 2) >> 14) & 0xFFFF
+        lo, hi = A._vad_powers_bracket(jnp.asarray(sq))
+        if name == "dc-fallback":
+            assert not bool((np.asarray(lo) == np.asarray(hi)).all())
+        new, _ = A.vad_window(st, jnp.asarray(data), jnp.int64(10 ** 9),
+                              jnp.int64(480), interpret=True)
+        assert int(new["power"]) == oracle(123456789, sq), name
