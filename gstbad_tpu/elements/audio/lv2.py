@@ -78,10 +78,11 @@ class _Lv2Base(Element):
 
     def load_preset(self, name: str) -> bool:
         vals = self.PLUGIN.presets.get(name)
-        if vals is None:
+        state = self.PLUGIN.preset_state.get(name)
+        if vals is None and state is None:
             return False
         sym_to_prop = {s.port.symbol: s for s in self.PLUGIN.in_props}
-        for sym, value in vals.items():
+        for sym, value in (vals or {}).items():
             spec = sym_to_prop.get(sym)
             if spec is None:
                 continue        # "Preset port '%s' is missing" warning
@@ -90,6 +91,10 @@ class _Lv2Base(Element):
             elif spec.type is int:
                 value = int(value)
             self.set_property(spec.name, value)
+        if state:
+            # the lilv_state_restore non-port half: binary/atom
+            # properties through the plugin's LV2_State_Interface (r5)
+            self._instance.restore_state(state)
         return True
 
 

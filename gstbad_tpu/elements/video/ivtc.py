@@ -234,9 +234,10 @@ class Ivtc(VideoFilter):
         def build_chunk(ids):
             j1 = j1f[ids]
             j2 = j2f[ids]
-            kind = kinds_f[ids][:, None, None]
+            kind = kinds_f[ids]
             p1 = parity_seq[j1]
             pb = p1[:, None, None]
+            any_single = jnp.any(kind)
             out = {}
             for k in pool:
                 f1 = pool[k][src[j1]]
@@ -244,10 +245,19 @@ class Ivtc(VideoFilter):
                 top = jnp.where(pb == 0, f1, f2)
                 bottom = jnp.where(pb == 0, f2, f1)
                 wv = ivtc_ops.weave(top, bottom)
-                sing = (ivtc_ops.reconstruct_single_luma(f1, p1)
-                        if k == "y"
-                        else ivtc_ops.reconstruct_single_chroma(f1, p1))
-                out[k] = jnp.where(kind, sing, wv)
+                # the edge-directed single reconstruction is ~10x the
+                # weave's cost and is the RARE branch of 2:3 content —
+                # build it only when the chunk contains one
+                # (lax.cond executes a single branch on TPU, keeping
+                # the old lax.switch economy at batch width)
+                sing = lax.cond(
+                    any_single,
+                    (lambda f1=f1, p1=p1, k=k:
+                     ivtc_ops.reconstruct_single_luma(f1, p1)
+                     if k == "y"
+                     else ivtc_ops.reconstruct_single_chroma(f1, p1)),
+                    lambda wv=wv: wv)
+                out[k] = jnp.where(kind[:, None, None], sing, wv)
             return out
 
         built = lax.map(build_chunk,

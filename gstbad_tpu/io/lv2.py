@@ -45,6 +45,10 @@ RDFS = "http://www.w3.org/2000/01/rdf-schema#"
 DOAP = "http://usefulinc.com/ns/doap#"
 PGROUPS = "http://lv2plug.in/ns/ext/port-groups#"
 PRESETS = "http://lv2plug.in/ns/ext/presets#"
+STATE = "http://lv2plug.in/ns/ext/state#"
+URID = "http://lv2plug.in/ns/ext/urid#"
+ATOM = "http://lv2plug.in/ns/ext/atom#"
+XSD = "http://www.w3.org/2001/XMLSchema#"
 
 INT32_MIN, INT32_MAX = -(2 ** 31), 2 ** 31 - 1
 
@@ -60,7 +64,18 @@ class URI(str):
 
 class Blank(str):
     """A blank-node id (unique per parse)."""
-    __slots__ = ()
+
+
+class Typed(str):
+    """A typed literal: compares as its lexical form, carries the
+    datatype IRI (needed to decode base64Binary state properties)."""
+
+    __slots__ = ("datatype",)
+
+    def __new__(cls, value: str, datatype: str = ""):
+        o = super().__new__(cls, value)
+        o.datatype = datatype
+        return o
 
 
 # ---------------------------------------------------------------------------
@@ -203,10 +218,11 @@ class TurtleParser:
             raw = t.group("string")
             q = 3 if raw.startswith('"""') else 1
             val = _unescape(raw[q:-q])
-            # optional ^^datatype or @lang — swallow, keep lexical form
+            # optional ^^datatype: kept as a Typed literal (state
+            # properties need base64Binary recognized); @lang swallowed
             if self._tok is not None and self._tok.group("punct") == "^^":
                 self._advance()
-                self._node()
+                return Typed(val, str(self._node()))
             return val
         if t.group("num") is not None:
             s = t.group("num")
@@ -331,6 +347,11 @@ class Lv2Plugin:
     # (gst_lv2_load_preset restores port values by symbol and
     # g_object_sets the mapped property, gstlv2utils.c:226-272)
     presets: Dict[str, Dict[str, float]] = field(default_factory=dict)
+    # state-extension preset properties: label -> {property URI:
+    # (value bytes/str/float/int, type URI)} restored through the
+    # plugin's LV2_State_Interface (lilv_state_restore's non-port half)
+    preset_state: Dict[str, Dict[str, tuple]] = field(
+        default_factory=dict)
 
     audio_in: List[Lv2Port] = field(default_factory=list)
     audio_out: List[Lv2Port] = field(default_factory=list)
@@ -462,6 +483,7 @@ def _load_bundle(bundle: str) -> List[Lv2Plugin]:
         # pset:Preset subjects applying to this plugin (the reference
         # walks lilv_plugin_get_related + rdfs:label, gstlv2.c:175-210)
         presets: Dict[str, Dict[str, float]] = {}
+        state_by_label: Dict[str, Dict[str, tuple]] = {}
         for ps, pp in tp.graph.items():
             if URI(PRESETS + "Preset") not in pp.get(RDF + "type", []):
                 continue
@@ -479,11 +501,48 @@ def _load_bundle(bundle: str) -> List[Lv2Plugin]:
                 if sym is not None and val is not None:
                     vals[str(sym)] = float(val)
             presets[str(label)] = vals
+            # state:state [ <key> value ; ... ] — the binary/atom
+            # property half of a preset (LV2 State extension)
+            for sn in pp.get(STATE + "state", []):
+                sd = tp.graph.get(sn, {})
+                props_s: Dict[str, tuple] = {}
+                for key, objs in sd.items():
+                    v = _first(objs)
+                    if v is None:
+                        continue
+                    if isinstance(v, Typed):
+                        if v.datatype == XSD + "base64Binary":
+                            import base64
+                            props_s[str(key)] = (
+                                base64.b64decode(str(v)),
+                                ATOM + "Chunk")
+                        elif v.datatype in (XSD + "double",
+                                            XSD + "float",
+                                            XSD + "decimal"):
+                            props_s[str(key)] = (float(str(v)),
+                                                 ATOM + "Float")
+                        elif v.datatype in (XSD + "integer",
+                                            XSD + "int",
+                                            XSD + "long"):
+                            props_s[str(key)] = (int(str(v)),
+                                                 ATOM + "Int")
+                        else:
+                            props_s[str(key)] = (str(v),
+                                                 ATOM + "String")
+                    elif isinstance(v, (int, float)):
+                        props_s[str(key)] = (
+                            v, ATOM + ("Int" if isinstance(v, int)
+                                       else "Float"))
+                    elif isinstance(v, str) and not isinstance(v, URI):
+                        props_s[str(key)] = (str(v), ATOM + "String")
+                if props_s:
+                    state_by_label[str(label)] = props_s
 
         binpath = os.path.join(bundle, os.path.basename(str(binary)))
         out.append(Lv2Plugin(uri=str(s), bundle=bundle, binary=binpath,
                              name=str(name), ports=ports,
-                             required_features=req, presets=presets))
+                             required_features=req, presets=presets,
+                             preset_state=state_by_label))
     return out
 
 
@@ -536,6 +595,41 @@ class _Descriptor(ctypes.Structure):
     ]
 
 
+# -- LV2 URID map + State extension ABI (urid/urid.h, state/state.h) ------
+
+_URID_MAP_FN = ctypes.CFUNCTYPE(ctypes.c_uint32, ctypes.c_void_p,
+                                ctypes.c_char_p)
+
+
+class _UridMapFeature(ctypes.Structure):
+    _fields_ = [("handle", ctypes.c_void_p), ("map", _URID_MAP_FN)]
+
+
+class _Feature(ctypes.Structure):
+    _fields_ = [("URI", ctypes.c_char_p), ("data", ctypes.c_void_p)]
+
+
+# LV2_State_Store_Function / Retrieve_Function (state/state.h)
+_STATE_STORE_FN = ctypes.CFUNCTYPE(
+    ctypes.c_int32, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_void_p,
+    ctypes.c_size_t, ctypes.c_uint32, ctypes.c_uint32)
+_STATE_RETRIEVE_FN = ctypes.CFUNCTYPE(
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
+    ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(ctypes.c_uint32),
+    ctypes.POINTER(ctypes.c_uint32))
+
+
+class _StateInterface(ctypes.Structure):
+    _fields_ = [
+        ("save", ctypes.CFUNCTYPE(
+            ctypes.c_int32, ctypes.c_void_p, _STATE_STORE_FN,
+            ctypes.c_void_p, ctypes.c_uint32, ctypes.c_void_p)),
+        ("restore", ctypes.CFUNCTYPE(
+            ctypes.c_int32, ctypes.c_void_p, _STATE_RETRIEVE_FN,
+            ctypes.c_void_p, ctypes.c_uint32, ctypes.c_void_p)),
+    ]
+
+
 class Lv2Instance:
     """One live plugin instance: control ports in ctypes float slots,
     audio ports connected per run() — io/ladspa.py's LadspaInstance
@@ -562,7 +656,25 @@ class Lv2Instance:
                            f"{plugin.uri}")
         self.desc = desc
         self._lib = lib
-        features = (ctypes.c_void_p * 1)(None)
+        # host features: urid:map (needed by the State extension — keys
+        # and value types travel as URIDs).  Mapping is 1-based and
+        # stable for the instance lifetime (urid.h contract).
+        self._urids: Dict[str, int] = {}
+
+        def _map(_handle, uri_b) -> int:
+            uri = uri_b.decode() if uri_b else ""
+            if uri not in self._urids:
+                self._urids[uri] = len(self._urids) + 1
+            return self._urids[uri]
+
+        self._map_cb = _URID_MAP_FN(_map)
+        self._map_feat = _UridMapFeature(None, self._map_cb)
+        self._feat = _Feature((URID + "map").encode(),
+                              ctypes.cast(ctypes.byref(self._map_feat),
+                                          ctypes.c_void_p))
+        features = (ctypes.c_void_p * 2)(
+            ctypes.cast(ctypes.byref(self._feat), ctypes.c_void_p), None)
+        self._features = features
         bundle = (plugin.bundle.rstrip(os.sep) + os.sep).encode()
         self.handle = desc.instantiate(
             ctypes.byref(desc), float(rate), bundle,
@@ -612,6 +724,108 @@ class Lv2Instance:
         if spec.type is int:
             return int(min(max(v, INT32_MIN), INT32_MAX))
         return v
+
+    # -- LV2 State extension (state/state.h; the lilv_state_restore
+    # half gst_lv2_load_preset relies on for non-port preset data) ----
+    def _map_uri(self, uri: str) -> int:
+        if uri not in self._urids:
+            self._urids[uri] = len(self._urids) + 1
+        return self._urids[uri]
+
+    def _state_interface(self) -> Optional[_StateInterface]:
+        if not self.desc.extension_data:
+            return None
+        p = self.desc.extension_data((STATE + "interface").encode())
+        if not p:
+            return None
+        return ctypes.cast(p, ctypes.POINTER(_StateInterface)).contents
+
+    def has_state_interface(self) -> bool:
+        return self._state_interface() is not None
+
+    def restore_state(self, props: Dict[str, tuple]) -> bool:
+        """Restore {property URI: (value, type URI)} through the
+        plugin's LV2_State_Interface.restore — the binary/atom half of
+        a preset (the control-port half goes through set_control)."""
+        iface = self._state_interface()
+        if iface is None:
+            return False
+        entries: Dict[int, tuple] = {}
+        keep = []                          # keep buffers alive
+        for uri, (value, type_uri) in props.items():
+            if isinstance(value, bytes):
+                buf = ctypes.create_string_buffer(value, len(value))
+                size = len(value)
+            elif isinstance(value, float):
+                buf = ctypes.c_float(value)
+                size = 4
+            elif isinstance(value, int):
+                buf = ctypes.c_int32(value)
+                size = 4
+            else:
+                raw = str(value).encode() + b"\x00"
+                buf = ctypes.create_string_buffer(raw, len(raw))
+                size = len(raw)
+            keep.append(buf)
+            entries[self._map_uri(uri)] = (
+                ctypes.cast(ctypes.byref(buf), ctypes.c_void_p).value,
+                size, self._map_uri(type_uri))
+
+        def _retrieve(_h, key, size_p, type_p, flags_p):
+            e = entries.get(int(key))
+            if e is None:
+                return None
+            addr, size, turid = e
+            if size_p:
+                size_p[0] = size
+            if type_p:
+                type_p[0] = turid
+            if flags_p:
+                flags_p[0] = 3            # IS_POD | IS_PORTABLE
+            return addr
+
+        cb = _STATE_RETRIEVE_FN(_retrieve)
+        status = iface.restore(self.handle, cb, None, 0, None)
+        del keep, cb
+        return status == 0                # LV2_STATE_SUCCESS
+
+    def save_state(self) -> Optional[Dict[str, tuple]]:
+        """Snapshot the plugin's state properties via
+        LV2_State_Interface.save -> {property URI: (value, type URI)}
+        (the lilv_state_new_from_instance analog; used by the preset
+        round-trip test)."""
+        iface = self._state_interface()
+        if iface is None:
+            return None
+        rev = {}
+
+        def unmap(urid: int) -> str:
+            nonlocal rev
+            rev = {v: k for k, v in self._urids.items()}
+            return rev.get(urid, f"urn:urid:{urid}")
+
+        out: Dict[str, tuple] = {}
+
+        def _store(_h, key, value, size, turid, _flags) -> int:
+            raw = ctypes.string_at(value, size)
+            type_uri = unmap(int(turid))
+            if type_uri == ATOM + "Float":
+                val = ctypes.cast(
+                    value, ctypes.POINTER(ctypes.c_float))[0]
+            elif type_uri == ATOM + "Int":
+                val = ctypes.cast(
+                    value, ctypes.POINTER(ctypes.c_int32))[0]
+            elif type_uri == ATOM + "String":
+                val = raw.rstrip(b"\x00").decode(errors="replace")
+            else:
+                val = raw
+            out[unmap(int(key))] = (val, type_uri)
+            return 0
+
+        cb = _STATE_STORE_FN(_store)
+        status = iface.save(self.handle, cb, None, 0, None)
+        del cb
+        return out if status == 0 else None
 
     def activate(self) -> None:
         if not self.activated and self.desc.activate:

@@ -191,6 +191,122 @@ sine_run (LV2_Handle h, uint32_t n)
   s->phase = fmod (s->phase, 2.0 * M_PI);
 }
 
+/* ------------------------------------------------- statefilter
+ * Exercises the LV2 State extension: a 4-tap gain table and a tag
+ * string live OUTSIDE the control ports and are saved/restored
+ * through LV2_State_Interface (state/state.h) using host-mapped
+ * URIDs (urid/urid.h). */
+
+typedef uint32_t (*urid_map_fn) (void *, const char *);
+typedef struct { void *handle; urid_map_fn map; } URID_Map;
+
+typedef int32_t (*state_store_fn) (void *, uint32_t, const void *,
+    size_t, uint32_t, uint32_t);
+typedef const void *(*state_retrieve_fn) (void *, uint32_t, size_t *,
+    uint32_t *, uint32_t *);
+typedef struct {
+  int32_t (*save) (LV2_Handle, state_store_fn, void *, uint32_t,
+      const LV2_Feature * const *);
+  int32_t (*restore) (LV2_Handle, state_retrieve_fn, void *, uint32_t,
+      const LV2_Feature * const *);
+} State_Interface;
+
+typedef struct {
+  const float *in;
+  float *out;
+  float table[4];
+  char tag[16];
+  uint32_t urid_table, urid_tag, urid_chunk, urid_string;
+} StateFilter;
+
+static LV2_Handle
+sf_instantiate (const LV2_Descriptor * d, double rate,
+    const char *bundle, const LV2_Feature * const *features)
+{
+  (void) d; (void) rate; (void) bundle;
+  StateFilter *s = calloc (1, sizeof (StateFilter));
+  for (int i = 0; i < 4; i++)
+    s->table[i] = 1.0f;
+  strcpy (s->tag, "default");
+  if (features) {
+    for (const LV2_Feature * const *f = features; *f; f++) {
+      if (!strcmp ((*f)->URI, "http://lv2plug.in/ns/ext/urid#map")) {
+        URID_Map *m = (URID_Map *) (*f)->data;
+        s->urid_table = m->map (m->handle,
+            "urn:gstbad:lv2:statefilter#table");
+        s->urid_tag = m->map (m->handle,
+            "urn:gstbad:lv2:statefilter#tag");
+        s->urid_chunk = m->map (m->handle,
+            "http://lv2plug.in/ns/ext/atom#Chunk");
+        s->urid_string = m->map (m->handle,
+            "http://lv2plug.in/ns/ext/atom#String");
+      }
+    }
+  }
+  return s;
+}
+
+static void
+sf_connect (LV2_Handle h, uint32_t port, void *data)
+{
+  StateFilter *s = (StateFilter *) h;
+  switch (port) {
+    case 0: s->in = (const float *) data; break;
+    case 1: s->out = (float *) data; break;
+  }
+}
+
+static void
+sf_run (LV2_Handle h, uint32_t n)
+{
+  StateFilter *s = (StateFilter *) h;
+  for (uint32_t i = 0; i < n; i++)
+    s->out[i] = s->in[i] * s->table[i & 3];
+}
+
+static int32_t
+sf_save (LV2_Handle h, state_store_fn store, void *sh, uint32_t flags,
+    const LV2_Feature * const *features)
+{
+  StateFilter *s = (StateFilter *) h;
+  (void) flags; (void) features;
+  store (sh, s->urid_table, s->table, sizeof (s->table),
+      s->urid_chunk, 3 /* POD|PORTABLE */);
+  store (sh, s->urid_tag, s->tag, strlen (s->tag) + 1,
+      s->urid_string, 3);
+  return 0;
+}
+
+static int32_t
+sf_restore (LV2_Handle h, state_retrieve_fn retrieve, void *sh,
+    uint32_t flags, const LV2_Feature * const *features)
+{
+  StateFilter *s = (StateFilter *) h;
+  size_t size = 0;
+  uint32_t type = 0, f = 0;
+  (void) flags; (void) features;
+  const void *v = retrieve (sh, s->urid_table, &size, &type, &f);
+  if (v && size == sizeof (s->table) && type == s->urid_chunk)
+    memcpy (s->table, v, sizeof (s->table));
+  v = retrieve (sh, s->urid_tag, &size, &type, &f);
+  if (v && size > 0 && size <= sizeof (s->tag)
+      && type == s->urid_string) {
+    memcpy (s->tag, v, size);
+    s->tag[sizeof (s->tag) - 1] = 0;
+  }
+  return 0;
+}
+
+static const State_Interface sf_state_iface = { sf_save, sf_restore };
+
+static const void *
+sf_extension_data (const char *uri)
+{
+  if (!strcmp (uri, "http://lv2plug.in/ns/ext/state#interface"))
+    return &sf_state_iface;
+  return NULL;
+}
+
 /* ---------------------------------------------------------- table */
 
 static const LV2_Descriptor descriptors[] = {
@@ -200,6 +316,8 @@ static const LV2_Descriptor descriptors[] = {
       width_run, NULL, gen_cleanup, NULL},
   {"urn:gstbad:lv2:sine", sine_instantiate, sine_connect,
       sine_activate, sine_run, NULL, gen_cleanup, NULL},
+  {"urn:gstbad:lv2:statefilter", sf_instantiate, sf_connect, NULL,
+      sf_run, NULL, gen_cleanup, sf_extension_data},
 };
 
 const LV2_Descriptor *

@@ -83,7 +83,8 @@ def test_turtle_errors():
 
 def test_discovery_and_required_feature_skip(plugins):
     assert set(plugins) == {"urn:gstbad:lv2:amp", "urn:gstbad:lv2:width",
-                            "urn:gstbad:lv2:sine"}
+                            "urn:gstbad:lv2:sine",
+                            "urn:gstbad:lv2:statefilter"}
     # urn:gstbad:lv2:needsfeature declares lv2:requiredFeature urid:map
     # and must be dropped (gstlv2utils.c:105-140)
 
@@ -238,3 +239,55 @@ multi-line comment with "quotes" inside.""" ;
     assert g[L.RDFS + "comment"] == [
         'A long\nmulti-line comment with "quotes" inside.']
     assert g[L.RDFS + "label"] == ["short"]
+
+
+def test_state_extension_preset_roundtrip():
+    """The LV2 State extension (state/state.h; lilv_state_restore's
+    binary-property half that gstlv2utils.c gets through lilv):
+    a pset:Preset's state:state block (base64Binary blob + string)
+    restores through the plugin's LV2_State_Interface using
+    host-mapped URIDs, changes the DSP observably, and save_state
+    round-trips the restored values (r5 ledger close)."""
+    import os
+    import numpy as np
+    from gstbad_tpu.io import lv2
+
+    bundle_dir = lv2.build_test_plugins()
+    plugins = {p.uri: p for p in lv2.scan(bundle_dir)}
+    sf = plugins["urn:gstbad:lv2:statefilter"]
+
+    # the world model parsed the state:state block with decoded types
+    st = sf.preset_state["steps"]
+    table_blob, table_type = st["urn:gstbad:lv2:statefilter#table"]
+    assert table_type.endswith("#Chunk") and len(table_blob) == 16
+    tag, tag_type = st["urn:gstbad:lv2:statefilter#tag"]
+    assert tag == "bright" and tag_type.endswith("#String")
+
+    inst = sf.instantiate(48000)
+    assert inst.has_state_interface()
+    x = np.ones(8, np.float32)
+    np.testing.assert_array_equal(inst.run(8, x).ravel(),
+                                  np.ones(8, np.float32))
+    assert inst.restore_state(st)
+    np.testing.assert_array_equal(
+        inst.run(8, x).ravel(),
+        np.tile(np.array([2.0, 0.5, 1.5, 1.0], np.float32), 2))
+
+    snap = inst.save_state()
+    assert snap["urn:gstbad:lv2:statefilter#tag"][0] == "bright"
+    assert snap["urn:gstbad:lv2:statefilter#table"][0] == table_blob
+
+    # element surface: load_preset applies the state half too
+    from gstbad_tpu.elements.audio.lv2 import register_lv2_elements
+    import gstbad_tpu as gt
+    register_lv2_elements(bundle_dir)
+    el = gt.make("urn-gstbad-lv2-statefilter")
+    from gstbad_tpu.core.spec import MediaSpec
+    el.set_info(MediaSpec(kind="audio", format="F32", rate=48000,
+                          channels=1))
+    assert "steps" in el.get_preset_names()
+    assert el.load_preset("steps")
+    y = el.chain(np.ones(8, np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(y).ravel(),
+        np.tile(np.array([2.0, 0.5, 1.5, 1.0], np.float32), 2))
