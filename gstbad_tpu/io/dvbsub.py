@@ -540,13 +540,41 @@ class DvbSubParser:
         return out
 
 
+def _scale_linearly(img: np.ndarray, dh: int, dw: int) -> np.ndarray:
+    """gst_video_blend_scale_linearly semantics (the -base
+    video-blend.c path the overlay composition uses, built on
+    videoscale's vs_image_scale_linear_RGBA): a 16.16 coordinate
+    accumulator with increment ((src-1)<<16)/(dest-1), 8-bit blend
+    weights (acc>>8 & 0xff), horizontal resample first, then the
+    two-row vertical blend — endpoints land exactly on the source
+    corners."""
+    sh, sw = img.shape[:2]
+    a = img.astype(np.int64)
+    xinc = 0 if dw <= 1 else ((sw - 1) << 16) // (dw - 1)
+    yinc = 0 if dh <= 1 else ((sh - 1) << 16) // (dh - 1)
+    xacc = np.arange(dw, dtype=np.int64) * xinc
+    k = xacc >> 16
+    fx = (xacc >> 8) & 0xFF
+    k1 = np.minimum(k + 1, sw - 1)
+    hs = (a[:, k] * (256 - fx)[None, :, None]
+          + a[:, k1] * fx[None, :, None]) >> 8          # [sh, dw, 4]
+    yacc = np.arange(dh, dtype=np.int64) * yinc
+    j = yacc >> 16
+    fy = (yacc >> 8) & 0xFF
+    j1 = np.minimum(j + 1, sh - 1)
+    out = (hs[j] * (256 - fy)[:, None, None]
+           + hs[j1] * fy[:, None, None]) >> 8
+    return out.astype(np.uint8)
+
+
 def display_set_to_ayuv(ds: DisplaySet, width: int, height: int
                         ) -> np.ndarray:
     """Render a display set onto a [height, width, 4] AYUV canvas the way
     gst_dvbsub_overlay_subs_to_comp does (gstdvbsuboverlay.c:906-1000):
     palette-expand each rect, then place it at window+position scaled from
-    the display definition to the video size.  The composition's linear
-    rescale is approximated nearest-neighbor (documented divergence)."""
+    the display definition to the video size.  The rect rescale follows
+    the overlay composition's linear blend path (_scale_linearly; the
+    r4 nearest-neighbor approximation is closed)."""
     canvas = np.zeros((height, width, 4), np.uint8)
     for rect in ds.rects:
         ayuv = rect.palette[rect.indices]            # [h, w] u32
@@ -559,9 +587,10 @@ def display_set_to_ayuv(ds: DisplaySet, width: int, height: int
         rh = rect.h * height // ds.display_height
         if rw <= 0 or rh <= 0:
             continue
-        ys = (np.arange(rh) * rect.h // rh)
-        xs = (np.arange(rw) * rect.w // rw)
-        scaled = img[ys][:, xs]
+        if (rh, rw) == img.shape[:2]:
+            scaled = img
+        else:
+            scaled = _scale_linearly(img, rh, rw)
         y0, x0 = max(ry, 0), max(rx, 0)
         y1, x1 = min(ry + rh, height), min(rx + rw, width)
         if y1 <= y0 or x1 <= x0:

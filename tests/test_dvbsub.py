@@ -277,3 +277,35 @@ def test_page_timeout_expiry():
     out = np.concatenate([np.asarray(o.data) for o in outs])
     assert not (out[0, 0, 0] == img[0, 0, 0]).all()     # 0.9 s: shown
     np.testing.assert_array_equal(out[1], img[1])       # 1.5 s: expired
+
+
+def test_scale_linearly_semantics():
+    """_scale_linearly = the -base gst_video_blend_scale_linearly /
+    vs_image_scale_linear_RGBA algorithm: 16.16 accumulator with
+    ((src-1)<<16)/(dest-1) increments, 8-bit blend weights, exact
+    endpoints, interpolated (not replicated) interiors."""
+    from gstbad_tpu.io.dvbsub import _scale_linearly
+
+    img = np.zeros((2, 2, 4), np.uint8)
+    img[0, 0] = 0
+    img[0, 1] = 255
+    img[1, 0] = 255
+    img[1, 1] = 0
+    up = _scale_linearly(img, 5, 5)
+    # corners exact
+    assert tuple(up[0, 0]) == (0, 0, 0, 0)
+    assert tuple(up[0, 4]) == (255, 255, 255, 255)
+    assert tuple(up[4, 0]) == (255, 255, 255, 255)
+    # interior interpolates: strictly between the corner values
+    assert 0 < up[0, 2, 0] < 255 and 0 < up[2, 0, 0] < 255
+    # identity when size matches
+    rnd = np.random.default_rng(3).integers(0, 256, (7, 9, 4),
+                                            dtype=np.uint8)
+    np.testing.assert_array_equal(_scale_linearly(rnd, 7, 9), rnd)
+    # monotone ramp stays monotone under upscale (no NN plateaus of
+    # the full step size)
+    ramp = np.tile(np.arange(0, 256, 32, dtype=np.uint8)[None, :, None],
+                   (2, 1, 4))
+    up2 = _scale_linearly(ramp, 2, 29)
+    d = np.diff(up2[0, :, 0].astype(int))
+    assert (d >= 0).all() and d.max() <= 16
