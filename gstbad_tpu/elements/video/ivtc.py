@@ -26,7 +26,7 @@ from gstbad_tpu.ops import ivtc as ivtc_ops
 
 CAP = 8  # field queue capacity (reference GST_IVTC_MAX_FIELDS = 10)
 THRESHOLD = 100
-_SCORE_CHUNK = 32  # pairs per streamed comb pass
+_SCORE_CHUNK = 128  # pairs per streamed comb pass
 
 
 @register
@@ -145,126 +145,111 @@ class Ivtc(VideoFilter):
             score_chunk,
             pids.reshape(kchunks, _SCORE_CHUNK)).reshape(-1)[:npairs]
 
-        # ---- r5 emission restructure (VERDICT r4 weak #3): the scan
-        # decides WHAT to build (an index plan of scalars — kind + the
-        # two dense-sequence positions per output slot) and a chunked
-        # batched pass builds all the frames afterwards.  The old shape
-        # gathered and wove one output frame per sequential scan step
-        # (2B tiny data-dependent bodies per window); the plan scan's
-        # steps are pure scalar math, and the frame traffic runs at
-        # full batch width.
-        npairs = L - 1
+        # ---- emission (r5 note): an index-plan restructure (decision
+        # scan + chunked batched gather/build) was implemented and
+        # measured SLOWER on v5e than this switch form (1138 vs 1356
+        # fps at w256) — the window cost is dominated by the dense
+        # pair-score comb passes (~0.48 ms/frame), not the emission
+        # structure, so the simpler one-construct-per-step shape with
+        # only-the-taken-branch lax.switch is kept.
+        seq_pos = jnp.arange(L + 1, dtype=jnp.int32)
 
-        def construct_plan(st):
-            """construct_frame's DECISION half (gstivtc.c:565-630)."""
-            head = st["head_abs"]
-            h0 = jnp.minimum(head, npairs - 1)
-            h1 = jnp.minimum(head + 1, npairs - 1)
-            forward_ok = ts_seq[jnp.minimum(head + 1, L)] \
-                < st["current_ts"]
-            prev_score = pair_scores[h0]
-            next_score = pair_scores[h1]
+        def weave_frame(st, i1, i2):
+            j1 = st["head_abs"] + i1
+            j2 = st["head_abs"] + i2
+            p1 = parity_seq[j1]
+            out = {}
+            for k in pool:
+                f1 = pool[k][src[j1]]
+                f2 = pool[k][src[j2]]
+                top = jnp.where(p1 == 0, f1, f2)
+                bottom = jnp.where(p1 == 0, f2, f1)
+                out[k] = ivtc_ops.weave(top, bottom)
+            return out
+
+        def single_frame(st, i1):
+            j1 = st["head_abs"] + i1
+            p = parity_seq[j1]
+            out = {"y": ivtc_ops.reconstruct_single_luma(
+                pool["y"][src[j1]], p)}
+            for k in pool:
+                if k != "y":
+                    out[k] = ivtc_ops.reconstruct_single_chroma(
+                        pool[k][src[j1]], p)
+            return out
+
+        def construct(st):
+            """construct_frame (gstivtc.c:565-630)."""
+            forward_ok = ts_seq[st["head_abs"] + 1] < st["current_ts"]
+            prev_score = pair_scores[st["head_abs"]]
+            next_score = pair_scores[st["head_abs"] + 1]
 
             use_next_a = forward_ok & (next_score < prev_score)
             branch_prev = prev_score < THRESHOLD
             branch_next = ~branch_prev & (next_score < THRESHOLD)
 
+            # only the taken reconstruction is built (lax.switch) —
+            # computing all three candidates and where-selecting cost
+            # ~3x the frame traffic per output
             case = jnp.where(
                 branch_prev, jnp.where(use_next_a, 0, 1),
                 jnp.where(branch_next, 0, 2)).astype(jnp.int32)
-            # weave pairs: case 0 = (head+1, head+2), case 1 =
-            # (head+1, head); case 2 = single from head+1
-            j1 = head + 1
-            j2 = jnp.where(case == 0, head + 2,
-                           jnp.where(case == 1, head, j1))
+            out = lax.switch(
+                case,
+                [lambda st=st: weave_frame(st, 1, 2),
+                 lambda st=st: weave_frame(st, 1, 0),
+                 lambda st=st: single_frame(st, 1)])
             n_retire = jnp.where(
                 branch_prev, jnp.where(use_next_a, 3, 2),
                 jnp.where(branch_next, jnp.where(forward_ok, 3, 2), 2)
             ).astype(jnp.int32)
-            return case == 2, j1, j2, n_retire
+            pts = st["current_ts"]
+            st = {**st,
+                  "head_abs": st["head_abs"] + n_retire,
+                  "count": st["count"] - n_retire,
+                  "current_ts": st["current_ts"] + out_dur}
+            return st, out, pts
 
         def step(st, arr):
             # this step's fields are already in seq; they become visible
             # by bumping count (arrival order == dense-sequence order)
             st = {**st, "count": st["count"] + arr}
 
-            # retire early fields (gstivtc.c:536-540)
-            def retire_cond(hc):
-                head_abs, count = hc
-                return (count > 0) & (ts_seq[head_abs]
-                                      + 50_000_000 < st["current_ts"])
+            # retire early fields (gstivtc.c:536-540).  ts_seq is
+            # ascending in arrival order, so the early entries form a
+            # PREFIX of the live window — one vector count replaces the
+            # data-dependent while_loop (r5)
+            in_q = ((seq_pos >= st["head_abs"])
+                    & (seq_pos < st["head_abs"] + st["count"]))
+            early = ts_seq + jnp.int64(50_000_000) < st["current_ts"]
+            n_ret = jnp.sum(in_q & early).astype(jnp.int32)
+            st = {**st, "head_abs": st["head_abs"] + n_ret,
+                  "count": st["count"] - n_ret}
 
-            head_abs, count = lax.while_loop(
-                retire_cond, lambda hc: (hc[0] + 1, hc[1] - 1),
-                (st["head_abs"], st["count"]))
-            st = {**st, "head_abs": head_abs, "count": count}
-
-            plans = []
+            outs = []
+            outs_pts = []
+            outs_valid = []
             for _ in range(2):
                 can = st["count"] >= 4
-                kind, j1, j2, n_retire = construct_plan(st)
-                plans.append((kind, jnp.where(can, j1, 0),
-                              jnp.where(can, j2, 0),
-                              st["current_ts"], can))
-                st = {
-                    **st,
-                    "head_abs": st["head_abs"]
-                    + jnp.where(can, n_retire, 0),
-                    "count": st["count"] - jnp.where(can, n_retire, 0),
-                    "current_ts": st["current_ts"]
-                    + jnp.where(can, out_dur, jnp.int64(0)),
-                }
-            return st, tuple(jnp.stack([p[i] for p in plans])
-                             for i in range(5))
+
+                def do(st=st):
+                    return construct(st)
+
+                def dont(st=st):
+                    dummy = {k: pool[k][0] for k in pool}
+                    return st, dummy, jnp.int64(0)
+
+                st, out, opts = lax.cond(can, do, dont)
+                outs.append(out)
+                outs_pts.append(opts)
+                outs_valid.append(can)
+            stacked = {k: jnp.stack([o[k] for o in outs]) for k in outs[0]}
+            return st, (stacked, jnp.stack(outs_pts),
+                        jnp.stack(outs_valid))
 
         sst = {"head_abs": jnp.int32(0), "count": state["count"],
                "current_ts": state["current_ts"]}
-        sst, (kinds, j1s, j2s, pts, valid) = lax.scan(step, sst, arrivals)
-
-        # ---- batched frame build over the index plan ------------------
-        n_out = 2 * b
-        kinds_f = kinds.reshape(n_out)
-        j1f = j1s.reshape(n_out)
-        j2f = j2s.reshape(n_out)
-        _CHUNK = min(16, n_out)
-        nchunks = -(-n_out // _CHUNK)
-        slot_ids = jnp.minimum(
-            jnp.arange(nchunks * _CHUNK, dtype=jnp.int32), n_out - 1)
-
-        def build_chunk(ids):
-            j1 = j1f[ids]
-            j2 = j2f[ids]
-            kind = kinds_f[ids]
-            p1 = parity_seq[j1]
-            pb = p1[:, None, None]
-            any_single = jnp.any(kind)
-            out = {}
-            for k in pool:
-                f1 = pool[k][src[j1]]
-                f2 = pool[k][src[j2]]
-                top = jnp.where(pb == 0, f1, f2)
-                bottom = jnp.where(pb == 0, f2, f1)
-                wv = ivtc_ops.weave(top, bottom)
-                # the edge-directed single reconstruction is ~10x the
-                # weave's cost and is the RARE branch of 2:3 content —
-                # build it only when the chunk contains one
-                # (lax.cond executes a single branch on TPU, keeping
-                # the old lax.switch economy at batch width)
-                sing = lax.cond(
-                    any_single,
-                    (lambda f1=f1, p1=p1, k=k:
-                     ivtc_ops.reconstruct_single_luma(f1, p1)
-                     if k == "y"
-                     else ivtc_ops.reconstruct_single_chroma(f1, p1)),
-                    lambda wv=wv: wv)
-                out[k] = jnp.where(kind[:, None, None], sing, wv)
-            return out
-
-        built = lax.map(build_chunk,
-                        slot_ids.reshape(nchunks, _CHUNK))
-        frames = {k: v.reshape((nchunks * _CHUNK,) + v.shape[2:])[:n_out]
-                  .reshape((b, 2) + v.shape[2:])
-                  for k, v in built.items()}
+        sst, (frames, pts, valid) = lax.scan(step, sst, arrivals)
 
         # write the surviving tail of the dense sequence back into the
         # ring state (head renormalized to 0; slots past count are

@@ -275,12 +275,21 @@ class Play:
                  realtime: bool = True,
                  on_frame: Optional[Callable] = None,
                  n_frames: Optional[int] = None,
-                 on_subtitle: Optional[Callable] = None):
+                 on_subtitle: Optional[Callable] = None,
+                 prefetch: bool = True):
         if isinstance(pipeline, str):
             pipeline = parse_launch(pipeline)
         self.pipeline: Optional[Pipeline] = pipeline
         self.window = window
         self.realtime = realtime
+        #: double-buffered playback (VERDICT r4 weak #7 / SURVEY §2.6's
+        #: async host feed): window N+1 computes on a producer thread
+        #: while window N's frames dispatch to the callbacks.  Forward
+        #: rates only; seeks/track switches invalidate in-flight windows
+        #: by generation.
+        self.prefetch = prefetch
+        self._gen = 0
+        self._compute_idx = 0
         self.on_frame = on_frame
         self.on_subtitle = on_subtitle
         self.n_frames = n_frames
@@ -548,6 +557,8 @@ class Play:
             p.bus = self.pipeline.bus
             self._run_p = p
             self._sources_dirty = True
+            self._compute_idx = self._frame_idx
+            self._gen += 1
 
     # -- media info (gstplay-media-info.h getters) ---------------------------
     @property
@@ -708,6 +719,8 @@ class Play:
             self._rate = float(rate)
             if (old < 0) != (rate < 0):
                 self._sources_dirty = True
+                self._compute_idx = self._frame_idx
+                self._gen += 1
             self._is_eos = False
         # the reference implements rate via an internal seek -> seek-done
         self._post("seek-done", position=self._position_ns)
@@ -865,6 +878,8 @@ class Play:
             # is_eos -> seek(0) path)
             with self._lock:
                 self._frame_idx = 0
+                self._compute_idx = 0
+                self._gen += 1
                 self._position_ns = 0
                 self._sub_dispatched = set()
                 self._sources_dirty = True
@@ -895,6 +910,8 @@ class Play:
         with self._lock:
             self._position_ns = 0
             self._frame_idx = 0
+            self._compute_idx = 0
+            self._gen += 1
             self._last_pos_post = None
             self._sub_dispatched = set()
             self._sources_dirty = True
@@ -921,6 +938,8 @@ class Play:
             idx = position_ns // dur
         with self._lock:
             self._frame_idx = idx
+            self._compute_idx = idx
+            self._gen += 1                 # drop in-flight prefetches
             self._position_ns = idx * dur
             self._sources_dirty = True
             self._is_eos = False
@@ -1120,6 +1139,7 @@ class Play:
                 limit=(self._frame_idx - f0 + 1) if rate < 0 else None)
             if rate < 0:
                 self._frame_idx = f0 - 1
+                self._compute_idx = self._frame_idx
                 self._position_ns = max(0, f0 - 1) * dur
                 self._dispatch_subtitles(t0, self._position_ns)
                 self._maybe_post_position()
@@ -1133,6 +1153,7 @@ class Play:
                     self._finish_eos()
                     return False
                 self._frame_idx = f0 + (n_done or window)
+                self._compute_idx = self._frame_idx
                 self._position_ns = self._frame_idx * dur
                 self._dispatch_subtitles(t0, self._position_ns)
                 self._maybe_post_position()
@@ -1148,21 +1169,105 @@ class Play:
         return any(n.element.KIND == "host-source"
                    for n in self._run_p.nodes)
 
+    # -- double-buffered prefetch (VERDICT r4 weak #7: overlap window
+    # production with callback consumption, SURVEY §2.6's async feed) --
+    def _compute_forward(self):
+        """Produce one forward window on the producer thread.  Returns
+        (generation, payload): payload None = idle, "eos" = stream end,
+        ("error", msg), or (f0, outs)."""
+        with self._lock:
+            gen = self._gen
+            p = self._run_p
+            if p is None or self._rate < 0:
+                return gen, None
+            if (self.n_frames is not None
+                    and self._compute_idx >= self.n_frames):
+                return gen, "eos"
+            if self._sources_dirty:
+                self._apply_position(self._compute_idx)
+            f0 = self._compute_idx
+            try:
+                outs = p.run(n_frames=self.window, window=self.window)
+            except Exception as e:  # noqa: BLE001 - becomes the message
+                return gen, ("error", str(e))
+            self._compute_idx = f0 + self.window
+            return gen, (f0, outs)
+
+    def _dispatch_forward(self, f0: int, outs) -> bool:
+        """Dispatch one computed forward window; False on EOS."""
+        with self._lock:
+            dur = self._primary_dur()
+            t0 = self._position_ns
+            n_done = self._dispatch(outs, reverse=False)
+            if n_done == 0 and self._has_host_source():
+                self._position_ns = self._frame_idx * dur
+                self._finish_eos()
+                return False
+            self._frame_idx = f0 + (n_done or self.window)
+            self._position_ns = self._frame_idx * dur
+            self._dispatch_subtitles(t0, self._position_ns)
+            self._maybe_post_position()
+            if (self.n_frames is not None
+                    and self._frame_idx >= self.n_frames):
+                self._position_ns = min(self._position_ns,
+                                        self.n_frames * dur)
+                self._finish_eos()
+                return False
+            return True
+
     def _loop(self) -> None:
+        from concurrent.futures import ThreadPoolExecutor
         clock = self._clock()
-        while not self._stop.is_set():
-            if self.state != PlayState.PLAYING:
-                self._wake.wait(timeout=0.1)
-                continue
-            t0 = clock()
-            if not self._step_window():
+        pool = ThreadPoolExecutor(1, thread_name_prefix="play-prefetch") \
+            if self.prefetch else None
+        fut = None
+        try:
+            while not self._stop.is_set():
                 if self.state != PlayState.PLAYING:
-                    # EOS/stop: park, don't exit, so play() can resume
+                    if fut is not None:
+                        fut.result()       # drain; gen guard drops it
+                        fut = None
+                    self._wake.wait(timeout=0.1)
                     continue
-                return
-            if self.realtime:
-                budget = (self.window * self._primary_dur()
-                          / (NSEC * max(abs(self._rate), 1e-6)))
-                elapsed = clock() - t0
-                if elapsed < budget:
-                    time.sleep(min(budget - elapsed, 1.0))
+                t0 = clock()
+                use_prefetch = (pool is not None and self._rate >= 0
+                                and self._run_p is not None)
+                if not use_prefetch:
+                    if fut is not None:
+                        fut.result()
+                        fut = None
+                    if not self._step_window():
+                        continue           # EOS/stop: park for play()
+                else:
+                    if fut is None:
+                        fut = pool.submit(self._compute_forward)
+                    gen, payload = fut.result()
+                    fut = None
+                    if gen != self._gen:
+                        continue           # seek/track switch: stale
+                    if payload is None:
+                        time.sleep(0.01)
+                        continue
+                    if payload == "eos":
+                        with self._lock:
+                            self._finish_eos()
+                        continue
+                    if payload[0] == "error":
+                        self._post("error", reason=payload[1])
+                        self._change_state(PlayState.STOPPED)
+                        continue
+                    f0, outs = payload
+                    # prefetch the NEXT window before dispatching this
+                    # one — the device computes while callbacks run
+                    fut = pool.submit(self._compute_forward)
+                    if not self._dispatch_forward(f0, outs):
+                        continue           # EOS: park for play()
+                if self.realtime:
+                    budget = (self.window * self._primary_dur()
+                              / (NSEC * max(abs(self._rate), 1e-6)))
+                    elapsed = clock() - t0
+                    if elapsed < budget:
+                        time.sleep(min(budget - elapsed, 1.0))
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
