@@ -98,7 +98,7 @@ class FieldAnalysis(VideoFilter):
         frame_thresh = params["frame-threshold"].astype(jnp.float32)
 
         def step(st, inp):
-            frame, pts, in_flags = inp
+            frame, pts, in_flags, in_valid = inp
             y = frame["y"]
             prev_y = st["prev"]["y"]
 
@@ -208,7 +208,10 @@ class FieldAnalysis(VideoFilter):
 
             out_frame = st["prev"]
             out_pts = st["prev_pts"]
-            out_valid = st["have_prev"]
+            # an invalid slot (window-adapter rate padding) is NOT a
+            # buffer arrival: no emission, no history update — the
+            # reference's chain() never sees such frames
+            out_valid = st["have_prev"] & in_valid
 
             new_st = {
                 "prev": frame,
@@ -221,6 +224,11 @@ class FieldAnalysis(VideoFilter):
                 "first_buffer": jnp.where(st["have_prev"], jnp.bool_(False),
                                           first_buffer),
             }
+            new_st = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(
+                    jnp.reshape(in_valid, (1,) * new.ndim), new, old)
+                if new.ndim else jnp.where(in_valid, new, old),
+                new_st, st)
             scores = jnp.stack([f, t, b, t_b, b_t])
             return new_st, (out_frame, out_pts, out_flags, out_valid,
                             e_concl, scores)
@@ -228,7 +236,7 @@ class FieldAnalysis(VideoFilter):
         self._is_dict = is_dict
         data = batch.data if is_dict else {"y": batch.data}
         state, (frames, pts, flags, valid, concl, scores) = lax.scan(
-            step, state, (data, batch.pts, batch.flags))
+            step, state, (data, batch.pts, batch.flags, batch.valid))
         out_data = frames if is_dict else frames["y"]
         out = FrameBatch(data=out_data, pts=pts, flags=flags, valid=valid)
         msgs = {"fieldanalysis": {

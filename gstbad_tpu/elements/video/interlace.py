@@ -167,7 +167,7 @@ class Interlace(VideoFilter):
         is_dict = isinstance(batch.data, dict)
 
         def step(st, inp):
-            frame, pts = inp
+            frame, pts, in_valid = inp
             planes = frame if isinstance(frame, dict) else {"p": frame}
             # timebase reset (gstinterlace.c:1261-1266)
             at_reset = (st["stored_fields"] == 0) & (st["phase"] == offset)
@@ -247,13 +247,21 @@ class Interlace(VideoFilter):
                       "stored": stored, "stored_fields": stored_fields,
                       "timebase": timebase, "fields_since": fields_since,
                       "started": jnp.bool_(True)}
+            # an invalid slot (window-adapter rate padding) is not a
+            # buffer arrival: chain() is never called — no state change,
+            # no emission
+            new_st = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(
+                    jnp.reshape(in_valid, (1,) * new.ndim), new, old),
+                new_st, st)
+            out_valid = [v & in_valid for v in out_valid]
             stacked = {k: jnp.stack([o[k] for o in outs]) for k in planes}
             return new_st, (stacked, jnp.stack(out_pts),
                             jnp.stack(out_flags), jnp.stack(out_valid))
 
         data = batch.data if is_dict else {"p": batch.data}
         state, (frames, pts, flags, valid) = lax.scan(
-            step, state, (data, batch.pts))
+            step, state, (data, batch.pts, batch.valid))
         b = batch.batch
         slots = 4 if alternate else 2
         out_data = {k: v.reshape((slots * b,) + v.shape[2:])

@@ -109,9 +109,11 @@ class Ivtc(VideoFilter):
         rff = (batch.flags & FLAG_RFF) != 0
         p0 = jnp.where(tff, 0, 1).astype(jnp.int32)
         cand_par = jnp.stack([p0, 1 - p0, p0], axis=1).reshape(3 * b)
-        cand_valid = jnp.stack(
+        # an invalid input slot (window-adapter rate padding) contributes
+        # no fields — the reference's chain() never sees such buffers
+        cand_valid = (jnp.stack(
             [jnp.ones(b, bool), ~onefield, ~onefield & rff],
-            axis=1).reshape(3 * b)
+            axis=1) & batch.valid[:, None]).reshape(3 * b)
         cand_ts = (batch.pts[:, None].astype(jnp.int64)
                    + jnp.arange(3, dtype=jnp.int64)[None, :]
                    * field_dur).reshape(3 * b)

@@ -139,13 +139,23 @@ class VideoDiff(_LumaFilter):
 
     def process(self, params, state, batch: FrameBatch):
         y = self._get_luma(batch.data)
-        prevs = jnp.concatenate([state["prev"][None], y[:-1]], axis=0)
-        have = jnp.concatenate(
-            [state["have_prev"][None],
-             jnp.ones((y.shape[0] - 1,), bool)], axis=0)
+        b = y.shape[0]
+        # each slot diffs against the last VALID frame before it — invalid
+        # slots (window-adapter rate padding) are not buffer arrivals
+        pos = jnp.arange(b, dtype=jnp.int32)
+        vpos = jnp.where(batch.valid, pos, -1)
+        last_v = jnp.concatenate(
+            [jnp.int32(-1)[None], lax.cummax(vpos)[:-1]], axis=0)
+        prevs = jnp.where(last_v[:, None, None] >= 0,
+                          y[jnp.maximum(last_v, 0)], state["prev"][None])
+        have = (last_v >= 0) | state["have_prev"]
         diff = pointops.videodiff(y, prevs, jnp.int32(10), jnp.int32(0))
         out = jnp.where(have[:, None, None], diff, y)
-        new_state = {"prev": y[-1], "have_prev": jnp.bool_(True)}
+        any_v = jnp.any(batch.valid)
+        new_state = {
+            "prev": jnp.where(any_v, y[jnp.maximum(jnp.max(vpos), 0)],
+                              state["prev"]),
+            "have_prev": state["have_prev"] | any_v}
         return new_state, batch.with_data(self._set_luma(batch.data, out))
 
 
@@ -171,7 +181,8 @@ class SceneChange(_LumaFilter):
     def process(self, params, state, batch: FrameBatch):
         y = self._get_luma(batch.data)
 
-        def step(carry, frame):
+        def step(carry, inp):
+            frame, valid = inp
             prev, have_prev, diffs, n_diffs, count = carry
             score = pointops.sad(frame, prev)
 
@@ -197,13 +208,19 @@ class SceneChange(_LumaFilter):
                 return diffs, n_diffs, jnp.bool_(False)
 
             d, n, change = lax.cond(have_prev, with_prev, no_prev, None)
+            # invalid slots (rate padding) are not arrivals: no history
+            # update, no message
+            change = change & valid
+            d = jnp.where(valid, d, diffs)
+            n = jnp.where(valid, n, n_diffs)
             new_count = count + change.astype(jnp.int32)
-            return ((frame, jnp.bool_(True), d, n, new_count),
+            new_prev = jnp.where(valid, frame, prev)
+            return ((new_prev, have_prev | valid, d, n, new_count),
                     (change, new_count - 1))
 
         carry = (state["prev"], state["have_prev"], state["diffs"],
                  state["n_diffs"], state["count"])
-        carry, (changes, counts) = lax.scan(step, carry, y)
+        carry, (changes, counts) = lax.scan(step, carry, (y, batch.valid))
         new_state = {"prev": carry[0], "have_prev": carry[1],
                      "diffs": carry[2], "n_diffs": carry[3],
                      "count": carry[4]}
