@@ -97,16 +97,50 @@ class FieldAnalysis(VideoFilter):
         field_thresh = params["field-threshold"].astype(jnp.float32)
         frame_thresh = params["frame-threshold"].astype(jnp.float32)
 
-        def step(st, inp):
-            frame, pts, in_flags, in_valid = inp
-            y = frame["y"]
-            prev_y = st["prev"]["y"]
+        data = batch.data if is_dict else {"y": batch.data}
+        y_all = data["y"]
+        b_sz = y_all.shape[0]
 
-            f = self._same_frame(y, jnp.int32(0), y, nf)
-            t = self._same_field(y, jnp.int32(0), prev_y, jnp.int32(0), nf)
-            b = self._same_field(y, jnp.int32(1), prev_y, jnp.int32(1), nf)
-            t_b = self._same_frame(y, jnp.int32(0), prev_y, nf)
-            b_t = self._same_frame(y, jnp.int32(1), prev_y, nf)
+        # ---- metrics hoisted out of the scan (r5 perf) ----------------
+        # Every metric depends only on (frame, previous VALID frame) —
+        # not on scan state — so compute all five for the whole window as
+        # ONE batched pass instead of 5 sequential full-frame reductions
+        # per lax.scan step.  The previous valid frame of slot i follows
+        # from a cummax index plan (invalid window-adapter padding slots
+        # are not buffer arrivals); index 0 of the pool is the carried
+        # state frame.
+        pos = jnp.arange(b_sz, dtype=jnp.int32)
+        vpos = jnp.where(batch.valid, pos, -1)
+        last_v = jnp.concatenate(
+            [jnp.int32(-1)[None], lax.cummax(vpos)[:-1]], axis=0)
+        prev_idx = last_v + 1
+        pool = {k: jnp.concatenate([state["prev"][k][None], v], axis=0)
+                for k, v in data.items()}
+        prev_y_all = pool["y"][prev_idx]
+
+        default_cfg = (self.props["field-metric"] == "ssd"
+                       and self.props["frame-metric"] == "5-tap")
+        if default_cfg and jax.default_backend() == "tpu":
+            # all five metrics in ONE Pallas pass (ops/fieldanalysis.py
+            # _metrics_kernel): each frame read once as packed words
+            f_all, t_all, b_all, tb_all, bt_all = ops.metrics_default(
+                y_all, prev_y_all, nf)
+        else:
+            def metrics(y, prev_y):
+                f = self._same_frame(y, jnp.int32(0), y, nf)
+                t = self._same_field(y, jnp.int32(0), prev_y,
+                                     jnp.int32(0), nf)
+                b = self._same_field(y, jnp.int32(1), prev_y,
+                                     jnp.int32(1), nf)
+                t_b = self._same_frame(y, jnp.int32(0), prev_y, nf)
+                b_t = self._same_frame(y, jnp.int32(1), prev_y, nf)
+                return f, t, b, t_b, b_t
+
+            f_all, t_all, b_all, tb_all, bt_all = jax.vmap(metrics)(
+                y_all, prev_y_all)
+
+        def step(st, inp):
+            pts, in_flags, in_valid, f, t, b, t_b, b_t = inp
 
             cur_p = f <= frame_thresh
             prev_p = st["prev_f"] <= frame_thresh
@@ -206,7 +240,6 @@ class FieldAnalysis(VideoFilter):
                          | jnp.where(interlaced_bit, FLAG_INTERLACED, 0)
                          ).astype(jnp.int32)
 
-            out_frame = st["prev"]
             out_pts = st["prev_pts"]
             # an invalid slot (window-adapter rate padding) is NOT a
             # buffer arrival: no emission, no history update — the
@@ -214,7 +247,6 @@ class FieldAnalysis(VideoFilter):
             out_valid = st["have_prev"] & in_valid
 
             new_st = {
-                "prev": frame,
                 "prev_flags": in_flags,
                 "prev_pts": pts,
                 "prev_f": f,
@@ -225,19 +257,28 @@ class FieldAnalysis(VideoFilter):
                                           first_buffer),
             }
             new_st = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(
-                    jnp.reshape(in_valid, (1,) * new.ndim), new, old)
-                if new.ndim else jnp.where(in_valid, new, old),
-                new_st, st)
+                lambda new, old: jnp.where(in_valid, new, old), new_st, st)
             scores = jnp.stack([f, t, b, t_b, b_t])
-            return new_st, (out_frame, out_pts, out_flags, out_valid,
-                            e_concl, scores)
+            return new_st, (out_pts, out_flags, out_valid, e_concl, scores)
 
         self._is_dict = is_dict
-        data = batch.data if is_dict else {"y": batch.data}
-        state, (frames, pts, flags, valid, concl, scores) = lax.scan(
-            step, state, (data, batch.pts, batch.flags, batch.valid))
-        out_data = frames if is_dict else frames["y"]
+        # the scan carries only scalars (the frame history lives in the
+        # hoisted pool: the emitted frame of slot i IS the previous valid
+        # frame, prev_y_all / pool gathers)
+        sst = {k: v for k, v in state.items() if k != "prev"}
+        sst, (pts, flags, valid, concl, scores) = lax.scan(
+            step, sst,
+            (batch.pts, batch.flags, batch.valid,
+             f_all, t_all, b_all, tb_all, bt_all),
+            unroll=8 if b_sz % 8 == 0 else 1)
+        # final frame history: the last valid frame of the window (or the
+        # carried one when the window had no arrivals)
+        final_idx = jnp.max(vpos) + 1
+        state = {**sst,
+                 "prev": {k: pool[k][final_idx] for k in pool}}
+        frames = ({k: pool[k][prev_idx] for k in pool} if is_dict
+                  else prev_y_all)
+        out_data = frames
         out = FrameBatch(data=out_data, pts=pts, flags=flags, valid=valid)
         msgs = {"fieldanalysis": {
             "_emit": valid,

@@ -126,26 +126,19 @@ class Ivtc(VideoFilter):
         ts_seq = ts_seq.at[cpos].set(cand_ts)
         arrivals = cand_valid.reshape(b, 3).sum(axis=1).astype(jnp.int32)
 
-        # all adjacent-pair scores, streamed in chunks of _SCORE_CHUNK
-        # pairs (gather 2 chunk-sized frame sets, one batched chain
-        # pass each) so peak memory stays chunk-sized
+        # all adjacent-pair scores in one streamed score-only pass: the
+        # parity select happens on INDICES, and comb_score_pairs fuses
+        # interleave+outlier into the chain kernel's u8 staging layout
+        # (the old per-chunk comb_mask path staged i32 masks + wrote an
+        # i32 mask output it immediately reduced — ~3x the traffic)
         ysrc = pool["y"]
         npairs = L - 1
-        kchunks = -(-npairs // _SCORE_CHUNK)
-        pids = jnp.minimum(
-            jnp.arange(kchunks * _SCORE_CHUNK, dtype=jnp.int32),
-            npairs - 1)
-
-        def score_chunk(ids):
-            f1 = ysrc[src[ids]]
-            f2 = ysrc[src[ids + 1]]
-            tf = (parity_seq[ids] == 0)[:, None, None]
-            return comb_ops.comb_score(jnp.where(tf, f1, f2),
-                                       jnp.where(tf, f2, f1))
-
-        pair_scores = lax.map(
-            score_chunk,
-            pids.reshape(kchunks, _SCORE_CHUNK)).reshape(-1)[:npairs]
+        ids = jnp.arange(npairs, dtype=jnp.int32)
+        tf = parity_seq[ids] == 0
+        top_idx = jnp.where(tf, src[ids], src[ids + 1])
+        bot_idx = jnp.where(tf, src[ids + 1], src[ids])
+        pair_scores = comb_ops.comb_score_pairs(
+            ysrc, top_idx, bot_idx, chunk=_SCORE_CHUNK)
 
         # ---- emission (r5 note): an index-plan restructure (decision
         # scan + chunked batched gather/build) was implemented and

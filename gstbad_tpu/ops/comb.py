@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -238,3 +239,121 @@ def comb_score(top: jnp.ndarray, bottom: jnp.ndarray) -> jnp.ndarray:
     """get_comb_score (gstivtc.c:634-680) on two field-source luma frames
     (batched over leading axes)."""
     return comb_mask(interleave(top, bottom))[1]
+
+
+# ---------------------------------------------------------------------------
+# Score-only pair kernel (r5 perf)
+# ---------------------------------------------------------------------------
+# ivtc's dense window scoring only needs the SCALAR comb score of every
+# adjacent field pair — not the over-100 mask.  The comb_mask path staged
+# the mask as a [R, n, W] i32 array per 32 chains and wrote an equal-sized
+# i32 mask back out (~470 MB of traffic per 32 chains at 720p); this
+# variant stages the outlier mask as u8 in the kernel's native
+# [rows, 32-chain, W] layout and accumulates the over-100 counts
+# in-register, emitting one [32, 128] partial-sum block per chain group.
+
+_PAIR_RB = 16  # mask rows per grid step
+
+
+def _score_kernel(m_ref, out_ref, carry_ref, acc_ref, *, nlast, w):
+    i32 = jnp.int32
+    zero, one = i32(0), i32(1)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        carry_ref[...] = jnp.zeros(carry_ref.shape, jnp.int32)
+        acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.int32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (32, w), 1)
+    p = carry_ref[...]
+    acc = acc_ref[...]
+    for j in range(m_ref.shape[0]):
+        mi = m_ref[j].astype(jnp.int32)
+        v = jnp.where(mi == one, p + one, zero)
+        f = one - mi
+        d = 1
+        while d < w:
+            vs = _shift_right(v, d, 0, lane)
+            fs = _shift_right(f, d, 1, lane)
+            v = v + jnp.where(f == one, zero, vs)
+            f = jnp.maximum(f, fs)
+            d *= 2
+        seg = jnp.where(mi == one, v, zero)
+        acc = acc + (seg > i32(100)).astype(jnp.int32)
+        p = jnp.minimum(seg, i32(1000))
+    carry_ref[...] = p
+    acc_ref[...] = acc
+
+    @pl.when(pl.program_id(1) == nlast)
+    def _emit():
+        a = acc_ref[...]
+        folded = jnp.zeros((32, 128), jnp.int32)
+        for k in range(w // 128):
+            folded = folded + a[:, 128 * k:128 * (k + 1)]
+        out_ref[0] = folded
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _score_pairs_pallas(m_t: jnp.ndarray, interpret: bool = False):
+    """m_t: [Rp, n32, Wp] u8 outlier masks (rows-major, chains in the
+    sublane dim, n32 % 32 == 0, Rp % _PAIR_RB == 0, Wp % 128 == 0; pad
+    rows/lanes/chains are 0).  Returns [n32] i32 comb scores."""
+    rp, n32, wp = m_t.shape
+    zero = np.int32(0)
+    nrb = rp // _PAIR_RB
+    out = pl.pallas_call(
+        functools.partial(_score_kernel, nlast=nrb - 1, w=wp),
+        grid=(n32 // 32, nrb),
+        in_specs=[pl.BlockSpec((_PAIR_RB, 32, wp),
+                               lambda g, i: (i, g, zero))],
+        out_specs=pl.BlockSpec((1, 32, 128), lambda g, i: (g, zero, zero)),
+        out_shape=jax.ShapeDtypeStruct((n32 // 32, 32, 128), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((32, wp), jnp.int32),
+                        pltpu.VMEM((32, wp), jnp.int32)],
+        interpret=interpret,
+    )(m_t)
+    return jnp.sum(out, axis=-1, dtype=jnp.int32).reshape(n32)
+
+
+def comb_score_pairs(pool_y: jnp.ndarray, top_idx: jnp.ndarray,
+                     bot_idx: jnp.ndarray, engine: str = "auto",
+                     chunk: int = 128) -> jnp.ndarray:
+    """get_comb_score for n (top, bottom) frame pairs out of a frame pool.
+
+    pool_y: [P, H, W] u8.  top_idx/bot_idx: [n] i32 — the frame whose
+    even/odd rows form the woven candidate (gstivtc.c:634-680).  Streams
+    `chunk` pairs at a time: gather the two frame sets, fuse
+    interleave+outlier into one u8 mask in the kernel's [rows, chain, W]
+    layout, then score with the accumulate-only chain kernel.
+    """
+    n = top_idx.shape[0]
+    h, w = pool_y.shape[-2], pool_y.shape[-1]
+    r = h - 4
+    on_tpu = jax.default_backend() == "tpu"
+    if r <= 0:
+        return jnp.zeros(n, jnp.int32)
+    if engine == "xla" or (engine == "auto" and not on_tpu):
+        top = pool_y[top_idx]
+        bot = pool_y[bot_idx]
+        return comb_score(top, bot)
+
+    interp = not on_tpu
+    rp = -(-r // _PAIR_RB) * _PAIR_RB
+    wp = -(-w // 128) * 128
+    k = -(-n // chunk)
+    npad = k * chunk
+    ti = jnp.zeros(npad, jnp.int32).at[:n].set(top_idx.astype(jnp.int32))
+    bi = jnp.zeros(npad, jnp.int32).at[:n].set(bot_idx.astype(jnp.int32))
+    rows = (jnp.arange(h, dtype=jnp.int32) % 2)[:, None]
+
+    def run(ids):
+        t, b = ids
+        il = jnp.where(rows == 0, pool_y[t], pool_y[b]).astype(jnp.int32)
+        m = _outlier(il[:, 1:h - 3], il[:, 2:h - 2], il[:, 3:h - 1])
+        m_t = jnp.zeros((rp, chunk, wp), jnp.uint8)
+        m_t = m_t.at[:r, :, :w].set(
+            jnp.moveaxis(m, 0, 1).astype(jnp.uint8))
+        return _score_pairs_pallas(m_t, interpret=interp)
+
+    scores = lax.map(run, (ti.reshape(k, chunk), bi.reshape(k, chunk)))
+    return scores.reshape(npad)[:n]
