@@ -121,6 +121,8 @@ def _allpass_chain(buf, idx, x):
 
 
 BLOCK = 128
+_FIR_W = 128        # banded-solve taps (see _freeverb_process_fused)
+_FIR_DAMP_MAX = 0.71  # damp1^_FIR_W <= 1e-19 below this
 
 
 def freeverb_process(state, x: jnp.ndarray, params, rate: int, mono: bool):
@@ -401,6 +403,33 @@ def _freeverb_process_fused(state, x, params, rate, mono):
     v_xs = v_base.reshape(16, K, B).transpose(1, 0, 2)
     fb_xs = fb_mask.reshape(16, K, B).transpose(1, 0, 2)
 
+    # the damp1-power kernel decays geometrically, so for damp1 below
+    # _FIR_DAMP_MAX the triangular solve truncates EXACTLY (in f32) to a
+    # _FIR_W-tap FIR: damp1^128 <= 1e-19 at 0.71 — orders below both f32
+    # resolution and the scan-reassociation noise the <=2e-6 gate already
+    # absorbs.  ~1 us of VPU shifts instead of a ~12 us 16xBxB MXU matmul
+    # per block step (r5); damp1 > _FIR_DAMP_MAX keeps the matmul.
+    fir_w = min(_FIR_W, B)
+    fir_coef = damp2 * jnp.concatenate(
+        [jnp.ones((1,), jnp.float32),
+         jnp.cumprod(jnp.full((fir_w - 1,), damp1, jnp.float32))])
+    use_fir = damp1 <= jnp.float32(_FIR_DAMP_MAX)
+
+    def st_fir(vd):
+        vp = jnp.pad(vd, ((0, 0), (fir_w - 1, 0)))
+        acc = fir_coef[0] * vd
+        for k in range(1, fir_w):
+            acc = acc + fir_coef[k] * vp[:, fir_w - 1 - k:
+                                         fir_w - 1 - k + B]
+        return acc
+
+    def st_mat(vd):
+        # HIGH (3-pass bf16) instead of HIGHEST (6-pass): measured on
+        # v5e, the fused output moves 3e-8 -> 1.6e-7 vs the CPU f32
+        # reference — far inside the <=2e-6 gate
+        return jnp.dot(damp2 * vd, lt_T,
+                       precision=jax.lax.Precision.HIGH)
+
     def comb_block(hist, xs):
         v_bb, fb_bb = xs
         # hist holds store for the previous 2 blocks; row i's lag-D_i
@@ -408,12 +437,7 @@ def _freeverb_process_fused(state, x, params, rate, mono):
         sh = jnp.stack([hist[i, 2 * B - int(D[i]): 3 * B - int(D[i])]
                         for i in range(16)])
         v_blk = v_bb + fb_bb * sh
-        # HIGH (3-pass bf16) instead of HIGHEST (6-pass): measured on
-        # v5e, the fused output moves 3e-8 -> 1.6e-7 vs the CPU f32
-        # reference — far inside the <=2e-6 gate — for ~12 us/block of
-        # the chain (r5)
-        st_blk = (jnp.dot(damp2 * v_blk, lt_T,
-                          precision=jax.lax.Precision.HIGH)
+        st_blk = (lax.cond(use_fir, st_fir, st_mat, v_blk)
                   + hist[:, -1][:, None] * p_next[None, :])
         hist = jnp.concatenate([hist[:, B:], st_blk], axis=1)
         return hist, (v_blk, st_blk)

@@ -710,6 +710,21 @@ def test_adpcmenc_matches_golden_and_roundtrips(rng, channels):
     assert err.mean() < 200  # lossy 4-bit codec, but tracking
 
 
+@pytest.mark.parametrize("damping", [0.65, 0.8])
+def test_freeverb_fused_damp_branches(rng, damping):
+    """The fused comb walk solves the triangular filterstore system as a
+    banded FIR when damp1 <= _FIR_DAMP_MAX and as the power-matrix matmul
+    above it (ops/audio.py r5); both must track the serial C oracle at any
+    damping."""
+    x = ((rng.random((1, 4096, 2)) - 0.5) * 0.8).astype(np.float32)
+    h = Harness("freeverb", damping=damping)
+    h.set_src_spec(_spec(AudioFormat.F32, 2, 44100))
+    got = h.push_pull(x)[0]
+    fv = golden.Freeverb(44100, damping=damping)
+    want = fv.process_stereo_float(x[0])
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
 def test_freeverb_past_ring_wrap(rng):
     """Regression: ring reads must wrap at each line's own delay length,
     not the bank-padded buffer (caught diverging after the shortest comb
