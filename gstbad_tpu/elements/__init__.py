@@ -26,4 +26,5 @@ from gstbad_tpu.elements import mxf  # noqa: F401
 from gstbad_tpu.elements import onvif  # noqa: F401
 from gstbad_tpu.elements.audio import visualizers  # noqa: F401
 from gstbad_tpu.elements import rfbsrc  # noqa: F401
+from gstbad_tpu.elements import rtp  # noqa: F401
 from gstbad_tpu.elements import sdpdemux  # noqa: F401

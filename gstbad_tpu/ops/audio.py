@@ -727,7 +727,8 @@ def vad_window(state, data: jnp.ndarray, threshold: jnp.ndarray,
         return (new_state, new_samples), new_state
 
     (vstate, samples), frame_types = lax.scan(
-        hyst, (state["state"], state["samples"]), raw)
+        hyst, (state["state"], state["samples"]), raw,
+        unroll=8 if nb % 8 == 0 else 1)
     flat_tail = data.reshape(-1)[nb * n - VAD_RING:]
     idx = ((state["count"] + nb * n - VAD_RING
             + jnp.arange(VAD_RING, dtype=jnp.int64)) & (VAD_RING - 1)
