@@ -551,3 +551,184 @@ def parse_rtcp(data: bytes) -> List[dict]:
                     ">I", body, 4 * i)[0]})
         pos += plen
     return out
+
+
+# ---------------------------------------------------------------------------
+# RIST TR-06-1 simple profile (gst/rist/): NACKs + verbatim rtx
+# ---------------------------------------------------------------------------
+# Retransmissions resend the original packet VERBATIM with SSRC+1 — the
+# default SSRCs keep the LSB 0 so rtx is distinguishable
+# (gstristrtxsend.c:355-370).  Receivers request losses as either RTCP
+# APP packets named "RIST" whose data words are (seq16 << 16 |
+# range_size), or RFC 4585 generic NACK (RTPFB FMT=1, PID+BLP pairs) —
+# whichever takes fewer entries (gst_rist_src_on_sending_nacks,
+# gstristsrc.c:264-352).  NACK receivers clear the SSRC LSB before the
+# lookup (gstristsink.c:341-344).
+
+
+def rtcp_app_rist_nack(media_ssrc: int, ranges: List[Tuple[int, int]]
+                       ) -> bytes:
+    """APP 'RIST' subtype-0 range NACK: (first_seq, range_size) pairs —
+    range_size EXTRA packets after first_seq."""
+    data = b"".join(struct.pack(">I", ((s & 0xFFFF) << 16) | (r & 0xFFFF))
+                    for s, r in ranges)
+    words = 2 + len(ranges)  # ssrc + name + data
+    return struct.pack(">BBH", 0x80, 204, words) + \
+        struct.pack(">I", media_ssrc) + b"RIST" + data
+
+
+def rtcp_rtpfb_nack(sender_ssrc: int, media_ssrc: int,
+                    pairs: List[Tuple[int, int]]) -> bytes:
+    """RFC 4585 transport-layer NACK: (PID, BLP bitmask) pairs."""
+    fci = b"".join(struct.pack(">HH", pid & 0xFFFF, blp & 0xFFFF)
+                   for pid, blp in pairs)
+    words = 2 + len(pairs)
+    return struct.pack(">BBH", 0x81, 205, words) + \
+        struct.pack(">II", sender_ssrc, media_ssrc) + fci
+
+
+def parse_rist_nacks(data: bytes) -> List[Tuple[int, List[int]]]:
+    """All NACKed seqnums per media ssrc (LSB cleared) in a compound
+    RTCP datagram — both the RIST range form and generic NACK."""
+    out: List[Tuple[int, List[int]]] = []
+    pos = 0
+    while pos + 4 <= len(data):
+        b0, pt, words = struct.unpack_from(">BBH", data, pos)
+        plen = 4 * (words + 1)
+        body = data[pos + 4:pos + plen]
+        if pt == 204 and len(body) >= 8 and body[4:8] == b"RIST" \
+                and (b0 & 0x1F) == 0:
+            ssrc = struct.unpack_from(">I", body)[0] & 0xFFFFFFFE
+            seqs = []
+            for off in range(8, len(body) - 3, 4):
+                w = struct.unpack_from(">I", body, off)[0]
+                first, rng = w >> 16, w & 0xFFFF
+                seqs += [(first + k) & 0xFFFF for k in range(rng + 1)]
+            out.append((ssrc, seqs))
+        elif pt == 205 and (b0 & 0x1F) == 1 and len(body) >= 8:
+            ssrc = struct.unpack_from(">I", body, 4)[0] & 0xFFFFFFFE
+            seqs = []
+            for off in range(8, len(body) - 3, 4):
+                pid, blp = struct.unpack_from(">HH", body, off)
+                seqs.append(pid)
+                for bit in range(16):
+                    if blp & (1 << bit):
+                        seqs.append((pid + bit + 1) & 0xFFFF)
+            out.append((ssrc, seqs))
+        pos += plen
+    return out
+
+
+def build_nacks(sender_ssrc: int, media_ssrc: int,
+                seqs: List[int]) -> bytes:
+    """The receiver's chooser (gstristsrc.c:264-352): encode `seqs`
+    (ascending 16-bit, consecutive-aware) as range NACKs unless the
+    generic-NACK encoding takes no more entries."""
+    if not seqs:
+        return b""
+    # range nacks
+    ranges: List[Tuple[int, int]] = []
+    start = prev = seqs[0]
+    for s in seqs[1:]:
+        if ((s - prev) & 0xFFFF) == 1:
+            prev = s
+            continue
+        ranges.append((start, (prev - start) & 0xFFFF))
+        start = prev = s
+    ranges.append((start, (prev - start) & 0xFFFF))
+    # generic nacks it would take (16-seq windows; gstristsrc.c:329-338)
+    n_fb = 1
+    base = seqs[0]
+    for s in seqs[1:]:
+        if ((s - base) & 0xFFFF) > 16:
+            n_fb += 1
+            base = s
+    if n_fb <= len(ranges):
+        pairs: List[Tuple[int, int]] = []
+        base = None
+        blp = 0
+        for s in seqs:
+            if base is None or ((s - base) & 0xFFFF) > 16:
+                if base is not None:
+                    pairs.append((base, blp))
+                base, blp = s, 0
+            elif s != base:
+                blp |= 1 << (((s - base) & 0xFFFF) - 1)
+        pairs.append((base, blp))
+        return rtcp_rtpfb_nack(sender_ssrc, media_ssrc, pairs)
+    return rtcp_app_rist_nack(media_ssrc, ranges)
+
+
+class RistRtxHistory:
+    """Sender-side packet history (gstristrtxsend.c SSRCRtxData): keeps
+    the serialized original packets by extended seqnum, bounded by
+    max_packets; answers NACKs with the verbatim datagram, SSRC+1."""
+
+    def __init__(self, max_packets: int = 4096):
+        self.max_packets = max_packets
+        self._q: Dict[int, bytes] = {}
+        self._ext = 0
+        self._last_seq: Optional[int] = None
+        self.num_rtx_requests = 0
+        self.num_rtx_packets = 0
+
+    def store(self, pkt: RtpPacket) -> None:
+        if self._last_seq is not None:
+            self._ext += (pkt.seq - self._last_seq) & 0xFFFF
+        self._last_seq = pkt.seq
+        self._q[self._ext] = pkt.serialize()
+        if len(self._q) > self.max_packets:
+            del self._q[min(self._q)]
+
+    def lookup(self, seq: int) -> Optional[bytes]:
+        """Verbatim retransmission datagram with SSRC+1, or None if the
+        seq has aged out of the history."""
+        self.num_rtx_requests += 1
+        # unwrap against the newest stored ext seq
+        delta = ((seq - (self._ext & 0xFFFF) + 0x8000) & 0xFFFF) - 0x8000
+        ext = self._ext + delta
+        raw = self._q.get(ext)
+        if raw is None:
+            return None
+        self.num_rtx_packets += 1
+        ssrc = struct.unpack_from(">I", raw, 8)[0]
+        return raw[:8] + struct.pack(">I", (ssrc + 1) & 0xFFFFFFFF) \
+            + raw[12:]
+
+
+class RistNackTracker:
+    """Receiver-side loss tracker: missing ext-seqs age `reorder_section`
+    ms before their first NACK, then re-request at the same spacing up to
+    max_retries (gstristsrc.c receiver properties)."""
+
+    def __init__(self, reorder_section_ms: int = 70, max_retries: int = 7):
+        self.reorder = reorder_section_ms / 1000.0
+        self.max_retries = max_retries
+        self._missing: Dict[int, Tuple[float, int]] = {}  # ext -> (t, n)
+        self.num_lost_recovered = 0
+
+    def observe_gap(self, ext_seqs: List[int],
+                    now: Optional[float] = None) -> None:
+        now = time.monotonic() if now is None else now
+        for e in ext_seqs:
+            self._missing.setdefault(e, (now, 0))
+
+    def observe_arrival(self, ext_seq: int) -> None:
+        if ext_seq in self._missing:
+            self.num_lost_recovered += 1
+            del self._missing[ext_seq]
+
+    def due(self, now: Optional[float] = None) -> List[int]:
+        """Ext seqs whose (next) NACK is due; bumps retry counters and
+        drops entries past max_retries."""
+        now = time.monotonic() if now is None else now
+        out = []
+        for e in sorted(self._missing):
+            t, n = self._missing[e]
+            if now - t >= self.reorder:
+                if n >= self.max_retries:
+                    del self._missing[e]
+                    continue
+                out.append(e)
+                self._missing[e] = (now, n + 1)
+        return out

@@ -280,7 +280,7 @@ def _metrics_pallas(yw, pw, thr, h: int, interpret: bool = False):
             pl.BlockSpec((1, 8, w4), mk(False), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, w4), mk(True), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, w4), mk(False), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 32, w4), lambda bi, r: (bi, zero, zero),
                                memory_space=pltpu.VMEM),
